@@ -1,0 +1,79 @@
+"""Oracle-stable numerics — make float aggregates BIT-IDENTICAL across engines.
+
+Problem (SURVEY §7.4.1): double summation is order-dependent; Spark's shuffle
+merge order and DuckDB's scan order differ, so ``SUM(double)`` disagrees in
+final ULPs and a value-hash comparison fails. Rounding the double result is
+NOT safe either: Spark's ``round(double, n)`` rounds the shortest decimal
+string repr (Java ``BigDecimal.valueOf``) while DuckDB rounds the binary
+value, so inputs like the double nearest 2.675 round differently.
+
+Solution: accumulate in DECIMAL. ``CAST(x AS DECIMAL(s, p))`` is
+deterministic (round-half-up to p fractional digits; decimal boundaries
+ending in 5 are never exactly representable in binary, so both engines see
+the same side of the boundary), decimal addition is exact and associative
+(order-independent), and decimal→double is exact. Both engines therefore
+produce the SAME double, bit for bit. Derived quantities (avg, variance)
+are then identical IEEE arithmetic on identical inputs.
+
+The same helpers exist in two renderings — a Spark ``Column`` and a DuckDB
+SQL string — kept adjacent so they cannot drift.
+
+Scale note: decimal aggregation is ~2× slower than double aggregation but
+still whole-stage-codegen'd JVM work; it is used only on final reported
+aggregates, never inside joins/filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Precision 38 is the max in both engines. Scale 6 handles all testdata
+# magnitudes (prices ≤ 1e5, sums ≤ 1e10 at sf0.1 → 16 integer digits spare).
+DEC = "decimal(28,6)"
+DEC_SQL = "DECIMAL(28,6)"
+
+
+def dsum(col: Column | str, round_to: int = 2) -> Column:
+    """Exact decimal sum of a double column, rounded in decimal space,
+    returned as double. Deterministic across engines and across runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)), round_to).cast("double")
+
+
+def dsum_sql(expr: str, round_to: int = 2) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS {DEC_SQL})), {round_to}) AS DOUBLE)"
+
+
+def davg(col: Column | str, round_to: int = 6) -> Column:
+    """avg = exact-decimal sum (as double) / count: identical IEEE division
+    on identical inputs → identical result; rounded in decimal space."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return F.round(raw.cast(DEC), round_to).cast("double")
+
+
+def davg_sql(expr: str, round_to: int = 6) -> str:
+    raw = f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE) / COUNT({expr})"
+    return f"CAST(ROUND(CAST({raw} AS {DEC_SQL}), {round_to}) AS DOUBLE)"
+
+
+def dround(col: Column | str, round_to: int = 6) -> Column:
+    """Round a double deterministically by bouncing through decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast(DEC), round_to).cast("double")
+
+
+def dround_sql(expr: str, round_to: int = 6) -> str:
+    return f"CAST(ROUND(CAST({expr} AS {DEC_SQL}), {round_to}) AS DOUBLE)"
+
+
+def ts_str(col: Column | str) -> Column:
+    """Canonical timestamp rendering for hashed outputs (SURVEY §7.4.3):
+    naive-UTC string, second precision. Avoids tz-aware/naive Arrow
+    mismatches between Spark TimestampType and DuckDB TIMESTAMP."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+def ts_str_sql(expr: str) -> str:
+    return f"strftime(CAST({expr} AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')"

@@ -1,0 +1,62 @@
+"""Table ingestion — the single entry point every operator loads through.
+
+Reference-capability anchor: the netmonitor class of tool ingests metric
+samples (timestamped per-source counter values) plus small static topology
+dimension tables (SURVEY.md §0.3/§1.1). Here ingestion is a parquet scan with
+schema normalization; Structured Streaming ingestion lives in
+``streaming/``.
+
+Scale note: at 100 TB the facts (``lineitem``, ``events``) would be
+date-partitioned parquet/Delta directories and this loader's glob would hit
+partition pruning; the single-file testdata layout changes nothing about the
+operator code above it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import apply_runtime_confs
+
+#: The ten tables the driver registers as DuckDB views (FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Tables small enough to broadcast at ANY scale factor (dimension tables —
+#: the topology-metadata analog; SURVEY §1.1).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with schema normalization.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with the nanosAsLong conf it
+    arrives as a raw long which we convert to a microsecond timestamp.
+    Integer ``div`` (not ``/``) is essential: epoch-nanos ≈ 1.7e18 exceeds
+    double's 53-bit mantissa, so float division would corrupt microseconds.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)

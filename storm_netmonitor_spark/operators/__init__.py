@@ -1,0 +1,32 @@
+"""Batch relational operators (SURVEY §2.A–2.H, §2.J, §2.K)."""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = (
+    "scans",
+    "projections",
+    "joins",
+    "aggregations",
+    "windows",
+    "sorts",
+    "setops",
+    "scalars",
+    "udfs",
+    "text",
+    "vectors",
+)
+
+
+def load() -> None:
+    """Import every operator module so @query registrations run."""
+    for mod in _MODULES:
+        try:
+            importlib.import_module(f"{__name__}.{mod}")
+        except ModuleNotFoundError as exc:
+            # Module not built yet (incremental rounds) — skip only if it is
+            # the module itself that's missing, not one of its imports.
+            if exc.name and exc.name.endswith(mod):
+                continue
+            raise

@@ -1,0 +1,379 @@
+"""Aggregations (SURVEY §2.D) — the netmonitor rollup surface.
+
+Reference-capability anchors (SURVEY §0.3, reference mount empty this round):
+a Storm network-metrics collector aggregates per-key counter samples into
+totals, rates, variances, percentiles, and hierarchical host→topology→cluster
+rollups. Each operator here realizes one of those capabilities on the
+testdata star schema.
+
+Scale notes: every aggregation is a hash-aggregate with map-side partial
+combine (Catalyst default) — shuffle volume is #groups × #partitions, not
+#rows. Rollup/cube expand rows map-side but combine before shuffling.
+Float outputs use functions.stable (exact decimal accumulation) so results
+are deterministic across engines AND across partition orderings — which is
+also what makes them reproducible on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import davg, davg_sql, dround_sql, dsum, dsum_sql
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "agg_group_pricing",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  {davg_sql('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_group_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — TPC-H-Q1-shaped pricing summary: scan + filter + 8-way
+    multi-aggregate group-by. Netmonitor analog: per-(flag,status) ≈
+    per-(host,counter) traffic totals and means."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  {dsum_sql('l_quantity')} AS total_qty,
+  {dround_sql('MIN(l_extendedprice)')} AS min_price,
+  {dround_sql('MAX(l_extendedprice)')} AS max_price,
+  {davg_sql('l_discount')} AS avg_discount
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates — cluster-wide totals (netmonitor: total bytes
+    across all hosts). min/max of raw doubles are exact (no accumulation)."""
+    from ..functions.stable import dround
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity").alias("total_qty"),
+        dround(F.min("l_extendedprice")).alias("min_price"),
+        dround(F.max("l_extendedprice")).alias("max_price"),
+        davg("l_discount").alias("avg_discount"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (netmonitor: distinct talkers per
+    counter). Catalyst plans the expand + two-phase aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # approx algorithms differ per engine → rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — the 100 TB-scale path
+    where exact distinct would shuffle every key. rsd=0.01. No SQL oracle:
+    DuckDB's approx sketch differs; correctness is covered by a unit test
+    bounding the error vs exact (tests/test_semantics.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+WITH s AS (
+  SELECT
+    event_type,
+    COUNT(value) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM events
+  GROUP BY event_type
+)
+SELECT
+  event_type,
+  CAST(ROUND(CAST((sxx - sx * sx / n) / (n - 1) AS DECIMAL(28,6)), 4) AS DOUBLE) AS var_value,
+  CAST(ROUND(CAST(sqrt((sxx - sx * sx / n) / (n - 1)) AS DECIMAL(28,6)), 4) AS DOUBLE) AS std_value
+FROM s
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev per group (netmonitor: rate jitter).
+
+    Built-in stddev_samp accumulates doubles order-dependently, so instead
+    variance is computed from exact decimal sums of x and x² — identical
+    IEEE math on identical inputs in both engines (functions/stable.py).
+    """
+    e = load_table(spark, sf_dir, "events")
+    from ..functions.stable import DEC
+
+    g = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    from ..functions.stable import dround
+
+    return g.select(
+        "event_type",
+        dround(var, 4).alias("var_value"),
+        dround(F.sqrt(var), 4).alias("std_value"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (netmonitor: hosts whose sample count exceeds
+    a threshold). HAVING is just a filter above the aggregate in both
+    engines — Catalyst keeps it after the partial/final agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  {dsum_sql('CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END')} AS high_disc_revenue,
+  COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk,
+  COUNT(CASE WHEN l_quantity < 25 THEN 1 END) AS n_small
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(CASE WHEN) / count_if — conditional aggregation (netmonitor:
+    bytes split by traffic class)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        dsum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("high_disc_revenue"),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+        F.count(F.when(F.col("l_quantity") < 25, F.lit(1))).alias("n_small"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT
+  COALESCE(r_name, '<ALL>') AS region_name,
+  COALESCE(n_name, '<ALL>') AS nation_name,
+  COUNT(*) AS n_customers,
+  {dsum_sql('c_acctbal')} AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup — the netmonitor host→topology→cluster totals
+    analog (region→nation here). NULL grouping placeholders are coalesced to
+    a sentinel so the hash compare is unambiguous."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("total_balance"))
+        .select(
+            F.coalesce("r_name", F.lit("<ALL>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<ALL>")).alias("nation_name"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT
+  COALESCE(o_orderstatus, '<ALL>') AS status,
+  COALESCE(o_orderpriority, '<ALL>') AS priority,
+  COUNT(*) AS n_orders,
+  {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all grouping combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT
+  COALESCE(c_mktsegment, '<ALL>') AS segment,
+  COALESCE(CAST(c_nationkey AS VARCHAR), '<ALL>') AS nation_key,
+  GROUPING(c_mktsegment, c_nationkey) AS gid,
+  COUNT(*) AS n,
+  {dsum_sql('c_acctbal')} AS balance
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — expressed via Spark SQL
+    (the DataFrame API has no grouping-sets builder; SQL is the idiomatic
+    route and hits the same Expand physical node)."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT
+          COALESCE(c_mktsegment, '<ALL>') AS segment,
+          COALESCE(CAST(c_nationkey AS STRING), '<ALL>') AS nation_key,
+          grouping_id(c_mktsegment, c_nationkey) AS gid,
+          COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS balance
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+FROM orders
+WHERE o_custkey < 100
+GROUP BY o_custkey
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_list has no ordering
+    guarantee, so the array is sort_array'd before hashing (SURVEY §7.4.9)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT
+  event_type,
+  CAST(ROUND(CAST(quantile_cont(value, 0.5) AS DECIMAL(28,6)), 4) AS DOUBLE) AS p50,
+  CAST(ROUND(CAST(quantile_cont(value, 0.95) AS DECIMAL(28,6)), 4) AS DOUBLE) AS p95
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (netmonitor: latency p50/p95).
+    Spark `percentile` ↔ DuckDB `quantile_cont`, both linear interpolation
+    over the sorted exact doubles; rounded to 4 dp to absorb the one
+    multiply/add ULP the interpolation formulas may differ by."""
+    from ..functions.stable import dround
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        dround(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        dround(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+SELECT
+  event_type,
+  arg_max(event_id, value) AS peak_event_id,
+  arg_min(event_id, value) AS floor_event_id
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin — which event carried the peak value (netmonitor: which
+    sample was the traffic spike). `value` is continuous so ties are absent;
+    event_id output keeps the compare integer-exact."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("max_by(event_id, value)").alias("peak_event_id"),
+        F.expr("min_by(event_id, value)").alias("floor_event_id"),
+    )

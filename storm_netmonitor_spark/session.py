@@ -1,0 +1,76 @@
+"""SparkSession factory and runtime configuration.
+
+Design notes (100 TB): every conf here is either a correctness requirement
+(UTC session timezone, parquet-nanos shim) or a scale default (AQE on so
+skewed shuffles re-plan at runtime, partition coalescing). Nothing is
+cluster-size specific; on a real cluster only ``master`` and memory sizing
+change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are runtime-settable and REQUIRED for correctness. They are
+#: (re-)applied to any session we are handed (the driver owns its own
+#: SparkSession, so build-time config is not enough).
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata timestamps are naive/UTC-intended (FIXTURES.md); DuckDB's
+    # TIMESTAMP is naive, so both engines must agree on UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4.x refuses by
+    # default; read it as long and convert in io.load_table (lossless,
+    # measured: no sub-microsecond components in the testdata).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime broadcast-join conversion, skew-join
+    # splitting, partition coalescing — the main scale levers.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Apply required runtime confs to an externally-created session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf not settable at runtime in this build — ignore; the
+            # build-time path in get_spark() covers our own sessions.
+            pass
+
+
+def get_spark(
+    app_name: str = "storm-netmonitor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    ``shuffle_partitions`` defaults to the core count so local shuffles
+    neither starve nor over-split. On a real cluster both come from
+    spark-submit instead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 8
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Arrow for pandas UDF / toPandas paths (§2.J, §2.K).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    apply_runtime_confs(spark)
+    return spark

@@ -1,0 +1,27 @@
+"""Oracle parity for every registered hash-checkable query at sf0.01 —
+the same gate the driver runs (t2 correctness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from storm_netmonitor_spark.registry import ORACLES, QUERIES
+
+from .conftest import SF_CORRECT
+from .parity import assert_parity
+
+
+def _hash_checked_ids():
+    return sorted(k for k in QUERIES if k in ORACLES)
+
+
+@pytest.mark.parametrize("name", _hash_checked_ids())
+def test_oracle_parity(name, spark):
+    assert_parity(name, spark, SF_CORRECT)
+
+
+@pytest.mark.parametrize("name", sorted(k for k in QUERIES if k not in ORACLES))
+def test_rows_only_runs(name, spark):
+    """Queries without an oracle must at least run and return rows."""
+    df = QUERIES[name](spark, SF_CORRECT)
+    assert df.count() >= 0
