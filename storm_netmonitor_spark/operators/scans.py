@@ -1,0 +1,113 @@
+"""Scans, sources and batch sinks (SURVEY §2.A).
+
+Netmonitor anchor: metric ingestion + log/CSV export sinks. The streaming
+source/sink operators live in ``streaming/``.
+
+Scale notes: `scan_pruned` / `scan_filtered` exist to pin column-pruning
+and predicate-pushdown behavior — tests/test_plans.py asserts
+``ReadSchema``/``PushedFilters`` on their physical plans, because at 100 TB
+a scan that reads all columns for a two-column projection is the whole
+ballgame.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import dsum, dsum_sql, ts_str, ts_str_sql
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan, all columns. Raw doubles pass through unchanged (exact in
+    parquet → exact in both engines → hash-safe without rounding)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@query(
+    "scan_pruned",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column projection of the 11-column fact — parquet reads only the
+    projected column chunks (ReadSchema assertion in test_plans)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "scan_filtered",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity, {ts_str_sql('l_shipdate')} AS ship_day
+FROM lineitem
+WHERE l_quantity >= 45.0 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+""",
+)
+def scan_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown into parquet row groups (PushedFilters assertion
+    in test_plans). Timestamp output canonicalized to string (§7.4.3)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_quantity") >= 45.0)
+        & (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        ts_str("l_shipdate").alias("ship_day"),
+    )
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n, {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate to parquet, read it back — type fidelity through
+    the sink. The oracle sees only the original aggregate: a lossless sink
+    is exactly what makes them hash-equal."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="nm_sink_"), "roundtrip.parquet")
+    agg.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "sink_csv_json_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def sink_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → read with explicit schema, then JSON write → read.
+    Ints/strings are lossless through both text formats, so even the hash
+    oracle holds (SURVEY marks this rows-only; we can do better)."""
+    n = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="nm_sink_")
+    csv_path = os.path.join(base, "nation_csv")
+    json_path = os.path.join(base, "nation_json")
+    n.write.mode("overwrite").option("header", True).csv(csv_path)
+    back = spark.read.schema(n.schema).option("header", True).csv(csv_path)
+    back.write.mode("overwrite").json(json_path)
+    return spark.read.schema(n.schema).json(json_path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
