@@ -18,6 +18,13 @@ are then identical IEEE arithmetic on identical inputs.
 The same helpers exist in two renderings — a Spark ``Column`` and a DuckDB
 SQL string — kept adjacent so they cannot drift.
 
+FLOAT32 hazard (measured): Spark casts float→decimal via the float's
+SHORTEST STRING ("0.2903225" → 0.290323) while DuckDB rounds the binary
+value (0.29032249… → 0.290322). Every helper therefore widens to DOUBLE
+first: a double's 17-significant-digit shortest repr makes the string and
+binary paths agree except on reprs ending in a bare '5' exactly at the
+rounding position (~1e-9 of values).
+
 Scale note: decimal aggregation is ~2× slower than double aggregation but
 still whole-stage-codegen'd JVM work; it is used only on final reported
 aggregates, never inside joins/filters.
@@ -37,34 +44,34 @@ def dsum(col: Column | str, round_to: int = 2) -> Column:
     """Exact decimal sum of a double column, rounded in decimal space,
     returned as double. Deterministic across engines and across runs."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(DEC)), round_to).cast("double")
+    return F.round(F.sum(c.cast("double").cast(DEC)), round_to).cast("double")
 
 
 def dsum_sql(expr: str, round_to: int = 2) -> str:
-    return f"CAST(ROUND(SUM(CAST({expr} AS {DEC_SQL})), {round_to}) AS DOUBLE)"
+    return f"CAST(ROUND(SUM(CAST(CAST({expr} AS DOUBLE) AS {DEC_SQL})), {round_to}) AS DOUBLE)"
 
 
 def davg(col: Column | str, round_to: int = 6) -> Column:
     """avg = exact-decimal sum (as double) / count: identical IEEE division
     on identical inputs → identical result; rounded in decimal space."""
     c = F.col(col) if isinstance(col, str) else col
-    raw = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    raw = F.sum(c.cast("double").cast(DEC)).cast("double") / F.count(c)
     return F.round(raw.cast(DEC), round_to).cast("double")
 
 
 def davg_sql(expr: str, round_to: int = 6) -> str:
-    raw = f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE) / COUNT({expr})"
+    raw = f"CAST(SUM(CAST(CAST({expr} AS DOUBLE) AS {DEC_SQL})) AS DOUBLE) / COUNT({expr})"
     return f"CAST(ROUND(CAST({raw} AS {DEC_SQL}), {round_to}) AS DOUBLE)"
 
 
 def dround(col: Column | str, round_to: int = 6) -> Column:
     """Round a double deterministically by bouncing through decimal."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c.cast(DEC), round_to).cast("double")
+    return F.round(c.cast("double").cast(DEC), round_to).cast("double")
 
 
 def dround_sql(expr: str, round_to: int = 6) -> str:
-    return f"CAST(ROUND(CAST({expr} AS {DEC_SQL}), {round_to}) AS DOUBLE)"
+    return f"CAST(ROUND(CAST(CAST({expr} AS DOUBLE) AS {DEC_SQL}), {round_to}) AS DOUBLE)"
 
 
 def ts_str(col: Column | str) -> Column:
