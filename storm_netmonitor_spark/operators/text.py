@@ -1,0 +1,493 @@
+"""Text analysis + deduplication (SURVEY §2.K / BASELINE.json north star).
+
+The LLM-training-data-pipeline surface over the ``documents`` table:
+exact dedup, MinHash-LSH and SimHash near-dedup, n-gram Jaccard, token
+stats, n-grams, TF-IDF, quality scoring, fingerprinting, language profile.
+
+Scale notes (100 TB):
+- Exact dedup is hash-groupBy: shuffle on the 256-bit digest, no string
+  comparison across the cluster.
+- MinHash-LSH: cost is rows × shingles for signatures, then the self-join
+  happens ONLY within LSH band buckets — worst case is per-bucket², never
+  corpus². Band/row parameters (4 bands × 2 rows) target Jaccard ≳ 0.5.
+- SimHash: signatures are one Arrow-batched pandas UDF pass; candidate
+  pairs come from 16-bit band buckets (4 per doc), hamming-verified.
+- All hash seeds are FIXED literals — no RNG at query time (SURVEY §7.4.8).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.stable import davg, davg_sql, dround, dround_sql
+from ..io import load_table
+from ..registry import query
+
+#: Tokenizer shared by every text operator: lowercase, split on single
+#: spaces (documents are space-joined lowercase words — FIXTURES.md).
+#: Column objects need an active session, hence a function not a constant.
+def _tokens():
+    return F.split(F.lower("text"), " ")
+
+
+_TOKENS_SQL = "string_split(lower(text), ' ')"
+
+_STOPWORDS = ("the", "a", "b", "of", "and")
+_STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@query(
+    "text_exact_dedup",
+    oracle="""
+SELECT sha256(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by SHA-256 content hash. Group-by (not dropDuplicates)
+    so the kept representative is deterministic: min(doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  SUM(len(list_filter({_TOKENS_SQL}, t -> t <> ''))) AS total_tokens,
+  {davg_sql("len(list_filter(" + _TOKENS_SQL + ", t -> t <> ''))")} AS avg_tokens_per_doc,
+  {davg_sql('n_chars')} AS avg_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts per language (whitespace tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(_tokens(), lambda t: t != ""))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        davg(ntok).alias("avg_tokens_per_doc"),
+        davg("n_chars").alias("avg_chars"),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok,
+         generate_subscripts({_TOKENS_SQL}, 1) AS pos
+  FROM documents
+)
+SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS n
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 25
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigrams. Spark builds bigrams array-side (transform over
+    positions — no self-join needed); the oracle does the classic
+    positional self-join. Same bag of bigrams either way."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+        " i -> concat(element_at(split(lower(text), ' '), i), ' ',"
+        "             element_at(split(lower(text), ' '), i + 1)))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks WHERE word <> '' GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks WHERE word <> '' GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT
+    tf.doc_id, tf.word,
+    {dround_sql('tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)')} AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — tf × ln(N/df) with joins only
+    (corpus stats broadcast); deterministic (score desc, word) tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tokens()).alias("word")
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar corpus stat, computed once driver-side
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        dround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf")
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle=f"""
+SELECT
+  lang,
+  source,
+  COUNT(*) AS n_docs,
+  {davg_sql('n_chars')} AS avg_chars,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × source distribution with char stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT
+    doc_id,
+    list_filter({_TOKENS_SQL}, t -> t <> '') AS toks,
+    n_chars
+  FROM documents
+)
+SELECT
+  doc_id,
+  len(toks) AS n_tokens,
+  {dround_sql('CAST(n_chars AS DOUBLE) / len(toks)', 4)} AS avg_token_len,
+  {dround_sql('CAST(len(list_filter(toks, t -> t IN ' + _STOP_SQL + ')) AS DOUBLE) / len(toks)', 4)} AS stopword_ratio,
+  {dround_sql('CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)', 4)} AS uniq_ratio
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features (length / stopword / uniqueness ratios) —
+    the heuristics a pretraining filter runs before anything expensive."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dround(F.col("n_chars").cast("double") / n, 4).alias("avg_token_len"),
+        dround(stop.cast("double") / n, 4).alias("stopword_ratio"),
+        dround(uniq.cast("double") / n, 4).alias("uniq_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT
+  doc_id,
+  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint,
+  sha256(substr(text, 1, 64)) AS head_hash
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 of whitespace-normalized text +
+    sha256 of the 64-char head (cheap prefilter key for dedup joins)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), " +", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.sha2(F.substring("text", 1, 64), 256).alias("head_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (no SQL oracle — DuckDB lacks xxhash64; semantics
+# covered by planted-duplicate unit tests in tests/test_semantics.py)
+# ---------------------------------------------------------------------------
+
+#: 8 MinHash permutations as xxhash64 seeds; 4 bands × 2 rows.
+MINHASH_SEEDS = (101, 211, 307, 401, 503, 601, 701, 809)
+MINHASH_BANDS = 4
+SHINGLE_K = 3
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_7): min over word-3-shingle xxhash64 per seed."""
+    toks_sql = "array_remove(split(lower(text), ' '), '')"
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size({toks_sql}) - {SHINGLE_K - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks_sql}, i, {SHINGLE_K})))"
+    )
+    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"mh_{i}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+@query("text_near_dedup_minhash")
+def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup: signatures → band buckets → candidate pairs
+    within buckets → exact shingle-Jaccard verification ≥ 0.5.
+
+    Join complexity is bounded per LSH bucket; at 100 TB the bucket join is
+    the only quadratic term and buckets stay small by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    rows_per_band = len(MINHASH_SEEDS) // MINHASH_BANDS
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"band_{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    bands = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact Jaccard verification over distinct shingles
+    toks_sql = "array_remove(split(lower(text), ' '), '')"
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size({toks_sql}) - {SHINGLE_K - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks_sql}, i, {SHINGLE_K})))"
+    )
+    sh = (
+        d.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash from md5 token hashes — pure Python, deterministic."""
+    import hashlib
+
+    out = []
+    for t in texts:
+        weights = [0] * 64
+        for tok in str(t).lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for i in range(64):
+                weights[i] += 1 if (h >> i) & 1 else -1
+        sig = 0
+        for i in range(64):
+            if weights[i] > 0:
+                sig |= 1 << i
+        # to signed int64 for Spark LongType
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out)
+
+
+@query("text_near_dedup_simhash")
+def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: Arrow-batched pandas UDF computes 64-bit
+    signatures; candidates bucket on 16-bit bands; pairs kept when hamming
+    distance ≤ 6. Rows-only (no DuckDB xxhash/simhash); semantics unit-
+    tested with planted near-duplicates."""
+    simhash = F.pandas_udf(_simhash_batch, LongType())
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select("doc_id", simhash("text").alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftrightunsigned("sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", "sig", "bh.band_idx", "bh.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
+@query(
+    "text_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, list_filter({_TOKENS_SQL}, t -> t <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_id, lang, source,
+           unnest(list_transform(generate_series(1, len(tk) - 2),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+    FROM toks
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  doc_a, doc_b,
+  {dround_sql('CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)', 4)} AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.05
+""",
+)
+def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity for doc pairs, BLOCKED by
+    (lang, source) so the pairwise term is per-block, not corpus-wide —
+    the exact-verification stage of an n-gram dedup pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_sql = "array_remove(split(lower(text), ' '), '')"
+    grams_expr = F.expr(
+        f"transform(sequence(1, size({toks_sql}) - 2),"
+        f" i -> concat_ws(' ', slice({toks_sql}, i, 3)))"
+    )
+    grams = (
+        d.select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "gram"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("gram").alias("gram_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("gram") == F.col("gram_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        pairs.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,323 @@
+"""Vector similarity search + multimodal columns (SURVEY §2.K).
+
+Embeddings are 64-dim L2-normalized float32 (FIXTURES.md) → cosine ≡ dot
+product. Dot products are computed by posexplode → per-position multiply →
+exact decimal sum: identical in both engines AND shuffle-parallel (the form
+that distributes across 1000 executors — each (vec, pos) partial is
+map-side combined before the per-vector reduce).
+
+Scale notes:
+- Brute-force knn against ONE query is a broadcast of 64 floats + a single
+  scan — linear, perfect at any scale.
+- Pairwise ops are BLOCKED by label (↔ IVF cells): the quadratic term is
+  per-block. `vec_ann_ivf` is the explicit two-stage ANN path: route the
+  query to the nearest centroid blocks, search only those.
+- Multimodal decode runs in mapInPandas over binary columns; the heavy
+  codec work is stubbed (no image libs in this container) but schema,
+  batching and partition flow are real.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.stable import dround
+from ..io import load_table
+from ..registry import query
+
+#: Decimal grain for dot-product accumulation: products ≤ 1 in magnitude,
+#: 12 fractional digits → truncation identical in both engines.
+_DOT_DEC = "DECIMAL(28,12)"
+
+_DOT_SUM_SQL = f"CAST(ROUND(SUM(CAST(px AS {_DOT_DEC})), 6) AS DOUBLE)"
+
+
+def _pos_explode(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, x) rows from (id, embedding) — pos is 1-based to match
+    DuckDB generate_subscripts."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode("embedding").alias("pos0", "xf"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+
+
+@query(
+    "vec_knn_cosine",
+    oracle=f"""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS qx
+  FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+  FROM embeddings WHERE vec_id <> 0
+), dots AS (
+  SELECT vec_id, {_DOT_SUM_SQL} AS cos_sim
+  FROM (SELECT vec_id, CAST(e.x AS DOUBLE) * CAST(q.qx AS DOUBLE) AS px
+        FROM e JOIN q USING (pos))
+  GROUP BY vec_id
+)
+SELECT vec_id, cos_sim FROM dots
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def vec_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — exact top-10 nearest neighbors to the vec_id=0 query
+    vector (brute-force cosine = the ANN ground-truth baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _pos_explode(e.filter(F.col("vec_id") == 0), "vec_id").select(
+        "pos", F.col("x").alias("qx")
+    )
+    cand = _pos_explode(e.filter(F.col("vec_id") != 0), "vec_id")
+    dots = (
+        cand.join(F.broadcast(q), "pos")
+        .select("vec_id", (F.col("x") * F.col("qx")).alias("px"))
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("px").cast(_DOT_DEC)), 6).cast("double").alias("cos_sim"))
+    )
+    return dots.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@query(
+    "vec_pairwise_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+  FROM embeddings
+), dots AS (
+  SELECT label, a_id, b_id, {_DOT_SUM_SQL} AS sim
+  FROM (SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS px
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id)
+  GROUP BY label, a_id, b_id
+)
+SELECT label, a_id, b_id, sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim DESC, a_id, b_id) AS rn
+  FROM dots
+)
+WHERE rn = 1
+""",
+)
+def vec_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-similar pair within each label block — label-blocked self-join
+    keeps the pairwise term per-block (the IVF-cell pattern)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = _pos_explode(e.select("vec_id", "label", "embedding"), "vec_id")
+    lab = e.select("vec_id", "label")
+    ex = ex.join(lab, "vec_id")
+    a = ex.select(
+        F.col("label"), F.col("vec_id").alias("a_id"), "pos", F.col("x").alias("ax")
+    )
+    b = ex.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("b_id"),
+        F.col("pos").alias("pos_b"),
+        F.col("x").alias("bx"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("pos") == F.col("pos_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("label", "a_id", "b_id", (F.col("ax") * F.col("bx")).alias("px"))
+        .groupBy("label", "a_id", "b_id")
+        .agg(F.round(F.sum(F.col("px").cast(_DOT_DEC)), 6).cast("double").alias("sim"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("sim").desc(), F.col("a_id").asc(), F.col("b_id").asc()
+    )
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "a_id", "b_id", "sim")
+    )
+
+
+@query(
+    "vec_centroid_label",
+    oracle=f"""
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+  FROM embeddings
+), c AS (
+  SELECT label, pos,
+         CAST(ROUND(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+              / COUNT(*) AS {_DOT_DEC}), 6) AS DOUBLE) AS cx
+  FROM e GROUP BY label, pos
+)
+SELECT label, list(cx ORDER BY pos) AS centroid
+FROM c GROUP BY label
+""",
+)
+def vec_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean vector per label — per-(label,pos) decimal-exact average,
+    re-assembled in position order (the centroid step of k-means / IVF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = _pos_explode(e.select(F.col("label").alias("vid_label"), "embedding"), "vid_label")
+    cent = ex.groupBy(F.col("vid_label").alias("label"), "pos").agg(
+        F.round(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).cast(
+                _DOT_DEC
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("cx")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+        ).alias("centroid")
+    )
+
+
+@query("vec_ann_ivf")
+def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: label centroids act as the
+    coarse quantizer; the query routes to the 3 nearest centroids and
+    brute-forces only those blocks (~30% of the corpus scanned).
+
+    Rows-only oracle (approximate by construction); recall vs the exact
+    top-10 is asserted in tests/test_semantics.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = _pos_explode(e, "vec_id").join(e.select("vec_id", "label"), "vec_id")
+    q = _pos_explode(e.filter(F.col("vec_id") == 0), "vec_id").select(
+        "pos", F.col("x").alias("qx")
+    )
+    # stage 1: centroid per label, scored against the query
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    probe = (
+        cent.join(F.broadcast(q), "pos")
+        .groupBy("label")
+        .agg(F.sum(F.col("cx") * F.col("qx")).alias("centroid_sim"))
+        .orderBy(F.col("centroid_sim").desc(), F.col("label").asc())
+        .limit(3)
+    )
+    # stage 2: exact search within the probed blocks only
+    dots = (
+        ex.join(F.broadcast(probe.select("label")), "label")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum((F.col("x") * F.col("qx")).cast(_DOT_DEC)), 6).cast("double").alias("cos_sim"))
+    )
+    return dots.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@query(
+    "vec_near_dup_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+  FROM embeddings
+), dots AS (
+  SELECT a_id, b_id, {_DOT_SUM_SQL} AS sim
+  FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS px
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id)
+  GROUP BY a_id, b_id
+)
+SELECT a_id, b_id, sim FROM dots WHERE sim >= 0.8
+""",
+)
+def vec_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.8), label-blocked.
+    The decimal dot is identical in both engines, so the threshold cannot
+    flip between them."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = _pos_explode(e, "vec_id").join(e.select("vec_id", "label"), "vec_id")
+    a = ex.select(F.col("label"), F.col("vec_id").alias("a_id"), "pos", F.col("x").alias("ax"))
+    b = ex.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("b_id"),
+        F.col("pos").alias("pos_b"),
+        F.col("x").alias("bx"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("pos") == F.col("pos_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id", (F.col("ax") * F.col("bx")).alias("px"))
+        .groupBy("a_id", "b_id")
+        .agg(F.round(F.sum(F.col("px").cast(_DOT_DEC)), 6).cast("double").alias("sim"))
+    )
+    return dots.filter(F.col("sim") >= 0.8)
+
+
+@query(
+    "multimodal_binary",
+    oracle="""
+SELECT
+  doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS content_md5,
+  CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: utf-8 encode → BinaryType, byte
+    length, content digest — the schema pattern image/audio payloads use
+    (binary blob + typed metadata columns)."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@query("multimodal_decode_stub")
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing over binary payloads via
+    mapInPandas: real schema / Arrow batching / partition flow, stubbed
+    codec (no image/audio libs in this container — the 'decode' is a
+    deterministic byte-statistics fake, clearly marked).
+
+    At 100 TB this is the pattern: binary column + metadata in, fixed-width
+    feature struct out, one Python worker pass per partition, no shuffle.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+    def decode_features(batches):
+        for pdf in batches:
+            # STUB: a real implementation would decode pdf["payload"]
+            # (image/audio bytes) with a codec library here. Deterministic
+            # byte statistics stand in for codec output.
+            raw = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": raw.map(len),
+                    "first_byte": raw.map(lambda b: b[0] if len(b) else -1),
+                    "byte_sum_mod": raw.map(lambda b: sum(b) % 65536),
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode_features,
+        "doc_id long, mime string, n_bytes long, first_byte integer, byte_sum_mod long",
+    )
