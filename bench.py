@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md M4 gate).
+
+Runs the ten headline queries of BASELINE.md — by their SURVEY §2 registry
+ids, i.e. the exact same callables the correctness gate checks — against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]``, and prints ONE JSON line:
+
+    {"metric": "suite_wall_seconds", "value": <total>, "unit": "sec",
+     "queries": {"agg_group_pricing": <sec>, ...}, "sf": 0.1}
+
+Method mirrors BASELINE.md: per query 1 warm-up run, then median of 3 timed
+``collect()`` runs (session startup excluded — one session per process).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# The BASELINE.md suite, by registry id (≙ the "q_*" rows in that file).
+HEADLINE = [
+    "agg_group_pricing",  # q_pricing_summary (TPC-H Q1 shape)
+    "join_star_multiway",  # q_local_supplier_volume (6-way star, Q5 shape)
+    "join_inner_equi",  # q_top_unshipped class (c⋈o join + agg)
+    "win_topk_group",  # q_window_rank
+    "stream_tumbling",  # q_tumbling_window (streaming drain incl.)
+    "agg_count_distinct",  # q_distinct_users
+    "fn_json_map",  # q_json_extract
+    "fn_split_explode",  # q_wordcount
+    "vec_knn_cosine",  # q_knn_cosine
+    "text_exact_dedup",  # q_dedup
+]
+
+WARMUPS = 1
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from storm_netmonitor_spark import registry
+    from storm_netmonitor_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="nm-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        for _ in range(WARMUPS):
+            fn(spark, sf_dir).collect()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

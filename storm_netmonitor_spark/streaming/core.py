@@ -1,0 +1,82 @@
+"""Streaming infrastructure: event-stream source + drain-to-memory runner.
+
+The netmonitor reference is a continuously-running metrics pipeline; here
+every streaming query runs with ``trigger(availableNow=True)`` so it drains
+the test input deterministically and can be hash-compared against a batch
+oracle (SURVEY §2.I). In production the same code runs with a processing-
+time trigger and a real directory of arriving parquet — nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..io import table_path
+from ..session import apply_runtime_confs
+
+#: Raw parquet schema of events (ts as long — TIMESTAMP(NANOS) read under
+#: the nanosAsLong conf).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_stage_cache: dict[str, str] = {}
+
+
+def events_stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY; stage a symlink to the
+    events parquet in a cached temp dir (no data copy)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _stage_cache:
+        d = tempfile.mkdtemp(prefix="nm_stream_src_")
+        os.symlink(table_path(sf_dir, "events"), os.path.join(d, "events.parquet"))
+        _stage_cache[key] = d
+    return _stage_cache[key]
+
+
+def events_stream(spark: SparkSession, sf_dir: str, source_dir: str | None = None) -> DataFrame:
+    """Unbounded events DataFrame (ts normalized to TimestampType)."""
+    apply_runtime_confs(spark)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+        source_dir or events_stream_dir(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def drain_to_memory(df: DataFrame, mode: str = "complete", **stream_opts) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory sink; return the final result as a batch DataFrame.
+
+    Checkpoints go to a fresh temp dir — never into the repo."""
+    name = "nm_mem_" + uuid.uuid4().hex[:10]
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .trigger(availableNow=True)
+    )
+    for k, v in stream_opts.items():
+        writer = writer.option(k, v)
+    q = writer.start()
+    q.awaitTermination()
+    return df.sparkSession.table(name)

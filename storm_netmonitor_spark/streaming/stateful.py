@@ -1,0 +1,373 @@
+"""Stateful streaming operators (SURVEY §2.I): watermark late-drop,
+streaming dedup, arbitrary-state counters, EWMA rate smoothing.
+
+These are the netmonitor core semantics a batch oracle cannot see directly
+(resent-sample dedup, late sample handling, per-host cumulative counters,
+rate smoothing). To keep them HASH-checkable anyway, each query stages a
+DETERMINISTIC derived input (pyarrow-written parquet in a cached temp dir,
+derived purely from the sf_dir events table — no RNG, no clocks) and is
+constructed so the correct streaming result equals a plain batch SQL over
+the original events table:
+
+- ``stream_dedup``: input = events ∪ events (every row twice); correct
+  dedup output = events exactly once → oracle is a plain projection.
+- ``stream_watermark_late``: input = 3 files processed as 3 micro-batches
+  (maxFilesPerTrigger=1): [all events], [stale copies + future sentinel],
+  [stale copy]. The stale copies arrive beyond the watermark and MUST be
+  dropped; the sentinel advances the watermark so every real window closes
+  in append mode. Correct output = plain hourly aggregation of events.
+- ``stream_stateful_counter`` / ``stream_rate_ewma``: final emitted state
+  must equal the batch rendering (group totals / a recursive-CTE EWMA).
+
+Scale notes (100 TB): state is per-key and bounded (dedup keys and window
+state evicted by watermark in continuous operation; counter state is
+O(keys)); applyInPandasWithState streams Arrow batches per key group, never
+materializing a partition in one pandas frame unless one key dominates —
+the netmonitor keyspace (hosts × metrics) is wide, so skew is low.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Any, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.stable import dsum_sql, ts_str, ts_str_sql
+from ..io import table_path
+from ..registry import query
+from ..session import apply_runtime_confs
+from .core import EVENTS_RAW_SCHEMA, drain_to_memory
+
+HOUR_NS = 3_600 * 10**9
+
+_staged: dict[tuple[str, str], Any] = {}
+
+
+def _read_events_arrow(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(table_path(sf_dir, "events"))
+
+
+def _stage_once(kind: str, sf_dir: str, build) -> Any:
+    key = (kind, os.path.abspath(sf_dir))
+    if key not in _staged:
+        d = tempfile.mkdtemp(prefix=f"nm_{kind}_")
+        _staged[key] = build(d)
+    return _staged[key]
+
+
+def _stream_staged(
+    spark: SparkSession, source_dir: str, one_file_per_batch: bool = False
+) -> DataFrame:
+    """Stream a staged events-shaped directory; ts normalized to timestamp."""
+    apply_runtime_confs(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", "1")
+    raw = reader.parquet(source_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_dedup",
+    oracle=f"""
+SELECT event_id, {ts_str_sql('ts')} AS ts, user_id, event_type
+FROM events
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup of resent samples (NM: at-least-once delivery means
+    the collector sees duplicates). Input is every event delivered TWICE;
+    ``dropDuplicatesWithinWatermark`` on the unique event_id must emit each
+    exactly once, making the batch projection of events the exact oracle."""
+
+    def build(d: str) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = _read_events_arrow(sf_dir)
+        pq.write_table(pa.concat_tables([t, t]), os.path.join(d, "doubled.parquet"))
+        return d
+
+    src = _stage_once("dedup", sf_dir, build)
+    s = _stream_staged(spark, src)
+    deduped = s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = drain_to_memory(deduped, mode="append")
+    return out.select(
+        "event_id", ts_str("ts").alias("ts"), "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_watermark_late
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_watermark_late",
+    oracle=f"""
+SELECT
+  {ts_str_sql("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+  event_type,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-sample handling (NM): rows arriving beyond the 10-minute
+    watermark must NOT perturb already-closed windows.
+
+    Four micro-batches (one file each, mtime-ordered):
+      1. every real event;
+      2. one future sentinel 3 h past the last real hour — the watermark
+         (computed from batch 1) closes and emits all but the last real
+         window;
+      3. copies of the earliest hour's events, now ~30 days late → MUST be
+         dropped (measured Spark behavior: the late-input drop filter in
+         batch N uses the watermark committed before the batch starts,
+         which lags the data by TWO batches — hence the sentinel buffer
+         batch between data and stale input); the sentinel-advanced
+         watermark also emits the final real window here;
+      4. one more stale copy (still dropped; nothing left to emit).
+
+    The sentinel's own window can never close (the watermark never passes
+    it), so the append-mode output is exactly the hourly aggregation of the
+    real events — a plain batch oracle. Any late-row leak or lost window
+    breaks the hash.
+    """
+
+    def build(d: str) -> dict[str, Any]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = _read_events_arrow(sf_dir)
+        ts_ns = pc.cast(t.column("ts"), pa.int64())
+        lo = pc.min(ts_ns).as_py()
+        hi = pc.max(ts_ns).as_py()
+        stale = t.filter(pc.less(ts_ns, pa.scalar(lo + HOUR_NS)))
+        sentinel_ns = (hi // HOUR_NS) * HOUR_NS + 3 * HOUR_NS
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([sentinel_ns], pa.int64()).cast(
+                    pa.timestamp("ns")
+                ),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ).cast(t.schema)
+        f1, f2, f3, f4 = (os.path.join(d, f"b{i}.parquet") for i in (1, 2, 3, 4))
+        pq.write_table(t, f1)
+        pq.write_table(sentinel, f2)
+        pq.write_table(stale, f3)
+        pq.write_table(stale.slice(0, 1), f4)
+        for i, f in enumerate((f1, f2, f3, f4)):
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return {"dir": d, "sentinel_us": sentinel_ns // 1000}
+
+    st = _stage_once("late", sf_dir, build)
+    s = _stream_staged(spark, st["dir"], one_file_per_batch=True)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = drain_to_memory(agg, mode="append")
+    # Belt & braces: the sentinel window is structurally un-emittable, but
+    # exclude it explicitly so the contract is visible in the plan.
+    return out.filter(
+        F.col("w.start") < F.expr(f"timestamp_micros({st['sentinel_us']})")
+    ).select(
+        ts_str(F.col("w.start")).alias("window_start"), "event_type", "n_events"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_stateful_counter
+# ---------------------------------------------------------------------------
+
+_COUNTER_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_COUNTER_STATE = StructType(
+    [StructField("n", LongType()), StructField("dec_sum", StringType())]
+)
+
+
+def _dec6(v: float) -> Decimal:
+    """Mirror of CAST(double AS DECIMAL(28,6)): round-half-up at 6 dp on the
+    shortest decimal repr (see functions.stable docstring)."""
+    return Decimal(repr(float(v))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+
+def _counter_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
+    n, dec_sum = (
+        state.get if state.exists else (0, "0")
+    )  # type: ignore[misc]
+    total = Decimal(dec_sum)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        for v in pdf["value"]:
+            total += _dec6(v)
+    state.update((n, str(total)))
+    rounded = float(total.quantize(Decimal("0.01"), ROUND_HALF_UP))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [rounded]}
+    )
+
+
+@query(
+    "stream_stateful_counter",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running counters via arbitrary stateful processing
+    (NM core: per-host cumulative byte/packet counters held in state).
+    ``applyInPandasWithState`` keeps (count, exact-decimal sum) per key and
+    emits the running totals each micro-batch; counts are monotone, so the
+    final counters are the max-count emission per key — which must equal
+    the batch group-by (decimal-sum discipline matches functions.stable)."""
+    from .core import events_stream
+
+    s = events_stream(spark, sf_dir)
+    updates = (
+        s.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _counter_fn, _COUNTER_OUT, _COUNTER_STATE, "update", "NoTimeout"
+        )
+    )
+    out = drain_to_memory(updates, mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_rate_ewma
+# ---------------------------------------------------------------------------
+
+_EWMA_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_hours", LongType()),
+        StructField("ewma_rate", DoubleType()),
+    ]
+)
+_EWMA_STATE = StructType(
+    [
+        StructField("n_hours", LongType()),
+        StructField("last_hour_us", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_ALPHA = 0.5
+
+
+def _ewma_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
+    n_hours, last_hour, ewma = (
+        state.get if state.exists else (0, -1, 0.0)
+    )  # type: ignore[misc]
+    chunks = [pdf for pdf in pdf_iter]
+    pdf = pd.concat(chunks) if chunks else pd.DataFrame({"ts": []})
+    hours = (
+        pdf["ts"].astype("datetime64[us]").dt.floor("h").value_counts().sort_index()
+    )
+    for hour, count in hours.items():
+        hour_us = hour.value // 1000  # Timestamp.value is always ns → µs
+        if hour_us <= last_hour:
+            continue  # late hour beyond state — netmonitor drops it
+        c = float(count)
+        ewma = c if n_hours == 0 else _ALPHA * c + (1.0 - _ALPHA) * ewma
+        n_hours += 1
+        last_hour = hour_us
+    state.update((n_hours, last_hour, ewma))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_hours": [n_hours], "ewma_rate": [ewma]}
+    )
+
+
+@query(
+    "stream_rate_ewma",
+    oracle=f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hourly
+), rec AS (
+  SELECT event_type, rn, CAST(c AS DOUBLE) AS ewma FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn, 0.5 * r.c + 0.5 * rec.ewma
+  FROM ranked r JOIN rec ON r.event_type = rec.event_type AND r.rn = rec.rn + 1
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       CAST(ROUND(CAST(arg_max(ewma, rn) AS DECIMAL(28,6)), 6) AS DOUBLE) AS ewma_rate
+FROM rec GROUP BY event_type
+""",
+)
+def stream_rate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly event rate per type (NM: smoothing of windowed
+    rates), α=0.5, folded in event-time order inside per-key streaming
+    state. The recursive-CTE oracle performs the IDENTICAL double
+    arithmetic (0.5*c + 0.5*prev, sequential) so results match bit-wise;
+    both sides round to 6 dp."""
+    from .core import events_stream
+
+    s = events_stream(spark, sf_dir)
+    updates = (
+        s.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _ewma_fn, _EWMA_OUT, _EWMA_STATE, "update", "NoTimeout"
+        )
+    )
+    out = drain_to_memory(updates, mode="update")
+    final = out.groupBy("event_type").agg(
+        F.max("n_hours").alias("n_hours"),
+        F.max_by("ewma_rate", "n_hours").alias("ewma_raw"),
+    )
+    return final.select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("ewma_raw").cast("decimal(28,6)"), 6)
+        .cast("double")
+        .alias("ewma_rate"),
+    )

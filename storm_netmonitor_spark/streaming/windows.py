@@ -1,0 +1,210 @@
+"""Windowed streaming aggregations (SURVEY §2.I) — the netmonitor core:
+fixed-interval reporting, smoothed sliding rates, connection sessions,
+threshold alerts, plus the streaming source/sink operators of §2.A.
+
+Oracle strategy: batch-stream equivalence. Each query drains the events
+parquet with ``availableNow`` and its final result is hash-compared to a
+DuckDB batch rendering of the same window logic (tumbling = date_trunc;
+sliding = explicit 4-offset expansion; session = gap-island SQL).
+
+Scale notes: all aggregations are keyed (window × key) with map-side
+partial aggregation; state is bounded by watermarks in continuous
+operation. Sliding windows expand each event into window_count rows
+map-side — the standard Spark physical shape.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import dsum, dsum_sql, ts_str, ts_str_sql
+from ..registry import query
+from .core import drain_to_memory, events_stream
+
+
+@query(
+    "source_stream_events",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def source_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-ingest the events table (file stream source) and re-derive
+    the exact batch projection — proves the streaming source loses/alters
+    nothing (NM: metric ingestion)."""
+    s = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    return drain_to_memory(s, mode="append")
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+SELECT
+  {ts_str_sql("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — per-hour per-type tumbling aggregation with watermark
+    (NM core: fixed-interval reporting)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    out = drain_to_memory(agg, mode="complete")
+    return out.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+WITH expanded AS (
+  SELECT
+    make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - o.o) * 900000000) AS window_start,
+    event_type,
+    value
+  FROM events, (VALUES (0), (1), (2), (3)) o(o)
+)
+SELECT
+  {ts_str_sql('window_start')} AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  {dsum_sql('value')} AS total_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min (smoothed rate reporting): every
+    event lands in exactly 4 windows. Oracle expands the 4 epoch-aligned
+    window starts explicitly — Spark's window() anchors at the epoch, and
+    15-min slides stay aligned."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    out = drain_to_memory(agg, mode="complete")
+    return out.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), marked AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT
+  user_id,
+  {ts_str_sql('MIN(ts)')} AS session_start,
+  {ts_str_sql('MAX(ts) + INTERVAL 30 MINUTE')} AS session_end,
+  COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session windows per user (NM: connection sessions) ↔
+    gap-island SQL. Spark's session end is last_event + gap and a gap of
+    EXACTLY 30:00 starts a new session (window end is exclusive) — the
+    oracle's `>=` mirrors that."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = drain_to_memory(agg, mode="complete")
+    return out.select(
+        "user_id",
+        ts_str(F.col("w.start")).alias("session_start"),
+        ts_str(F.col("w.end")).alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_alert_threshold",
+    oracle=f"""
+SELECT
+  {ts_str_sql("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+  event_type,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(*) > 8
+""",
+)
+def stream_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting (NM: alert when a counter's hourly volume exceeds
+    θ) — windowed aggregate + HAVING filter on the stream result."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = drain_to_memory(agg, mode="complete")
+    return out.filter(F.col("n_events") > 8).select(
+        ts_str(F.col("w.start")).alias("window_start"), "event_type", "n_events"
+    )
+
+
+@query(
+    "sink_foreach_batch",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+)
+def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink (NM: push aggregates to a REST collector): the
+    callback receives each micro-batch result; the last complete-mode batch
+    is the final answer, re-exposed as a DataFrame."""
+    import tempfile
+    import uuid
+
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+    collected: list[pd.DataFrame] = []
+
+    def push_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # stands in for an HTTP POST to a collector endpoint
+        collected.append(batch_df.toPandas())
+
+    q = (
+        agg.writeStream.foreachBatch(push_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = collected[-1]
+    return spark.createDataFrame(final, schema="event_type string, n_events long")
