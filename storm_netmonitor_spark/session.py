@@ -29,6 +29,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # A vanilla session defaults to 200 shuffle partitions — far too many
+    # for local test scale (per-partition overhead dominates) and wrong for
+    # any fixed cluster size anyway; 32 matches the driver's local[32] and
+    # AQE coalescing right-sizes below it at runtime.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -55,7 +60,7 @@ def get_spark(
     neither starve nor over-split. On a real cluster both come from
     spark-submit instead.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(min(32, os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 8
@@ -73,4 +78,6 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     apply_runtime_confs(spark)
+    # Explicit caller choice wins over the RUNTIME_CONFS default.
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark

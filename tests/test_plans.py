@@ -1,0 +1,72 @@
+"""Plan-shape tests (SURVEY §5.2 tier 4): the 100 TB guarantees.
+
+Correctness says the answer is right; these say the PLAN is the one that
+survives a 1000-executor cluster: filters reach the parquet scan, column
+pruning reaches the reader, small dims broadcast, and nothing degenerates
+into a cartesian / broadcast-nested-loop shape.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from storm_netmonitor_spark.registry import QUERIES
+
+from .conftest import SF_CORRECT
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(QUERIES["scan_filtered"](spark, SF_CORRECT))
+    assert "PushedFilters: [" in p
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = plan(QUERIES["scan_pruned"](spark, SF_CORRECT))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    # scan_pruned selects 2 of lineitem's 16 columns — the reader schema
+    # must contain only those.
+    assert "l_orderkey" in read[0] and "l_comment" not in read[0]
+
+
+def test_dim_join_broadcasts(spark):
+    p = plan(QUERIES["join_broadcast"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_star_join_no_cartesian(spark):
+    p = plan(QUERIES["join_star_multiway"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_interval_join_not_quadratic(spark):
+    """The time-proximity self-join must stay an equi-join on the bucketed
+    key (SURVEY §4.3.3), never a nested-loop over all pairs."""
+    p = plan(QUERIES["join_range_interval"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_flagship_agg_has_partial_aggregation(spark):
+    """Map-side combine is THE scale lever for the flagship agg: the plan
+    must show partial + final HashAggregate around one exchange, i.e. the
+    shuffle carries pre-aggregated groups, not raw rows."""
+    p = plan(QUERIES["agg_group_pricing"](spark, SF_CORRECT))
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_knn_broadcasts_query_vector(spark):
+    p = plan(QUERIES["vec_knn_cosine"](spark, SF_CORRECT))
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
