@@ -111,3 +111,51 @@ def sink_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(n.schema).json(json_path).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+_PART_SINK_CACHE: dict[str, str] = {}
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle=f"""
+SELECT
+  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+  event_type,
+  COUNT(*) AS n_events,
+  {dsum_sql('value')} AS total_value
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10'
+  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-13'
+GROUP BY 1, 2
+""",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB data layout (SURVEY §7.3) end-to-end: write events as
+    DATE-PARTITIONED parquet (`partitionBy("event_date")` — the layout a
+    petabyte events table actually uses), read it back with a date
+    predicate, and aggregate. The date filter must prune to 3 of 30
+    partition directories at plan time (asserted in tests/test_plans.py);
+    the oracle renders the same dates from the unpartitioned source."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PART_SINK_CACHE:
+        e = load_table(spark, sf_dir, "events")
+        out = os.path.join(tempfile.mkdtemp(prefix="nm_partsink_"), "events_by_date")
+        (
+            e.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+        _PART_SINK_CACHE[key] = out
+    back = spark.read.parquet(_PART_SINK_CACHE[key])
+    pruned = back.filter(
+        (F.col("event_date") >= F.lit("2024-01-10"))
+        & (F.col("event_date") < F.lit("2024-01-13"))
+    )
+    return pruned.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

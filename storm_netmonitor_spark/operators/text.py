@@ -491,3 +491,84 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.05)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (north star: LLM-pipeline text analysis)
+# ---------------------------------------------------------------------------
+
+#: Per-language marker-token lists for the n-gram/stopword heuristic. On
+#: REAL multilingual text these separate languages sharply; the synthetic
+#: corpus is English-vocabulary word salad under every `lang` label
+#: (measured — see tests), so here everything scores as 'en'/'unknown'.
+#: The operator is still fully hash-checked: the oracle runs the IDENTICAL
+#: heuristic in SQL, so any scoring/tie-break drift breaks parity.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _lang_score(lang: str):
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return F.expr(f"size(filter(split(lower(text), ' '), t -> t IN ({toks})))")
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({toks})))"
+
+
+_LANG_ORDER = ("en", "de", "es", "fr")  # deterministic tie-break priority
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+    {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANG_ORDER)}
+  FROM documents
+), pred AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      WHEN s_es >= s_fr THEN 'es'
+      ELSE 'fr'
+    END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, COUNT(*) AS n_docs FROM pred GROUP BY lang_pred
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification (north star: route documents by
+    language before per-language pipeline stages). Marker-stopword scoring
+    per language with a fixed tie-break order — pure JVM higher-order
+    functions, no UDF, so the 100 TB path is one codegen'd scan + a tiny
+    final aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", *[_lang_score(lg).alias(f"s_{lg}") for lg in _LANG_ORDER]
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in _LANG_ORDER}
+    pred = scored.select(
+        "doc_id",
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0),
+            F.lit("unknown"),
+        )
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+        .alias("lang_pred"),
+    )
+    return pred.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))

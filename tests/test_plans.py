@@ -70,3 +70,12 @@ def test_flagship_agg_has_partial_aggregation(spark):
 def test_knn_broadcasts_query_vector(spark):
     p = plan(QUERIES["vec_knn_cosine"](spark, SF_CORRECT))
     assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """The date predicate must prune partition directories at plan time —
+    at 100 TB this is reading 3 days instead of the full table."""
+    p = plan(QUERIES["sink_parquet_partitioned"](spark, SF_CORRECT))
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf, p
+    assert "event_date" in pf[0] and "PartitionFilters: []" not in pf[0]
