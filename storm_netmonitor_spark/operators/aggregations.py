@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import davg, davg_sql, dround_sql, dsum, dsum_sql
+from ..functions.stable import DEC, davg, davg_sql, dround_sql, dsum, dsum_sql
 from ..io import load_table
 from ..registry import query
 
@@ -376,4 +376,33 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.expr("max_by(event_id, value)").alias("peak_event_id"),
         F.expr("min_by(event_id, value)").alias("floor_event_id"),
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation — the manual skew-breaker for when one
+    hot key (one chatty host, in netmonitor terms) would pin a single
+    reducer at 100 TB. Phase 1 aggregates on (key, salt) spreading the hot
+    key over 16 reducers; phase 2 merges the 16 partials per key. Decimal
+    accumulation is exact and associative, so the two-phase result is
+    bit-identical to the direct group-by (the oracle IS the direct
+    group-by). AQE's skewJoin handles joins; salting is the groupBy-side
+    counterpart, shown here as an explicit, reusable query shape."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("double").cast(DEC)).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 2).cast("double").alias("total_value"),
     )

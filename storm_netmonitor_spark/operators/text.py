@@ -572,3 +572,48 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lang_pred"),
     )
     return pred.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+#: GPT-2-style pre-tokenizer, restricted to the Java<->RE2 common regex
+#: subset (no lookahead): contraction suffixes, space-prefixed letter runs,
+#: digit runs, punctuation runs, residual whitespace. On real text this
+#: approximates a BPE pre-tokenization's fragment count.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+@query(
+    "text_token_bpe",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter({_TOKENS_SQL}, t -> t <> '')) AS ws_tokens,
+         len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS bpe_tokens
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(ws_tokens) AS total_ws_tokens,
+       SUM(bpe_tokens) AS total_bpe_tokens,
+       {davg_sql('bpe_tokens')} AS avg_bpe_tokens
+FROM per_doc
+GROUP BY source
+""",
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex next to the plain
+    whitespace count (north star: cost estimation for LLM training data).
+    Pure JVM regex in a codegen'd scan — no UDF on the 100 TB path; the
+    identical RE2-safe pattern runs in the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(_tokens(), lambda t: t != ""))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, \"{_BPE_RE}\", 0)"))
+    per_doc = d.select(
+        "source", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        davg("bpe_tokens").alias("avg_bpe_tokens"),
+    )

@@ -79,3 +79,48 @@ def test_partitioned_sink_prunes_partitions(spark):
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert pf, p
     assert "event_date" in pf[0] and "PartitionFilters: []" not in pf[0]
+
+
+# Queries whose plan legitimately contains a cartesian/nested-loop shape:
+# join_cross IS a cartesian by definition; the interval join's whitelist
+# entry would be a bug — keep it out and let the test prove it stays out.
+_CARTESIAN_OK = {"join_cross"}
+
+# Streaming queries run their work inside the callable (drain to memory
+# sink) — the returned DataFrame is a memory-table read, so a batch
+# explain() here is meaningless; their plan is exercised by execution.
+_STREAMING = {
+    "source_stream_events", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_alert_threshold", "stream_watermark_late",
+    "stream_dedup", "stream_stateful_counter", "stream_rate_ewma",
+    "sink_foreach_batch",
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Blanket 100 TB guard: NO registered batch operator may plan a
+    CartesianProduct or BroadcastNestedLoopJoin (quadratic shapes that die
+    at scale), except the intentional cross join."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in _CARTESIAN_OK or name in _STREAMING:
+            continue
+        try:
+            p = plan(fn(spark, SF_CORRECT))
+        except Exception as exc:  # pragma: no cover - surface name
+            offenders.append((name, f"explain failed: {exc}"))
+            continue
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if bad in p:
+                offenders.append((name, bad))
+    assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides are bucketed+sorted by the join key: the sort-merge join
+    and the downstream group-by must need ZERO exchanges — co-location is
+    the entire point of the bucketed layout."""
+    p = plan(QUERIES["join_bucketed_colocated"](spark, SF_CORRECT))
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    assert "Exchange" not in p
