@@ -258,19 +258,33 @@ MINHASH_BANDS = 4
 SHINGLE_K = 3
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_7): min over word-3-shingle xxhash64 per seed."""
+def _shingle_arr():
+    """Per-doc array of DISTINCT word-3-shingles — computed row-local (no
+    explode, no shuffle): at 100 TB the whole signature stage is a single
+    codegen'd scan."""
     toks_sql = "array_remove(split(lower(text), ' '), '')"
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(size({toks_sql}) - {SHINGLE_K - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({toks_sql}, i, {SHINGLE_K})))"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks_sql}) - {SHINGLE_K - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks_sql}, i, {SHINGLE_K}))))"
     )
-    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"mh_{i}")
-        for i, seed in enumerate(MINHASH_SEEDS)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_7): min over word-3-shingle xxhash64 per seed.
+    Pure per-row array math — zero shuffles."""
+    # NB: the lambda must be single-arg — a 2-arg lambda would be bound by
+    # pyspark as (element, index) and silently replace the seed.
+    def hash_with(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sh = docs.select("doc_id", _shingle_arr().alias("sh"))
+    return sh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("sh", hash_with(seed))).alias(f"mh_{i}")
+            for i, seed in enumerate(MINHASH_SEEDS)
+        ],
+    )
 
 
 @query("text_near_dedup_minhash")
@@ -313,36 +327,22 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact Jaccard verification over distinct shingles
-    toks_sql = "array_remove(split(lower(text), ' '), '')"
-    shingles = F.expr(
-        f"transform(sequence(1, greatest(size({toks_sql}) - {SHINGLE_K - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({toks_sql}, i, {SHINGLE_K})))"
-    )
-    sh = (
-        d.select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # exact Jaccard verification: candidates (tiny) join the per-doc
+    # shingle-set arrays; intersection/union are row-local JVM array ops —
+    # the candidate set is the only pairwise term, and LSH keeps it small.
+    sh_tbl = d.select("doc_id", _shingle_arr().alias("sh"))
+    sh_a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    sh_b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    n_inter = F.size(F.array_intersect("sa", "sb"))
     return (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             dround(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                n_inter
+                / (F.size("sa") + F.size("sb") - n_inter).cast("double"),
                 4,
             ).alias("jaccard"),
         )
