@@ -159,3 +159,32 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "sql_interface",
+    oracle=f"""
+SELECT n_name AS nation, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Spark SQL entry path: tables registered as temp views, the query
+    text handed to ``spark.sql`` — proving the engine's surface is usable
+    from SQL exactly as from the DataFrame API (same Catalyst plan)."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"nm_{t}")
+    return spark.sql(
+        f"""
+        SELECT n_name AS nation,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM nm_orders
+        JOIN nm_customer ON o_custkey = c_custkey
+        JOIN nm_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

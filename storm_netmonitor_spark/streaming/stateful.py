@@ -24,6 +24,14 @@ state evicted by watermark in continuous operation; counter state is
 O(keys)); applyInPandasWithState streams Arrow batches per key group, never
 materializing a partition in one pandas frame unless one key dominates —
 the netmonitor keyspace (hosts × metrics) is wide, so skew is low.
+
+API note: Spark 4's ``transformWithStateInPandas`` (the successor API) was
+evaluated and works identically in design, but its state-server protocol
+requires ``google.protobuf``, which this container does not provide (no
+package installs allowed) — the driver worker crashes with
+``ImportError: cannot import name 'descriptor' from 'google.protobuf'``.
+The engine therefore standardizes on ``applyInPandasWithState``; swapping
+to a StatefulProcessor subclass is mechanical when the dependency exists.
 """
 
 from __future__ import annotations
@@ -371,3 +379,4 @@ def stream_rate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ewma_rate"),
     )
+
