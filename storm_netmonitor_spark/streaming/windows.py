@@ -208,3 +208,61 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     final = collected[-1]
     return spark.createDataFrame(final, schema="event_type string, n_events long")
+
+
+@query(
+    "source_stream_csv",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def source_stream_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV file-stream ingestion (NM: collectors commonly tail CSV/log
+    exports): events staged as CSV once per sf_dir, streamed with an
+    explicit schema (no inference on a stream), aggregated, and
+    hash-matched against the parquet batch oracle — proving type fidelity
+    through the text format (timestamps via ISO strings, doubles via
+    shortest-repr round-trip)."""
+    import os
+    import tempfile
+
+    from ..io import load_table
+
+    key = ("csv_src", os.path.abspath(sf_dir))
+    from .stateful import _staged
+
+    if key not in _staged:
+        d = tempfile.mkdtemp(prefix="nm_csv_src_")
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id",
+                "event_type",
+                F.format_string("%.17g", "value").alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(d)
+        )
+        _staged[key] = d
+
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, value string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .csv(_staged[key])
+    )
+    typed = raw.select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    agg = typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )
+    return drain_to_memory(agg, mode="complete")

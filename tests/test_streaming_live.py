@@ -1,0 +1,133 @@
+"""Streaming integration tests beyond availableNow (SURVEY §2.I claims):
+the SAME query code must run on a live processing-time trigger with files
+arriving over time, and must recover exactly-once from its checkpoint
+after a mid-stream stop. These are the production-mode guarantees the
+hash oracles can't exercise.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from storm_netmonitor_spark.io import table_path
+from storm_netmonitor_spark.streaming.core import EVENTS_RAW_SCHEMA
+
+from .conftest import SF_CORRECT
+
+
+def _split_events(n_parts: int) -> tuple[str, int]:
+    t = pq.read_table(table_path(SF_CORRECT, "events"))
+    d = tempfile.mkdtemp(prefix="nm_live_")
+    step = (t.num_rows + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        pq.write_table(t.slice(i * step, step), os.path.join(d, f"p{i}.parquet"))
+    return d, t.num_rows
+
+
+def _wait(pred, timeout_s: float = 60.0, step: float = 0.25):
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(step)
+    return False
+
+
+def test_live_trigger_picks_up_arriving_files(spark):
+    """Files dropped into the source dir AFTER the query starts must be
+    ingested by the running processing-time trigger — the actual
+    netmonitor deployment mode."""
+    src_all, _ = _split_events(4)
+    live_dir = tempfile.mkdtemp(prefix="nm_live_in_")
+    parts = sorted(os.listdir(src_all))
+    shutil.copy(os.path.join(src_all, parts[0]), live_dir)
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(live_dir)
+    counts = raw.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    name = "nm_live_t1"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        def seen(n_files_rows):
+            rows = spark.table(name).collect()
+            return rows and rows[0].n >= n_files_rows
+
+        first = pq.read_table(os.path.join(src_all, parts[0])).num_rows
+        assert _wait(lambda: seen(first)), "first file never ingested"
+        # drop two more files into the LIVE directory
+        for p in parts[1:3]:
+            shutil.copy(os.path.join(src_all, p), live_dir)
+        expect = first + sum(
+            pq.read_table(os.path.join(src_all, p)).num_rows for p in parts[1:3]
+        )
+        assert _wait(lambda: seen(expect)), "late-arriving files never ingested"
+    finally:
+        q.stop()
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Stop a stateful aggregation mid-stream, restart from the SAME
+    checkpoint: the final result must equal the batch aggregation of all
+    input — nothing lost, nothing double-counted."""
+    src, total_rows = _split_events(4)
+    ckpt = tempfile.mkdtemp(prefix="nm_ckpt_rec_")
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
+    agg = raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def start(name, trigger_kwargs, max_files=None):
+        r = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", str(max_files))
+        df = r.parquet(src).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: live trigger, one file per batch; stop after ≥1 committed batch
+    q1 = start("nm_rec_p1", {"processingTime": "200 milliseconds"}, max_files=1)
+    try:
+        assert _wait(
+            lambda: q1.lastProgress is not None
+            and q1.lastProgress["batchId"] >= 1
+        ), "phase-1 batch never committed"
+    finally:
+        q1.stop()
+        q1.awaitTermination()
+
+    # phase 2: restart from the SAME checkpoint, drain the rest
+    q2 = start("nm_rec_p2", {"availableNow": True})
+    q2.awaitTermination()
+
+    got = {r.event_type: r.n for r in spark.table("nm_rec_p2").collect()}
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want, f"recovered totals drifted: {got} vs {want}"
+    assert sum(got.values()) == total_rows
