@@ -380,3 +380,80 @@ def stream_rate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ewma_rate"),
     )
 
+
+# ---------------------------------------------------------------------------
+# stream_counter_rate
+# ---------------------------------------------------------------------------
+
+_RATE_OUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("delta", DoubleType()),
+    ]
+)
+_RATE_STATE = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+
+def _rate_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
+    prev = state.get if state.exists else None  # type: ignore[misc]
+    chunks = [p for p in pdf_iter]
+    pdf = pd.concat(chunks) if chunks else None
+    if pdf is None or pdf.empty:
+        yield pd.DataFrame({"event_id": [], "delta": []})
+        return
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    out_ids: list[int] = []
+    out_deltas: list[float | None] = []
+    last_v = prev[2] if prev is not None else None
+    for eid, v in zip(pdf["event_id"], pdf["value"]):
+        v = float(v)
+        if last_v is None:
+            out_deltas.append(None)
+        else:
+            d = v - last_v  # identical IEEE subtraction in both engines
+            out_deltas.append(
+                float(_dec6(d))
+            )
+        out_ids.append(int(eid))
+        last_v = v
+    last = pdf.iloc[-1]
+    state.update(
+        (int(last["ts"].value // 1000), int(last["event_id"]), float(last["value"]))
+    )
+    yield pd.DataFrame(
+        {"event_id": out_ids, "delta": pd.array(out_deltas, dtype="object")}
+    )
+
+
+@query(
+    "stream_counter_rate",
+    oracle="""
+SELECT event_id,
+       CAST(ROUND(CAST(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS DECIMAL(28,6)), 6) AS DOUBLE) AS delta
+FROM events
+""",
+)
+def stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE netmonitor core semantic as a stream: per-source counter deltas
+    (sample minus previous sample = rate), computed in per-key streaming
+    state that carries the last sample across micro-batches. The oracle is
+    the batch LAG-window rendering; first sample per key yields NULL.
+    Deterministic ordering inside a batch via (ts, event_id) sort."""
+    from .core import events_stream
+
+    s = events_stream(spark, sf_dir)
+    updates = (
+        s.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rate_fn, _RATE_OUT, _RATE_STATE, "append", "NoTimeout"
+        )
+    )
+    return drain_to_memory(updates, mode="append")
