@@ -266,3 +266,54 @@ def source_stream_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
     )
     return drain_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_topk_talkers",
+    oracle=f"""
+WITH hourly AS (
+  SELECT
+    {ts_str_sql("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+    user_id,
+    COUNT(*) AS n_events,
+    {dsum_sql('value')} AS total_value
+  FROM events
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY window_start
+                       ORDER BY n_events DESC, total_value DESC, user_id ASC) AS rnk
+  FROM hourly
+)
+SELECT window_start, user_id, n_events, total_value, rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def stream_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 heaviest sources per hourly window (NM core: top-k talkers
+    per reporting interval). The windowed per-user aggregation runs in the
+    stream with watermarked state; the rank-and-trim over the closed
+    windows is the reporting stage on the drained result — at scale the
+    same rank runs per closed window in foreachBatch. Fully deterministic
+    tie-break (count desc, value desc, user asc)."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    out = drain_to_memory(agg, mode="complete")
+    hourly = out.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return hourly.withColumn("rnk", F.row_number().over(rank_w)).filter(
+        F.col("rnk") <= 3
+    )
