@@ -419,3 +419,70 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_features,
         "doc_id long, mime string, n_bytes long, first_byte integer, byte_sum_mod long",
     )
+
+
+#: Random-hyperplane LSH: fixed hyperplanes drawn once from a seeded
+#: generator (deterministic across runs/engines — constants, not RNG at
+#: query time). Tuned on the sf0.01 embeddings (near-uniform random unit
+#: vectors, the ANN hard case: true neighbors sit at ~72°, so each sign
+#: bit disagrees with p≈0.4): 8 planes probed to hamming ≤ 3 → ~35 % of
+#: the corpus scanned, 6/10 recall — the same scan/recall tradeoff as the
+#: IVF path. Clustered real-world embeddings do far better.
+LSH_PLANES = 8
+LSH_PROBE_HAMMING = 3
+
+
+def _lsh_hyperplanes() -> "np.ndarray":
+    rng = np.random.RandomState(20260813)
+    return rng.standard_normal((LSH_PLANES, 64))
+
+
+def _lsh_sig_udf():
+    planes = _lsh_hyperplanes()
+    weights = (1 << np.arange(LSH_PLANES)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def lsh_sig(emb: pd.Series) -> pd.Series:
+        v = np.array(emb.tolist(), dtype=np.float64)
+        bits = (v @ planes.T) > 0
+        return pd.Series(bits @ weights)
+
+    return lsh_sig
+
+
+@query("vec_ann_lsh")
+def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbor — the second ANN scale
+    path next to ``vec_ann_ivf``: random-hyperplane sign bits bucket the
+    corpus; the query probes every bucket within hamming distance
+    ``LSH_PROBE_HAMMING`` of its own signature (93 of 256 buckets) and
+    exact-rescores only those candidates. Signature computation is one
+    Arrow-vectorized pass; the probe set is a tiny IN-list semi-join on
+    the signature — no pairwise term outside the probed buckets.
+    Rows-only oracle (approximate); recall vs the exact top-10 asserted in
+    tests/test_semantics.py."""
+    from itertools import combinations
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id", "embedding", _lsh_sig_udf()("embedding").alias("sig")
+    )
+    q_row = sig.filter(F.col("vec_id") == 0).collect()[0]
+    q_sig = int(q_row.sig)
+
+    probe_sigs = {q_sig}
+    for k in range(1, LSH_PROBE_HAMMING + 1):
+        for bits in combinations(range(LSH_PLANES), k):
+            flipped = q_sig
+            for b in bits:
+                flipped ^= 1 << b
+            probe_sigs.add(flipped)
+
+    cand = sig.filter(
+        (F.col("vec_id") != 0) & F.col("sig").isin(*[int(s) for s in probe_sigs])
+    )
+    q_emb = F.array(*[F.lit(float(x)) for x in q_row.embedding])
+    scored = cand.select(
+        "vec_id", _dot_arrays(q_emb, F.col("embedding")).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)

@@ -124,3 +124,25 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "SortMergeJoin" in p
     assert "Bucketed: true" in p
     assert "Exchange" not in p
+
+
+def test_bench_emits_one_json_line():
+    """The driver contract: bench.py prints exactly one JSON object with
+    the required keys (run at the smallest sf for speed)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=560,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout[-500:] + out.stderr[-500:]
+    payload = json.loads(lines[0])
+    assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
+    assert payload["unit"] == "sec" and payload["sf"] == 0.001

@@ -125,3 +125,11 @@ def test_multimodal_decode_stub_plumbing(spark):
     r2 = sorted(map(tuple, df.collect()))
     assert r1 == r2
     assert len(r1) > 0
+
+
+def test_ann_lsh_recall(spark):
+    exact = {r.vec_id for r in QUERIES["vec_knn_cosine"](spark, SF_CORRECT).collect()}
+    ann = {r.vec_id for r in QUERIES["vec_ann_lsh"](spark, SF_CORRECT).collect()}
+    # hamming<=2 probing scans a small fraction of buckets; on random
+    # unit vectors (the hard case) recall should still capture half
+    assert len(exact & ann) >= 5, f"recall {len(exact & ann)}/10"
