@@ -406,3 +406,56 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.round(F.sum("psum"), 2).cast("double").alias("total_value"),
     )
+
+
+_MG_CAPACITY = 512
+_TOPK_HH = 5
+
+
+def _mg_summaries(batches):
+    """Misra-Gries summary of one partition (capacity _MG_CAPACITY),
+    merged batch-wise with pandas value_counts — the decrement step
+    subtracts the (m+1)-largest weight from every counter (the standard
+    MG merge), so memory is O(m) whatever the partition size. Any key
+    with partition frequency > n_p/m survives; hence any GLOBAL heavy
+    hitter survives in at least one partition summary (pigeonhole)."""
+    import pandas as pd
+
+    counters: "pd.Series | None" = None
+    for pdf in batches:
+        vc = pdf["user_id"].value_counts()
+        counters = vc if counters is None else counters.add(vc, fill_value=0)
+        if len(counters) > _MG_CAPACITY:
+            cut = counters.nlargest(_MG_CAPACITY + 1).iloc[-1]
+            counters = (counters - cut)[lambda s: s > 0]
+    if counters is None or counters.empty:
+        yield pd.DataFrame({"user_id": [], "est": []})
+    else:
+        yield pd.DataFrame(
+            {"user_id": counters.index.astype("int64"), "est": counters.values}
+        )
+
+
+@query("agg_heavy_hitters_approx")
+def agg_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (NM: top-k talkers when the keyspace is
+    too large for an exact group-by): per-partition Misra-Gries summaries
+    via mapInPandas (bounded memory, single pass), candidate union, then
+    an EXACT count re-scan of only the candidates — reported counts are
+    exact, and every key with frequency > n/capacity is guaranteed to be
+    a candidate. Rows-only oracle (candidate sets depend on partitioning);
+    the containment guarantee is unit-tested on crafted skewed input."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    cand = (
+        e.mapInPandas(_mg_summaries, "user_id long, est double")
+        .select("user_id")
+        .distinct()
+    )
+    exact = (
+        e.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return exact.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(
+        _TOPK_HH
+    )

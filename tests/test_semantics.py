@@ -133,3 +133,29 @@ def test_ann_lsh_recall(spark):
     # hamming<=2 probing scans a small fraction of buckets; on random
     # unit vectors (the hard case) recall should still capture half
     assert len(exact & ann) >= 5, f"recall {len(exact & ann)}/10"
+
+
+def test_heavy_hitters_finds_planted_skew(spark):
+    """A key owning ~30% of a skewed stream MUST survive the Misra-Gries
+    summaries and be reported with its EXACT count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    n, hot, hot_share = 20_000, 7, 6_000
+    uids = ([hot] * hot_share) + [1000 + i % 400 for i in range(n - hot_share)]
+    d = tempfile.mkdtemp(prefix="nm_skew_")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000 + i for i in range(n)],
+                           pa.int64()).cast(pa.timestamp("ns")),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    top = QUERIES["agg_heavy_hitters_approx"](spark, d).collect()
+    assert top[0].user_id == hot and top[0].n_events == hot_share, top[:2]
