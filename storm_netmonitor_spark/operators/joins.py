@@ -395,6 +395,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     write amortizes across every subsequent join/agg on that key.
     """
     key = os.path.abspath(sf_dir)
+    # table names carry an sf tag so two scale factors in one session
+    # cannot clobber each other's bucketed layout
+    import hashlib
+
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
     if key not in _BUCKET_CACHE:
         # warehouse.dir is static — pin the database location instead so
         # bucketed tables land in a temp dir, never in the repo.
@@ -406,13 +411,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("overwrite")
                 .bucketBy(8, k)
                 .sortBy(k)
-                .saveAsTable(f"nm_buckets.{t}_b8")
+                .saveAsTable(f"nm_buckets.{t}_b8_{tag}")
             )
         _BUCKET_CACHE[key] = True
-    o = spark.table("nm_buckets.orders_b8").filter(
+    o = spark.table(f"nm_buckets.orders_b8_{tag}").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    l = spark.table("nm_buckets.lineitem_b8")
+    l = spark.table(f"nm_buckets.lineitem_b8_{tag}")
     # merge hint: at test scale AQE would broadcast the filtered orders
     # side; at 100 TB both sides are huge and the bucketed sort-merge join
     # (zero exchanges — asserted in tests/test_plans.py) is the point.
