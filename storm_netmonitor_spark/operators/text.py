@@ -617,3 +617,58 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
         davg("bpe_tokens").alias("avg_bpe_tokens"),
     )
+
+
+#: Patterns in the Java<->RE2 common subset. NB: DuckDB regexp_replace
+#: replaces only the first match unless the 'g' flag is passed; Spark
+#: always replaces all — the oracle must say 'g' explicitly.
+_TAG_RE = "<[^>]*>"
+_URL_RE = "https?://[^ <>]+"
+_WS_RE = "  +"
+
+
+@query(
+    "text_clean_html",
+    oracle=f"""
+WITH cleaned AS (
+  SELECT source,
+    len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+    length(trim(regexp_replace(regexp_replace(text, '{_TAG_RE}', ' ', 'g'),
+                               '{_WS_RE}', ' ', 'g'))) AS clean_chars,
+    length(text) AS raw_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_urls) AS total_urls,
+       SUM(clean_chars) AS total_clean_chars,
+       SUM(raw_chars) AS total_raw_chars
+FROM cleaned
+GROUP BY source
+""",
+)
+def text_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleaning pass: strip markup tags, collapse runs of
+    spaces, count embedded URLs — per-source totals so the pipeline can
+    rank sources by markup noise. Pure JVM regex (one codegen'd scan);
+    identical RE2-safe patterns run in the oracle. The synthetic corpus
+    contains no markup (clean == raw there); actual stripping is verified
+    on planted HTML in tests/test_semantics.py."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("text", _TAG_RE, " "), _WS_RE, " "
+        )
+    )
+    per_doc = d.select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(text, '{_URL_RE}', 0)")).alias("n_urls"),
+        F.length(clean).alias("clean_chars"),
+        F.length("text").alias("raw_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_urls").alias("total_urls"),
+        F.sum("clean_chars").alias("total_clean_chars"),
+        F.sum("raw_chars").alias("total_raw_chars"),
+    )

@@ -159,3 +159,32 @@ def test_heavy_hitters_finds_planted_skew(spark):
     pq.write_table(t, os.path.join(d, "events.parquet"))
     top = QUERIES["agg_heavy_hitters_approx"](spark, d).collect()
     assert top[0].user_id == hot and top[0].n_events == hot_share, top[:2]
+
+
+def test_clean_html_strips_planted_markup(spark):
+    """Planted HTML + URLs: the cleaning op must count the URLs and report
+    the hand-computed post-strip length."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    raw = "<p>hello <b>world</b></p> see https://example.com/x now"
+    # strip tags -> ' hello  world  see https://example.com/x now' (runs
+    # collapsed, trimmed) = 'hello world see https://example.com/x now'
+    want_clean = "hello world see https://example.com/x now"
+    d = tempfile.mkdtemp(prefix="nm_html_")
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([raw], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["src0"], pa.string()),
+            "n_chars": pa.array([len(raw)], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    row = QUERIES["text_clean_html"](spark, d).collect()[0]
+    assert row.total_urls == 1
+    assert row.total_clean_chars == len(want_clean), (
+        row.total_clean_chars, len(want_clean))
+    assert row.total_raw_chars == len(raw)
