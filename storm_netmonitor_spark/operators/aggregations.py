@@ -459,3 +459,37 @@ def agg_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(
         _TOPK_HH
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_type, n AS n_events
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group — each source's most frequent metric type
+    (netmonitor: a host's dominant traffic class). Deterministic
+    tie-break (count desc, type asc) so the value-hash is stable; the
+    count-then-rank shape shuffles only (key, type) pairs."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("n_events"))
+    )

@@ -351,21 +351,36 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash from md5 token hashes — pure Python, deterministic."""
+    """64-bit SimHash from md5 token hashes — deterministic, vectorized:
+    token→±1-bit-vector lookups are cached across the batch (corpus
+    vocabularies are tiny relative to token count) and the weight sum is
+    one numpy reduction per doc. Bit order matches the scalar definition
+    (bit i of the big-endian md5[:8] integer)."""
     import hashlib
+
+    import numpy as np
+
+    cache: dict[str, "np.ndarray"] = {}
+
+    def tok_vec(tok: str) -> "np.ndarray":
+        v = cache.get(tok)
+        if v is None:
+            digest = hashlib.md5(tok.encode()).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[::-1]
+            v = bits.astype(np.int32) * 2 - 1
+            cache[tok] = v
+        return v
 
     out = []
     for t in texts:
-        weights = [0] * 64
-        for tok in str(t).lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for i in range(64):
-                weights[i] += 1 if (h >> i) & 1 else -1
+        toks = str(t).lower().split()
+        if toks:
+            w = np.sum([tok_vec(tok) for tok in toks], axis=0)
+        else:
+            w = np.zeros(64, dtype=np.int32)
         sig = 0
-        for i in range(64):
-            if weights[i] > 0:
-                sig |= 1 << i
-        # to signed int64 for Spark LongType
+        for i in np.nonzero(w > 0)[0]:
+            sig |= 1 << int(i)
         out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
     return pd.Series(out)
 

@@ -247,3 +247,33 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("latest_orderkey"),
         F.first("o_totalprice").over(w).alias("first_price"),
     ).distinct()
+
+
+@query(
+    "win_distribution",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_custkey,
+  CAST(ROUND(CAST(PERCENT_RANK() OVER w AS DECIMAL(28,6)), 6) AS DOUBLE) AS pr,
+  CAST(ROUND(CAST(CUME_DIST() OVER w AS DECIMAL(28,6)), 6) AS DOUBLE) AS cd
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist per key
+    (netmonitor: where does a sample sit in its host's distribution).
+    Deterministic ordering via the (price, orderkey) tie-break; float
+    ratios rounded decimal-stably on both sides."""
+    from ..functions.stable import dround
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        dround(F.percent_rank().over(w)).alias("pr"),
+        dround(F.cume_dist().over(w)).alias("cd"),
+    )
