@@ -376,3 +376,34 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts_parse_ok"),
         (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT
+  event_id,
+  event_id & 255 AS low_byte,
+  event_id | 15 AS or_mask,
+  xor(event_id, 21845) AS xored,
+  event_id << 2 AS shifted_l,
+  event_id >> 3 AS shifted_r,
+  ~event_id AS inverted
+FROM events
+WHERE event_id < 512
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (netmonitor: flag masks / subnet math on packed
+    fields) — all JVM-side, codegen'd."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 512)
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(15)).alias("or_mask"),
+        eid.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(eid, 2).alias("shifted_l"),
+        F.shiftright(eid, 3).alias("shifted_r"),
+        F.bitwise_not(eid).alias("inverted"),
+    )

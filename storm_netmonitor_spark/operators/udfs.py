@@ -173,3 +173,28 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT e.r_name, e.seq_i "
         "FROM region_udtf_src r, LATERAL expand_region(r.r_name, r.r_regionkey) e"
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle=f"""
+SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n
+FROM customer
+GROUP BY 1
+""",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (``useArrow=True``): same scalar
+    signature as ``udf_python`` but batched over Arrow instead of pickled
+    row-at-a-time — the drop-in migration path that removes most of the
+    classic Python-UDF serialization tax. Same SQL oracle as the row UDF,
+    so any semantic drift between the two execution paths breaks parity."""
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def bucket_of(key: int) -> int:
+        return (key * _KNUTH) % (1 << 32) % _BUCKETS
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(bucket_of("c_custkey").alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
