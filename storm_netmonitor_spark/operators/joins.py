@@ -429,3 +429,92 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("line_total"),
         )
     )
+
+
+@query(
+    "sub_scalar_correlated",
+    oracle=f"""
+SELECT c_custkey, c_acctbal,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer
+WHERE c_custkey < 200
+""",
+)
+def sub_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + left outer join (RewriteCorrelatedScalarSubquery), so the
+    executed plan is the same shuffle-parallel shape as a hand-written
+    join; the SQL stays declarative."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("nm_sub_c")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nm_sub_o")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               (SELECT COUNT(*) FROM nm_sub_o WHERE o_custkey = c_custkey) AS n_orders
+        FROM nm_sub_c
+        WHERE c_custkey < 200
+        """
+    )
+
+
+@query(
+    "sub_in_exists",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT')
+""",
+)
+def sub_in_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + correlated EXISTS subqueries — both decorrelate to semi-joins
+    (no per-row re-execution anywhere)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("nm_sub_c2")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nm_sub_o2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM nm_sub_c2
+        WHERE c_custkey IN (SELECT o_custkey FROM nm_sub_o2 WHERE o_totalprice > 300000)
+          AND EXISTS (SELECT 1 FROM nm_sub_o2 WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@query(
+    "join_lateral",
+    oracle=f"""
+SELECT c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c_custkey < 100
+""",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery — top-2 orders per customer
+    expressed as a lateral join (Spark 4 SQL); Catalyst rewrites it to a
+    ranked window, so there is no per-customer re-scan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("nm_lat_c")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nm_lat_o")
+    return spark.sql(
+        """
+        SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM nm_lat_c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM nm_lat_o
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c_custkey < 100
+        """
+    )
