@@ -89,6 +89,40 @@ def _stream_staged(
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def _build_late_staging(sf_dir: str, d: str) -> dict[str, Any]:
+    """Four mtime-ordered micro-batch files: [all events], [future
+    sentinel], [stale copies of the earliest hour], [one stale row] —
+    shared by ``stream_watermark_late`` and ``sink_stream_parquet``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = _read_events_arrow(sf_dir)
+    ts_ns = pc.cast(t.column("ts"), pa.int64())
+    lo = pc.min(ts_ns).as_py()
+    hi = pc.max(ts_ns).as_py()
+    stale = t.filter(pc.less(ts_ns, pa.scalar(lo + HOUR_NS)))
+    sentinel_ns = (hi // HOUR_NS) * HOUR_NS + 3 * HOUR_NS
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([sentinel_ns], pa.int64()).cast(pa.timestamp("ns")),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["sentinel"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    ).cast(t.schema)
+    f1, f2, f3, f4 = (os.path.join(d, f"b{i}.parquet") for i in (1, 2, 3, 4))
+    pq.write_table(t, f1)
+    pq.write_table(sentinel, f2)
+    pq.write_table(stale, f3)
+    pq.write_table(stale.slice(0, 1), f4)
+    for i, f in enumerate((f1, f2, f3, f4)):
+        os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+    return {"dir": d, "sentinel_us": sentinel_ns // 1000}
+
+
 # ---------------------------------------------------------------------------
 # stream_dedup
 # ---------------------------------------------------------------------------
@@ -165,39 +199,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash.
     """
 
-    def build(d: str) -> dict[str, Any]:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        t = _read_events_arrow(sf_dir)
-        ts_ns = pc.cast(t.column("ts"), pa.int64())
-        lo = pc.min(ts_ns).as_py()
-        hi = pc.max(ts_ns).as_py()
-        stale = t.filter(pc.less(ts_ns, pa.scalar(lo + HOUR_NS)))
-        sentinel_ns = (hi // HOUR_NS) * HOUR_NS + 3 * HOUR_NS
-        sentinel = pa.table(
-            {
-                "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([sentinel_ns], pa.int64()).cast(
-                    pa.timestamp("ns")
-                ),
-                "user_id": pa.array([-1], pa.int64()),
-                "event_type": pa.array(["sentinel"], pa.string()),
-                "value": pa.array([0.0], pa.float64()),
-                "props": pa.array(["{}"], pa.string()),
-            }
-        ).cast(t.schema)
-        f1, f2, f3, f4 = (os.path.join(d, f"b{i}.parquet") for i in (1, 2, 3, 4))
-        pq.write_table(t, f1)
-        pq.write_table(sentinel, f2)
-        pq.write_table(stale, f3)
-        pq.write_table(stale.slice(0, 1), f4)
-        for i, f in enumerate((f1, f2, f3, f4)):
-            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
-        return {"dir": d, "sentinel_us": sentinel_ns // 1000}
-
-    st = _stage_once("late", sf_dir, build)
+    st = _stage_once("late", sf_dir, lambda d: _build_late_staging(sf_dir, d))
     s = _stream_staged(spark, st["dir"], one_file_per_batch=True)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -457,3 +459,60 @@ def stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_memory(updates, mode="append")
+
+# ---------------------------------------------------------------------------
+# sink_stream_parquet
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sink_stream_parquet",
+    oracle=f"""
+SELECT
+  {ts_str_sql("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+  event_type,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+)
+def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PARQUET sink — the production output path (memory sinks
+    are test-only): append-mode hourly aggregates written to parquet files
+    as their windows close, then read back as a batch table. Reuses the
+    sentinel-staged source of ``stream_watermark_late`` so every real
+    window is emitted and stale input is dropped; the batch oracle is the
+    plain hourly aggregation. Exactly-once: the parquet sink commits files
+    through the checkpoint's file log."""
+    # ensure staging exists (same cache as stream_watermark_late)
+    from ..registry import QUERIES  # noqa: F401  (documentation import)
+
+    st = _stage_once(
+        "late", sf_dir, lambda d: _build_late_staging(sf_dir, d)
+    )
+    s = _stream_staged(spark, st["dir"], one_file_per_batch=True)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="nm_stream_parquet_")
+    q = (
+        agg.select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema(
+        "window_start string, event_type string, n_events long"
+    ).parquet(out_dir)
+    # the sentinel window never closes → never written; nothing to filter
+    return back
