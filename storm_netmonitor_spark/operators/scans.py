@@ -236,3 +236,37 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
     )
+
+
+@query(
+    "observe_metrics",
+    oracle=f"""
+SELECT COUNT(*) AS n_samples,
+       {dsum_sql('value')} AS total_value,
+       COUNT(CASE WHEN value > 400 THEN 1 END) AS n_large
+FROM events
+""",
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline self-monitoring via ``Observation`` — the netmonitor idea
+    applied to the engine itself: named metrics (row count, byte total,
+    anomaly count) are accumulated ON the data path while a downstream
+    job runs, with zero extra passes over the input. The observed metrics
+    are returned as a table and hash-checked against direct SQL."""
+    from pyspark.sql import Observation
+
+    obs = Observation("nm_pipeline")
+    e = load_table(spark, sf_dir, "events")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_samples"),
+        dsum("value").alias("total_value"),
+        F.count(F.when(F.col("value") > 400, 1)).alias("n_large"),
+    )
+    # the monitored downstream job (its own result is irrelevant here)
+    observed.groupBy("event_type").agg(F.count(F.lit(1))).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_samples"], float(m["total_value"]), m["n_large"])],
+        "n_samples long, total_value double, n_large long",
+    )
