@@ -407,3 +407,40 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(eid, 3).alias("shifted_r"),
         F.bitwise_not(eid).alias("inverted"),
     )
+
+
+@query(
+    "fn_interval",
+    oracle=f"""
+SELECT
+  o_orderkey,
+  {ts_str_sql("o_orderdate + INTERVAL 90 MINUTE")} AS plus_90m,
+  {ts_str_sql("o_orderdate - INTERVAL 3 DAY")} AS minus_3d,
+  CAST(ROUND(CAST(date_diff('second', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS DECIMAL(28,6)), 6) AS DOUBLE) AS secs_since_95,
+  CAST(ROUND(CAST(12 * (year(o_orderdate) - 1995) + (month(o_orderdate) - 1) AS DECIMAL(28,6)), 6) AS DOUBLE) AS months_since_95
+FROM orders
+WHERE o_orderkey < 500
+""",
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on event time (netmonitor: shifting sample
+    windows, ageing thresholds): timestamp ± INTERVAL, exact second
+    differences, whole-month distance. month arithmetic is rendered as
+    integer year/month math on BOTH sides — Spark's months_between and
+    DuckDB's date_diff('month') disagree on partial months, so the oracle
+    pins the unambiguous definition."""
+    from ..functions.stable import dround
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        ts_str(F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+        ts_str(F.col("o_orderdate") - F.expr("INTERVAL 3 DAYS")).alias("minus_3d"),
+        dround(
+            F.unix_timestamp("o_orderdate")
+            - F.unix_timestamp(F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        ).alias("secs_since_95"),
+        dround(
+            12 * (F.year("o_orderdate") - 1995) + (F.month("o_orderdate") - 1)
+        ).alias("months_since_95"),
+    )
