@@ -270,3 +270,100 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_samples"], float(m["total_value"]), m["n_large"])],
         "n_samples long, total_value double, n_large long",
     )
+
+
+_MESSY_CSV_CACHE: dict[str, str] = {}
+
+
+@query(
+    "source_csv_permissive",
+    oracle="""
+SELECT
+  COUNT(CASE WHEN event_id % 97 = 3 THEN 1 END) AS n_corrupt,
+  COUNT(CASE WHEN event_id % 97 <> 3 THEN 1 END) AS n_good,
+  SUM(CASE WHEN event_id % 97 <> 3 THEN user_id END) AS sum_good_users
+FROM events
+""",
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance (NM: collectors must survive garbled log
+    lines): a staged CSV where every row with ``event_id % 97 == 3`` is
+    corrupted (wrong column count) is read in PERMISSIVE mode with a
+    ``_corrupt_record`` column — bad rows are quarantined, good rows
+    parse, and the counts reconcile exactly with the oracle's rendering
+    of the same deterministic corruption rule."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MESSY_CSV_CACHE:
+        e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+        d = tempfile.mkdtemp(prefix="nm_messy_csv_")
+        # corrupt = drop the user_id column and append junk fields
+        lines = e.select(
+            F.when(
+                F.col("event_id") % 97 == 3,
+                F.concat_ws(",", "event_id", F.lit("oops"), F.lit("x"), F.lit("y")),
+            )
+            .otherwise(F.concat_ws(",", "event_id", "user_id"))
+            .alias("line")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(d)
+        _MESSY_CSV_CACHE[key] = d
+    raw = (
+        spark.read.schema("event_id long, user_id long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(_MESSY_CSV_CACHE[key])
+    )
+    raw = raw.cache()  # required: _corrupt_record is only visible when the
+    # raw parse is materialized (Spark documents this for corrupt-record queries)
+    return raw.agg(
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("user_id"))).alias(
+            "sum_good_users"
+        ),
+    )
+
+
+_EVOLVED_CACHE: dict[str, str] = {}
+
+
+@query(
+    "scan_merge_schema",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(value2) AS n_with_new_col,
+  {dsum_sql('value2')} AS sum_new_col
+FROM (
+  SELECT value AS value2 FROM events WHERE event_id % 2 = 1
+  UNION ALL
+  SELECT NULL FROM events WHERE event_id % 2 = 0
+)
+""",
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (NM: a new metric column appears mid-stream): two
+    parquet files — the old schema and one with an added ``value2``
+    column — read with ``mergeSchema``; rows from the old file surface
+    NULL for the new column. The oracle renders the same split from the
+    source table."""
+    key = os.path.abspath(sf_dir)
+    if key not in _EVOLVED_CACHE:
+        e = load_table(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="nm_evolved_")
+        e.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type").write.parquet(
+            os.path.join(d, "old")
+        )
+        e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", F.col("value").alias("value2")
+        ).write.parquet(os.path.join(d, "new"))
+        _EVOLVED_CACHE[key] = d
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(_EVOLVED_CACHE[key], "old"),
+        os.path.join(_EVOLVED_CACHE[key], "new"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value2").alias("n_with_new_col"),
+        dsum("value2").alias("sum_new_col"),
+    )
