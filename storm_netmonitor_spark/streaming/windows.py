@@ -317,3 +317,83 @@ def stream_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.withColumn("rnk", F.row_number().over(rank_w)).filter(
         F.col("rnk") <= 3
     )
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+SELECT n_name AS nation, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (NM: enrich live samples with topology metadata):
+    the unbounded events stream joins the static customer→nation dims —
+    broadcast to every micro-batch, no stream-side state — then aggregates
+    per nation. The batch oracle is the identical join."""
+    from ..io import load_table
+
+    s = events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey).select(
+            F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation")
+        )
+    )
+    agg = (
+        s.join(dim, "user_id")
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    return drain_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (NM: correlate two
+    live counter streams from the same source): purchases join clicks by
+    the same user within the preceding 10 minutes. Both sides carry
+    watermarks and the time-range condition bounds the join state — the
+    shape that stays finite on an unbounded stream. availableNow drains
+    both sides, so the result equals the batch time-range join."""
+    s = events_stream(spark, sf_dir)
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = drain_to_memory(joined, mode="append")
+    return out.select("purchase_id", "click_id", "user_id")
