@@ -89,10 +89,19 @@ def _stream_staged(
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def _build_late_staging(sf_dir: str, d: str) -> dict[str, Any]:
+def _build_late_staging(
+    sf_dir: str, d: str, sentinel_types: tuple[str, ...] = ("sentinel",)
+) -> dict[str, Any]:
     """Four mtime-ordered micro-batch files: [all events], [future
-    sentinel], [stale copies of the earliest hour], [one stale row] —
-    shared by ``stream_watermark_late`` and ``sink_stream_parquet``."""
+    sentinels], [stale copies of the earliest hour], [one stale row] —
+    shared by ``stream_watermark_late``, ``sink_stream_parquet`` and the
+    stream-stream joins. ``sentinel_types`` matters when a consumer
+    filters by event_type: Catalyst pushes that filter below the
+    EventTimeWatermark node into the parquet scan, so a sentinel of a
+    filtered-out type never reaches the watermark tracker and the
+    watermark stalls (measured) — such consumers need sentinels typed to
+    SURVIVE their filters (far-future ts and user_id −1 keep them from
+    ever joining or emitting)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -103,14 +112,17 @@ def _build_late_staging(sf_dir: str, d: str) -> dict[str, Any]:
     hi = pc.max(ts_ns).as_py()
     stale = t.filter(pc.less(ts_ns, pa.scalar(lo + HOUR_NS)))
     sentinel_ns = (hi // HOUR_NS) * HOUR_NS + 3 * HOUR_NS
+    k = len(sentinel_types)
     sentinel = pa.table(
         {
-            "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([sentinel_ns], pa.int64()).cast(pa.timestamp("ns")),
-            "user_id": pa.array([-1], pa.int64()),
-            "event_type": pa.array(["sentinel"], pa.string()),
-            "value": pa.array([0.0], pa.float64()),
-            "props": pa.array(["{}"], pa.string()),
+            "event_id": pa.array([-1 - i for i in range(k)], pa.int64()),
+            "ts": pa.array([sentinel_ns] * k, pa.int64()).cast(pa.timestamp("ns")),
+            # distinct negative user_ids: multiple sentinels must never
+            # join each other (same ts + shared key would match)
+            "user_id": pa.array([-1 - i for i in range(k)], pa.int64()),
+            "event_type": pa.array(list(sentinel_types), pa.string()),
+            "value": pa.array([0.0] * k, pa.float64()),
+            "props": pa.array(["{}"] * k, pa.string()),
         }
     ).cast(t.schema)
     f1, f2, f3, f4 = (os.path.join(d, f"b{i}.parquet") for i in (1, 2, 3, 4))
@@ -516,3 +528,61 @@ def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(out_dir)
     # the sentinel window never closes → never written; nothing to filter
     return back
+
+# ---------------------------------------------------------------------------
+# stream_stream_left_join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+""",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the hard streaming-join case: an
+    unmatched purchase can only be emitted (with NULL click) once the
+    watermark proves no matching click can still arrive. Uses the
+    sentinel-staged source so the watermark passes every join window and
+    ALL unmatched rows emit; the stale batches are dropped as late. The
+    batch oracle is the plain LEFT JOIN with the same time bounds."""
+    st = _stage_once(
+        "late_pc",
+        sf_dir,
+        lambda d: _build_late_staging(sf_dir, d, sentinel_types=("purchase", "click")),
+    )
+
+    def side(event_type: str, id_alias: str, user_alias: str, ts_alias: str):
+        # watermark BEFORE the type filter: the watermark tracks the max
+        # event time of rows reaching the EventTimeWatermark node, so a
+        # post-filter watermark never sees the sentinel (or any other
+        # type) and stalls — measured: the last unmatched purchase then
+        # never emits. Production rule: assign the watermark on the raw
+        # stream, filter after.
+        s = _stream_staged(spark, st["dir"], one_file_per_batch=True)
+        return (
+            s.withWatermark("ts", "10 minutes")
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    purchases = side("purchase", "purchase_id", "user_id", "p_ts")
+    clicks = side("click", "click_id", "c_user", "c_ts")
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    out = drain_to_memory(joined, mode="append")
+    return out.select("purchase_id", "click_id", "user_id")
