@@ -397,3 +397,57 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = drain_to_memory(joined, mode="append")
     return out.select("purchase_id", "click_id", "user_id")
+
+
+@query(
+    "stream_session_dynamic",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+              ELSE INTERVAL 30 MINUTE END AS gap
+  FROM events
+), marked AS (
+  SELECT user_id, ts, gap,
+    CASE WHEN MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, gap
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           OR ts >= MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, gap
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_s
+  FROM t
+), numbered AS (
+  SELECT user_id, ts, gap,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, gap ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       {ts_str_sql('MIN(ts)')} AS session_start,
+       {ts_str_sql('MAX(ts + gap)')} AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT dynamic gap (NM: a purchase keeps
+    the connection session alive for 60 min, anything else 30): Spark's
+    ``session_window(ts, gap_expr)`` merges each event's own [ts, ts+gap)
+    extent. The oracle is the cumulative-max island rendering: a new
+    session starts when an event's ts is at or past the max end of
+    everything before it."""
+    s = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = drain_to_memory(agg, mode="complete")
+    return out.select(
+        "user_id",
+        ts_str(F.col("w.start")).alias("session_start"),
+        ts_str(F.col("w.end")).alias("session_end"),
+        "n_events",
+    )
