@@ -18,7 +18,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import DEC, davg, davg_sql, dround_sql, dsum, dsum_sql
+from ..functions.stable import (
+    DEC,
+    davg,
+    davg_sql,
+    dround_sql,
+    dsum,
+    dsum_sql,
+    ts_str_sql,
+)
 from ..io import load_table
 from ..registry import query
 
@@ -492,4 +500,32 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("n_events"))
+    )
+
+
+@query(
+    "agg_hourly_events",
+    oracle=f"""
+SELECT
+  {ts_str_sql("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch rendering of the hourly tumbling aggregation — the
+    BASELINE.md `q_tumbling_window` shape (its baseline number measured
+    the batch form; `stream_tumbling` is the streaming twin with the same
+    oracle)."""
+    from ..functions.stable import ts_str
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            ts_str(F.date_trunc("hour", "ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
     )
