@@ -32,11 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered for the driver's capped per-round correctness window: fixed
+    red rows first, operators without a driver verdict yet next, already
+    driver-verified ones last (see registry.driver_ordered)."""
+    return registry.driver_ordered(dict(registry.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for each hash-checkable query; non-SQL-expressible ops
     are absent (driver records the weaker rows-only check)."""
-    return dict(registry.ORACLES)
+    return registry.driver_ordered(dict(registry.ORACLES))

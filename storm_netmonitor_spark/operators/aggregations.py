@@ -323,7 +323,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_sorted",
     oracle="""
-SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+SELECT o_custkey,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
 FROM orders
 WHERE o_custkey < 100
 GROUP BY o_custkey
@@ -331,12 +332,22 @@ GROUP BY o_custkey
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic list aggregation: collect_list has no ordering
-    guarantee, so the array is sort_array'd before hashing (SURVEY §7.4.9)."""
+    guarantee, so the array is sort_array'd before hashing (SURVEY §7.4.9).
+
+    The sorted array is serialized to a comma-joined string: the driver's
+    canonicalizer sorts result frames with pandas, which cannot factorize
+    list cells (CORRECTNESS_r01 ``TypeError: unhashable type 'list'``), so
+    both sides emit the same scalar rendering of the same ordered list —
+    hash coverage is preserved without the array dtype."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_custkey") < 100)
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+                "order_keys"
+            )
+        )
     )
 
 

@@ -178,8 +178,8 @@ SELECT
   l_orderkey,
   l_linenumber,
   abs(l_extendedprice - 50000) AS abs_dev,
-  ceil(l_quantity) AS qty_ceil,
-  floor(l_quantity) AS qty_floor,
+  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
   {dround_sql('sqrt(l_extendedprice)')} AS price_sqrt,
   {dround_sql('ln(l_extendedprice)')} AS price_ln,
   {dround_sql('exp(l_discount)')} AS disc_exp,
@@ -350,7 +350,7 @@ def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   o_orderkey,
-  CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
   CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
   CAST(o_orderkey AS VARCHAR) AS key_str,
   CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
@@ -362,11 +362,14 @@ FROM orders
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast lattice: double→decimal(12,2), double→int (explicit trunc —
     DuckDB's bare cast ROUNDS while Spark truncates), int↔string,
-    string→timestamp, bool→int."""
+    string→timestamp, bool→int. The decimal column is emitted as its
+    string rendering ("123.40", trailing zero kept, identical in both
+    engines): pandas materializes Spark decimals as Decimal objects but
+    DuckDB decimals as float64, which the driver would hash differently."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
         F.col("o_totalprice").cast("long").alias("price_trunc"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),

@@ -281,7 +281,7 @@ _MESSY_CSV_CACHE: dict[str, str] = {}
 SELECT
   COUNT(CASE WHEN event_id % 97 = 3 THEN 1 END) AS n_corrupt,
   COUNT(CASE WHEN event_id % 97 <> 3 THEN 1 END) AS n_good,
-  SUM(CASE WHEN event_id % 97 <> 3 THEN user_id END) AS sum_good_users
+  CAST(SUM(CASE WHEN event_id % 97 <> 3 THEN user_id END) AS BIGINT) AS sum_good_users
 FROM events
 """,
 )

@@ -63,7 +63,7 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   lang,
   COUNT(*) AS n_docs,
-  SUM(len(list_filter({_TOKENS_SQL}, t -> t <> ''))) AS total_tokens,
+  CAST(SUM(len(list_filter({_TOKENS_SQL}, t -> t <> ''))) AS BIGINT) AS total_tokens,
   {davg_sql("len(list_filter(" + _TOKENS_SQL + ", t -> t <> ''))")} AS avg_tokens_per_doc,
   {davg_sql('n_chars')} AS avg_chars
 FROM documents
@@ -150,11 +150,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar corpus stat, computed once driver-side
-    scored = tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        dround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    # corpus size as a broadcast 1-row aggregate cross-join — keeps the plan
+    # fully lazy (no driver-side d.count() action / extra eager scan)
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            dround(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     return (
@@ -429,6 +435,14 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Grams present in more docs than this (within a block) are dropped from
+#: both sets before the pair join — a ubiquitous shingle ("one of the")
+#: makes the per-gram fan-out quadratic at 100 TB while carrying no dedup
+#: signal. Standard practice in shingle-based dedup pipelines. Must match
+#: the literal 1000 in the oracle's HAVING clause.
+NGRAM_DF_CAP = 1000
+
+
 @query(
     "text_ngram_jaccard",
     oracle=f"""
@@ -442,11 +456,20 @@ WITH toks AS (
                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
     FROM toks
   )
+), kept AS (
+  -- df-cap: a gram shared by > 1000 docs in a block (stopword shingle)
+  -- would fan the pair join out quadratically; drop it from both sets
+  SELECT g.* FROM grams g
+  JOIN (
+    SELECT lang, source, gram
+    FROM grams GROUP BY lang, source, gram
+    HAVING COUNT(*) <= 1000
+  ) f USING (lang, source, gram)
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM grams a JOIN grams b
+  FROM kept a JOIN kept b
     ON a.lang = b.lang AND a.source = b.source
    AND a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
@@ -463,17 +486,26 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.05
 def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard similarity for doc pairs, BLOCKED by
     (lang, source) so the pairwise term is per-block, not corpus-wide —
-    the exact-verification stage of an n-gram dedup pipeline."""
+    the exact-verification stage of an n-gram dedup pipeline. Hot grams
+    (document frequency > NGRAM_DF_CAP within a block) are removed from
+    both sets, bounding the pair-join fan-out per key."""
     d = load_table(spark, sf_dir, "documents")
     toks_sql = "array_remove(split(lower(text), ' '), '')"
     grams_expr = F.expr(
         f"transform(sequence(1, size({toks_sql}) - 2),"
         f" i -> concat_ws(' ', slice({toks_sql}, i, 3)))"
     )
-    grams = (
+    all_grams = (
         d.select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
         .distinct()
     )
+    rare = (
+        all_grams.groupBy("lang", "source", "gram")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .filter(F.col("gram_df") <= NGRAM_DF_CAP)
+        .select("lang", "source", "gram")
+    )
+    grams = all_grams.join(rare, ["lang", "source", "gram"])
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(
         F.col("doc_id").alias("doc_a"), "lang", "source", "gram"
@@ -608,8 +640,8 @@ WITH per_doc AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(ws_tokens) AS total_ws_tokens,
-       SUM(bpe_tokens) AS total_bpe_tokens,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        {davg_sql('bpe_tokens')} AS avg_bpe_tokens
 FROM per_doc
 GROUP BY source
@@ -655,9 +687,9 @@ WITH cleaned AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_urls) AS total_urls,
-       SUM(clean_chars) AS total_clean_chars,
-       SUM(raw_chars) AS total_raw_chars
+       CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+       CAST(SUM(clean_chars) AS BIGINT) AS total_clean_chars,
+       CAST(SUM(raw_chars) AS BIGINT) AS total_raw_chars
 FROM cleaned
 GROUP BY source
 """,

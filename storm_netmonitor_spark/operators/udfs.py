@@ -13,6 +13,7 @@ you'd actually deploy.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -134,13 +135,16 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         m = pdf["c_acctbal"].mean()
         s = pdf["c_acctbal"].std(ddof=1)
+        # single-row group: std(ddof=1) is NaN while the oracle's
+        # stddev_samp is NULL — map non-finite to None so both render NULL
+        z = (pdf["c_acctbal"] - m) / s
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],
                 "c_mktsegment": pdf["c_mktsegment"],
                 # no numpy .round here: it rounds half-even; the dround
                 # below is the single (half-up, decimal-space) rounding
-                "acctbal_z": (pdf["c_acctbal"] - m) / s,
+                "acctbal_z": z.where(np.isfinite(z), None),
             }
         )
 

@@ -183,13 +183,20 @@ WITH e AS (
               / COUNT(*) AS {_DOT_DEC}), 6) AS DOUBLE) AS cx
   FROM e GROUP BY label, pos
 )
-SELECT label, list(cx ORDER BY pos) AS centroid
+SELECT label,
+       array_to_string(list(CAST(cx AS DECIMAL(10,6)) ORDER BY pos), ',') AS centroid
 FROM c GROUP BY label
 """,
 )
 def vec_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean vector per label — per-(label,pos) decimal-exact average,
-    re-assembled in position order (the centroid step of k-means / IVF)."""
+    re-assembled in position order (the centroid step of k-means / IVF).
+
+    The centroid is serialized as a comma-joined DECIMAL(10,6) string: the
+    driver's canonicalizer cannot sort list cells (same crash class as
+    agg_collect_sorted, CORRECTNESS_r01), and fixed-point decimal rendering
+    avoids the Spark ``1.0E-5`` vs DuckDB ``1e-05`` exponent-notation split
+    a raw double→string cast would hit."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = _pos_explode(e.select(F.col("label").alias("vid_label"), "embedding"), "vid_label")
     cent = ex.groupBy(F.col("vid_label").alias("label"), "pos").agg(
@@ -203,8 +210,12 @@ def vec_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cx")
     )
     return cent.groupBy("label").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s.cx.cast("decimal(10,6)").cast("string"),
+            ),
         ).alias("centroid")
     )
 

@@ -15,7 +15,6 @@ map-side — the standard Spark physical shape.
 
 from __future__ import annotations
 
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -187,16 +186,20 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     callback receives each micro-batch result; the last complete-mode batch
     is the final answer, re-exposed as a DataFrame."""
     import tempfile
-    import uuid
 
     s = events_stream(spark, sf_dir)
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
-    collected: list[pd.DataFrame] = []
+    out_root = tempfile.mkdtemp(prefix="nm_fe_batches_")
+    batch_dirs: list[str] = []
 
     def push_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # stands in for an HTTP POST to a collector endpoint
-        collected.append(batch_df.toPandas())
+        # stands in for a push to a collector endpoint — the batch is
+        # written executor-side (distributed parquet write), never
+        # collected to the driver
+        d = f"{out_root}/batch_{batch_id}"
+        batch_df.write.mode("overwrite").parquet(d)
+        batch_dirs.append(d)
 
     q = (
         agg.writeStream.foreachBatch(push_batch)
@@ -206,8 +209,10 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    final = collected[-1]
-    return spark.createDataFrame(final, schema="event_type string, n_events long")
+    # complete mode: the last batch carries the full final aggregate
+    return spark.read.parquet(batch_dirs[-1]).select(
+        "event_type", F.col("n_events").cast("long").alias("n_events")
+    )
 
 
 @query(

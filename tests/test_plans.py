@@ -82,19 +82,19 @@ def test_partitioned_sink_prunes_partitions(spark):
 
 
 # Queries whose plan legitimately contains a cartesian/nested-loop shape:
-# join_cross IS a cartesian by definition; the interval join's whitelist
-# entry would be a bug — keep it out and let the test prove it stays out.
-_CARTESIAN_OK = {"join_cross"}
+# join_cross IS a cartesian by definition; text_tfidf_topk cross-joins a
+# broadcast 1-row corpus-count aggregate (O(n), not quadratic). The
+# interval join's whitelist entry would be a bug — keep it out and let the
+# test prove it stays out.
+_CARTESIAN_OK = {"join_cross", "text_tfidf_topk"}
 
-# Streaming queries run their work inside the callable (drain to memory
-# sink) — the returned DataFrame is a memory-table read, so a batch
-# explain() here is meaningless; their plan is exercised by execution.
-_STREAMING = {
-    "source_stream_events", "stream_tumbling", "stream_sliding",
-    "stream_session", "stream_alert_threshold", "stream_watermark_late",
-    "stream_dedup", "stream_stateful_counter", "stream_rate_ewma",
-    "sink_foreach_batch",
-}
+
+def _is_streaming(fn) -> bool:
+    """Streaming queries run their work inside the callable (drain to a
+    memory sink) — the returned DataFrame is a memory-table read, so a
+    batch explain() here is meaningless (and the drain is slow); their
+    plan is exercised by execution in test_streaming_live."""
+    return fn.__module__.startswith("storm_netmonitor_spark.streaming")
 
 
 def test_no_accidental_cartesian_anywhere(spark):
@@ -103,7 +103,7 @@ def test_no_accidental_cartesian_anywhere(spark):
     at scale), except the intentional cross join."""
     offenders = []
     for name, fn in sorted(QUERIES.items()):
-        if name in _CARTESIAN_OK or name in _STREAMING:
+        if name in _CARTESIAN_OK or _is_streaming(fn):
             continue
         try:
             p = plan(fn(spark, SF_CORRECT))
