@@ -42,6 +42,16 @@ HEADLINE = [
     "text_exact_dedup",  # q_dedup
 ]
 
+#: Heaviest custom (non-BASELINE) operators, timed and reported the same
+#: way so regressions in the dedup/ANN machinery are visible round-over-
+#: round. NOT part of the BASELINE comparison (no baseline row exists) —
+#: they are appended to "queries" but have no bearing on the M4 gate.
+EXTRA_REPORTED = [
+    "text_near_dedup_minhash",  # MinHash+LSH banding dedup
+    "vec_ann_ivf",  # IVF approximate nearest neighbor (distributed Lloyd)
+    "text_ngram_jaccard",  # df-capped shingle-join verification stage
+]
+
 #: Queries whose work happens inside the callable itself (streaming drain
 #: to an in-memory sink) — these must be re-invoked per timed run; for plain
 #: batch queries the DataFrame is built once and ``collect()`` re-executes
@@ -67,7 +77,7 @@ def main() -> None:
     spark = get_spark(app_name="nm-bench")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA_REPORTED:
         fn = registry.QUERIES[name]
         rerun = name in RERUN_FULL
         df = None if rerun else fn(spark, sf_dir)
@@ -84,7 +94,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "suite_wall_seconds",
-                "value": round(sum(timings.values()), 4),
+                # the BASELINE-comparable total: headline queries only —
+                # EXTRA_REPORTED timings are informational rows in
+                # "queries" and must not inflate the gate metric
+                "value": round(sum(timings[n] for n in HEADLINE), 4),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,

@@ -77,6 +77,27 @@ def _dot_arrays(a, b):
     return F.round(acc, 6).cast("double")
 
 
+#: Largest label block admitted to the EXACT pairwise self-join path. A
+#: block of n rows costs O(n²) comparisons; past this bound the bucketed
+#: ANN operators (vec_ann_ivf / vec_ann_lsh) are the scale path. Must match
+#: the literal 10000 in the pairwise oracles' HAVING clauses.
+PAIRWISE_BLOCK_CAP = 10_000
+
+
+def _cap_blocks(e: DataFrame) -> DataFrame:
+    """Drop label blocks larger than PAIRWISE_BLOCK_CAP before an exact
+    pairwise self-join — bounds the quadratic term per block at 100 TB.
+    The block census is a map-side-combined count on the join key, so the
+    guard itself adds one cheap aggregate, no extra wide shuffle."""
+    ok = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("block_n"))
+        .filter(F.col("block_n") <= PAIRWISE_BLOCK_CAP)
+        .select("label")
+    )
+    return e.join(F.broadcast(ok), "label")
+
+
 @query(
     "vec_knn_cosine",
     oracle=f"""
@@ -117,9 +138,11 @@ def vec_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "vec_pairwise_topk",
     oracle=f"""
-WITH e AS (
+WITH ok AS (
+  SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) <= 10000
+), e AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
-  FROM embeddings
+  FROM embeddings JOIN ok USING (label)
 ), dots AS (
   SELECT label, a_id, b_id, {_DOT_SUM_SQL} AS sim
   FROM (SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
@@ -138,8 +161,13 @@ WHERE rn = 1
 )
 def vec_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-similar pair within each label block — label-blocked self-join
-    keeps the pairwise term per-block (the IVF-cell pattern)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    keeps the pairwise term per-block (the IVF-cell pattern).
+
+    Blocks larger than PAIRWISE_BLOCK_CAP rows are excluded from this
+    EXACT path (O(block²) is unbounded at 100 TB otherwise); oversized
+    blocks belong on the bucketed ANN route (``vec_ann_ivf`` /
+    ``vec_ann_lsh``), whose per-cell work is bounded by construction."""
+    e = _cap_blocks(load_table(spark, sf_dir, "embeddings"))
     a = e.select(
         "label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
     )
@@ -322,9 +350,11 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "vec_near_dup_cosine",
     oracle=f"""
-WITH e AS (
+WITH ok AS (
+  SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) <= 10000
+), e AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
-  FROM embeddings
+  FROM embeddings JOIN ok USING (label)
 ), dots AS (
   SELECT a_id, b_id, {_DOT_SUM_SQL} AS sim
   FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -339,8 +369,10 @@ SELECT a_id, b_id, sim FROM dots WHERE sim >= 0.8
 def vec_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.8), label-blocked.
     The decimal dot is identical in both engines, so the threshold cannot
-    flip between them."""
-    e = load_table(spark, sf_dir, "embeddings")
+    flip between them. Blocks over PAIRWISE_BLOCK_CAP are excluded from
+    this exact path (see vec_pairwise_topk) — route them through
+    ``text_near_dedup_simhash``-style banding or ``vec_ann_*``."""
+    e = _cap_blocks(load_table(spark, sf_dir, "embeddings"))
     a = e.select(
         "label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
     )

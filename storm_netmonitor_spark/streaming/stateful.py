@@ -56,7 +56,7 @@ from ..functions.stable import dsum_sql, ts_str, ts_str_sql
 from ..io import table_path
 from ..registry import query
 from ..session import apply_runtime_confs
-from .core import EVENTS_RAW_SCHEMA, drain_to_memory
+from .core import EVENTS_RAW_SCHEMA, _state_sized_shuffle, drain_to_memory
 
 HOUR_NS = 3_600 * 10**9
 
@@ -509,7 +509,7 @@ def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     out_dir = tempfile.mkdtemp(prefix="nm_stream_parquet_")
-    q = (
+    writer = (
         agg.select(
             ts_str(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -520,9 +520,10 @@ def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):
+        q = writer.start()
+        q.awaitTermination()
     back = spark.read.schema(
         "window_start string, event_type string, n_events long"
     ).parquet(out_dir)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dsum, dsum_sql, ts_str, ts_str_sql
 from ..registry import query
-from .core import drain_to_memory, events_stream
+from .core import _state_sized_shuffle, drain_to_memory, events_stream
 
 
 @query(
@@ -201,14 +201,15 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("overwrite").parquet(d)
         batch_dirs.append(d)
 
-    q = (
+    writer = (
         agg.writeStream.foreachBatch(push_batch)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):
+        q = writer.start()
+        q.awaitTermination()
     # complete mode: the last batch carries the full final aggregate
     return spark.read.parquet(batch_dirs[-1]).select(
         "event_type", F.col("n_events").cast("long").alias("n_events")
