@@ -16,6 +16,12 @@ _MODULES = (
     "udfs",
     "text",
     "vectors",
+    # NB: modules added in later rounds register at the END so they slot
+    # behind the operators still awaiting a driver verdict (registry.
+    # driver_ordered preserves registration order within the unverified
+    # block — new ops must not displace older unverified ones from the
+    # driver's capped check window).
+    "pipeline",
 )
 
 
