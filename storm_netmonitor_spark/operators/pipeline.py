@@ -276,16 +276,21 @@ _NTOK_SQL = "len(list_filter(string_split(lower(text), ' '), t -> t <> ''))"
 @query(
     "pipeline_pretrain_corpus",
     oracle=f"""
-WITH ranked AS (
-  SELECT doc_id, lang, text, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS dup_rk
+WITH passing AS (
+  -- quality gate FIRST: it commutes with dedup-on-content (identical text
+  -- has identical n_chars/token count, so the kept representative — the
+  -- lowest doc_id among passing copies — is the same either way) and lets
+  -- the scan prune failing docs before the expensive hash shuffle
+  SELECT doc_id, lang, text, n_chars
   FROM documents
-), kept AS (
-  SELECT doc_id, lang, n_chars
-  FROM ranked
-  WHERE dup_rk = 1
-    AND n_chars >= {_MIN_CHARS}
+  WHERE n_chars >= {_MIN_CHARS}
     AND {_NTOK_SQL} >= {_MIN_TOKENS}
+), ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS dup_rk
+  FROM passing
+), kept AS (
+  SELECT doc_id, lang, n_chars FROM ranked WHERE dup_rk = 1
 )
 SELECT
   {_SPLIT_SQL} AS split,
@@ -308,13 +313,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     wdup = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     ntok = F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
-    kept = (
-        d.withColumn("dup_rk", F.row_number().over(wdup))
-        .filter(
-            (F.col("dup_rk") == 1)
-            & (F.col("n_chars") >= _MIN_CHARS)
-            & (ntok >= _MIN_TOKENS)
-        )
+    # quality gate BEFORE the dedup window: the filter commutes with
+    # dedup-on-content (see oracle comment) and Catalyst cannot prove that
+    # itself (the predicate is not on the window partition key), so the
+    # reorder is done here — it reaches the parquet scan as a pushed filter
+    # instead of running after the wide hash shuffle
+    passing = d.filter((F.col("n_chars") >= _MIN_CHARS) & (ntok >= _MIN_TOKENS))
+    kept = passing.withColumn("dup_rk", F.row_number().over(wdup)).filter(
+        F.col("dup_rk") == 1
     )
     return kept.groupBy(_split_col().alias("split"), "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -188,3 +188,61 @@ def test_clean_html_strips_planted_markup(spark):
     assert row.total_clean_chars == len(want_clean), (
         row.total_clean_chars, len(want_clean))
     assert row.total_raw_chars == len(raw)
+
+
+def test_split_hash_partitions_corpus(spark):
+    """Every doc gets exactly one split; proportions approximate the
+    12/2/2 sixteenths design; assignment is deterministic across runs."""
+    a = QUERIES["sample_split_hash"](spark, SF_CORRECT).collect()
+    b = QUERIES["sample_split_hash"](spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = len(a)
+    by = {}
+    for r in a:
+        by[r.split] = by.get(r.split, 0) + 1
+    assert set(by) == {"train", "val", "test"}
+    assert sum(by.values()) == n
+    # 75% ± 10pp at n=500 (binomial σ ≈ 1.9pp)
+    assert 0.65 <= by["train"] / n <= 0.85, by
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
+    """Within a language, bin ids are nondecreasing in doc order, start at
+    0, and a bin only exceeds the budget via its LAST doc (a doc never
+    splits, so the overshoot is bounded by one document)."""
+    from storm_netmonitor_spark.operators.pipeline import PACK_BUDGET_CHARS
+
+    rows = QUERIES["pack_sequences"](spark, SF_CORRECT).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in QUERIES["sample_split_hash"](spark, SF_CORRECT)
+        .sparkSession.read.parquet(SF_CORRECT + "/documents.parquet")
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert rs[0].bin_id == 0, (lang, rs[0])
+        assert all(x.bin_id <= y.bin_id for x, y in zip(rs, rs[1:]))
+        # reconstruct bin char totals
+        totals: dict[int, int] = {}
+        for r in rs:
+            totals[r.bin_id] = totals.get(r.bin_id, 0) + docs[r.doc_id]
+        for b, tot in totals.items():
+            last_doc = [r for r in rs if r.bin_id == b][-1]
+            assert tot - docs[last_doc.doc_id] < PACK_BUDGET_CHARS, (lang, b, tot)
+
+
+def test_sessionize_batch_matches_stream_session(spark):
+    """The batch gap-island sessionization must produce the same sessions
+    (start, size) as the streaming session_window operator."""
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in QUERIES["win_sessionize_batch"](spark, SF_CORRECT).collect()
+    }
+    stream = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in QUERIES["stream_session"](spark, SF_CORRECT).collect()
+    }
+    assert batch == stream
