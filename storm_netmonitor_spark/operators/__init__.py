@@ -22,6 +22,7 @@ _MODULES = (
     # block — new ops must not displace older unverified ones from the
     # driver's capped check window).
     "pipeline",
+    "extras",
 )
 
 

@@ -1,0 +1,146 @@
+"""Round-2 surface extensions: JSON source format, multimodal frame
+sampling, approximate quantiles.
+
+Registered AFTER ``pipeline`` (see operators/__init__ note): new modules
+must not displace operators still awaiting a driver verdict from the
+capped per-round check window.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import dsum, dsum_sql
+from ..io import load_table
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# JSON-lines source (completes the source-format matrix: parquet, CSV,
+# JSON — SURVEY §2.A)
+# ---------------------------------------------------------------------------
+
+_JSON_CACHE: dict[str, str] = {}
+
+
+@query(
+    "source_json_lines",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events
+GROUP BY event_type
+""",
+)
+def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion (NM: collectors emit JSON event exports):
+    events staged once as .jsonl, read back with an EXPLICIT schema (no
+    sampling inference pass — at 100 TB schema inference is an extra full
+    scan) and aggregated; hash-matched against the parquet batch oracle,
+    proving type fidelity through the text format. Doubles survive via
+    shortest-repr round-trip; the timestamp column is excluded from the
+    staged projection (JSON timestamp formats are engine-specific — the
+    CSV source operator covers timestamp round-trip)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _JSON_CACHE:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        d = tempfile.mkdtemp(prefix="nm_jsonl_")
+        e.write.mode("overwrite").json(d)
+        _JSON_CACHE[key] = d
+    raw = spark.read.schema("event_id long, event_type string, value double").json(
+        _JSON_CACHE[key]
+    )
+    return raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling (NORTH: video/audio frame-sample as a
+# mapInPandas batch op over an opaque binary column)
+# ---------------------------------------------------------------------------
+
+#: Frames sampled per media blob and bytes per frame.
+N_FRAMES = 4
+FRAME_BYTES = 8
+
+
+def _frame_rows(it):
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in it:
+        out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_md5": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            b = bytes(blob)
+            stride = len(b) // N_FRAMES
+            for i in range(N_FRAMES):
+                off = i * stride
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_off"].append(off)
+                out["frame_md5"].append(
+                    hashlib.md5(b[off : off + FRAME_BYTES]).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       i AS frame_idx,
+       i * (length(text) // {N_FRAMES}) AS frame_off,
+       md5(substring(text, 1 + i * (length(text) // {N_FRAMES}), {FRAME_BYTES})) AS frame_md5
+FROM documents, (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS i)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media ``binary`` column via
+    ``mapInPandas``: N_FRAMES evenly-strided byte windows per blob, each
+    fingerprinted — the Spark-side plumbing (schema, Arrow batching,
+    per-row fan-out) of a video frame-sampler, with the codec replaced by
+    byte slicing (no media libs in this container; same policy as
+    ``multimodal_decode_stub``). The media blob is the UTF-8 encoding of
+    the document text, and the corpus is pure ASCII (measured: octet_length
+    == char length for every doc), so the DuckDB oracle expresses the SAME
+    byte slices in the string domain — full hash parity on a mapInPandas
+    operator.
+
+    Scale: embarrassingly parallel, no shuffle; output is 4 rows per doc
+    (bounded fan-out), Arrow-batched both directions."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    # frame_idx as long: DuckDB generate_series yields BIGINT and the
+    # driver hashes pandas materializations — keep integer widths aligned
+    return d.mapInPandas(
+        _frame_rows,
+        "doc_id long, frame_idx long, frame_off long, frame_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (the 100 TB path next to exact agg_percentile)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_approx_quantile")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch, accuracy 10000) per event type — the
+    single-pass bounded-memory quantile path for 100 TB latency
+    percentiles; the exact twin is ``agg_percentile``. Rows-only by
+    design (sketch output is implementation-defined); the error bound vs
+    the exact quantile is asserted in tests/test_semantics.py."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+    )

@@ -246,3 +246,28 @@ def test_sessionize_batch_matches_stream_session(spark):
         for r in QUERIES["stream_session"](spark, SF_CORRECT).collect()
     }
     assert batch == stream
+
+
+def test_approx_quantile_error_bound(spark):
+    """GK-sketch quantiles at accuracy 10000 must land within a tight
+    value tolerance of the exact interpolated percentiles."""
+    import duckdb
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in QUERIES["agg_approx_quantile"](spark, SF_CORRECT).collect()
+    }
+    con = duckdb.connect()
+    exact = {
+        t: (p50, p95)
+        for t, p50, p95 in con.execute(
+            "SELECT event_type, quantile_cont(value, 0.5), quantile_cont(value, 0.95) "
+            f"FROM read_parquet('{SF_CORRECT}/events.parquet') GROUP BY event_type"
+        ).fetchall()
+    }
+    con.close()
+    assert set(approx) == set(exact)
+    for t, (a50, a95) in approx.items():
+        e50, e95 = exact[t]
+        assert abs(a50 - e50) <= max(1.0, 0.01 * abs(e50)), (t, a50, e50)
+        assert abs(a95 - e95) <= max(1.0, 0.01 * abs(e95)), (t, a95, e95)
