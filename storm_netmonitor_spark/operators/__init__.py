@@ -23,6 +23,7 @@ _MODULES = (
     # driver's capped check window).
     "pipeline",
     "extras",
+    "corpus",
 )
 
 

@@ -1,0 +1,347 @@
+"""Corpus safety + quality operators for training-data pipelines
+(SURVEY §2.L addendum, round 2): PII redaction, Gopher-style repetition
+quality rules, benchmark decontamination, and SemDeDup-style semantic
+(embedding-space) deduplication.
+
+Scale notes (100 TB):
+- PII redaction is a pure row-local regexp pass — zero shuffle, stays in
+  whole-stage codegen.
+- Repetition rules use array higher-order functions (no explode, no
+  shuffle): per-row cost is O(len × distinct), bounded by document length,
+  never by corpus size.
+- Decontamination explodes per-doc DISTINCT n-grams (bounded fan-out) and
+  semi-joins against the benchmark gram set, which is tiny relative to the
+  training corpus → broadcast; the contaminated-id set drives one anti-join.
+- Semantic dedup blocks the quadratic pairwise term by k-means cluster
+  (the SemDeDup shape): with K ∝ corpus size, per-cluster cost stays
+  bounded; the cluster model is K×dim, collected/broadcast like vec_ann_ivf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import dround, dround_sql
+from ..io import load_table
+from ..registry import query
+from .vectors import _DOT_DEC, _ivf_assign, _pos_explode
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Regex dialect note: both patterns stay inside the Java-regex ∩ RE2
+#: common subset (character classes + bounded repetition, no lookaround)
+#: so Spark and DuckDB match identically.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         'reach u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || text
+           AS synth
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(synth, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(synth, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(synth, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+       CAST(length(regexp_replace(regexp_replace(synth, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+         AS redacted_len
+FROM s
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (NORTH: mandatory pre-training hygiene pass): count
+    and redact email addresses and phone numbers with anchored regexes.
+
+    The synthetic corpus contains no natural PII, so the query plants a
+    deterministic contact line derived from ``doc_id`` in front of each
+    document before scrubbing — the redaction logic is exercised on every
+    row and the oracle plants the identical line, keeping full hash parity.
+
+    Scale: row-local ``regexp_replace``/``regexp_count`` inside
+    whole-stage codegen — no shuffle, no UDF; linear in corpus bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("reach u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(synth, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality rules
+# ---------------------------------------------------------------------------
+
+#: Keep thresholds (Gopher table A1 shape, tuned loose for the synthetic
+#: word-salad corpus): most-frequent-word share and duplicate-bigram share.
+TOP_WORD_MAX = 0.20
+DUP_BIGRAM_MAX = 0.50
+
+
+@query(
+    "text_quality_gopher",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       {dround_sql('list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, t -> t = w)))) / len(toks)')} AS top_word_frac,
+       {dround_sql('(len(toks) - len(list_distinct(toks))) / len(toks)')} AS dup_word_frac,
+       {dround_sql('(len(bgs) - len(list_distinct(bgs))) / len(bgs)')} AS dup_bigram_frac,
+       (list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, t -> t = w)))) / len(toks) <= {TOP_WORD_MAX}
+        AND (len(bgs) - len(list_distinct(bgs))) / len(bgs) <= {DUP_BIGRAM_MAX}) AS keep
+FROM b
+""",
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality rules (Gopher/MassiveText style): share of
+    the most frequent word, duplicate-word share, duplicate-bigram share,
+    and a keep/drop verdict per document.
+
+    Scale: pure array higher-order functions — zero shuffle, zero explode.
+    Per-row cost is O(len × distinct_words), bounded by document length;
+    the whole filter is a single codegen'd projection at any corpus size
+    (contrast: the explode → groupBy word-count shape would shuffle the
+    full token stream)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    # bigrams: adjacent-pair join; documents always have ≥ 2 tokens but
+    # guard anyway — Spark sequence(0, -1) DESCENDS instead of emitting
+    # empty, unlike DuckDB generate_series
+    bgs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    nb = F.size(bgs)
+    top_frac = top_cnt / n
+    dup_bg_frac = (nb - F.size(F.array_distinct(bgs))) / nb
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dround(top_frac).alias("top_word_frac"),
+        dround((n - F.size(F.array_distinct(toks))) / n).alias("dup_word_frac"),
+        dround(dup_bg_frac).alias("dup_bigram_frac"),
+        ((top_frac <= TOP_WORD_MAX) & (dup_bg_frac <= DUP_BIGRAM_MAX)).alias(
+            "keep"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: Contamination n-gram width (13 in GPT-3/Gopher; 8 here so the synthetic
+#: small-vocab docs produce non-trivial overlap) and the source partition
+#: standing in for the held-out benchmark set.
+DECON_NGRAM = 8
+BENCH_SOURCE = "src0"
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, lang, string_split(lower(text), ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - {DECON_NGRAM - 1}),
+             i -> array_to_string(toks[i : i + {DECON_NGRAM - 1}], ' ')))) AS gram
+  FROM t
+), cont AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE source <> '{BENCH_SOURCE}'
+    AND gram IN (SELECT gram FROM g WHERE source = '{BENCH_SOURCE}')
+)
+SELECT lang,
+       COUNT(*) AS n_train,
+       CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN cont.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM t LEFT JOIN cont USING (doc_id)
+WHERE source <> '{BENCH_SOURCE}'
+GROUP BY lang
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (NORTH: drop training docs sharing any
+    word 8-gram with the held-out eval set — the GPT-3/Gopher rule).
+    Docs from ``BENCH_SOURCE`` stand in for the benchmark.
+
+    Scale: per-doc DISTINCT grams bound the explode fan-out to ≈ doc
+    length; the benchmark gram set is tiny next to the training corpus →
+    broadcast semi-join (no shuffle of the training grams); contaminated
+    ids then drive one broadcast left join for the accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= DECON_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (DECON_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, DECON_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = (
+        g.filter(F.col("source") == BENCH_SOURCE).select("gram").distinct()
+    )
+    contaminated = (
+        g.filter(F.col("source") != BENCH_SOURCE)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = d.filter(F.col("source") != BENCH_SOURCE).select("doc_id", "lang")
+    flagged = train.join(F.broadcast(contaminated), "doc_id", "left")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup — SemDeDup shape
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 3
+SEMDEDUP_TAU = 0.95
+
+
+def semantic_dedup_summary(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = SEMDEDUP_K,
+    iters: int = SEMDEDUP_ITERS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """Core SemDeDup: k-means cluster the embeddings (distributed Lloyd,
+    only the K×dim model collected — same pattern as ``vec_ann_ivf``),
+    then WITHIN each cluster mark the higher ``vec_id`` of every pair with
+    cosine ≥ tau as a duplicate. Returns one row per cluster:
+    (cluster, n_vecs, n_dups). Exposed as a helper so the planted-pair
+    semantics test can run it over a constructed frame."""
+    cand = _pos_explode(emb, "vec_id").cache()
+    cent = (
+        cand.filter(F.col("vec_id").isin(*range(1, k + 1)))
+        .select((F.col("vec_id") - 1).alias("k"), "pos", F.col("x").alias("cx"))
+    )
+    for _ in range(iters):
+        assign = _ivf_assign(cand, cent)
+        raw = (
+            cand.join(assign, "vec_id")
+            .groupBy("k", "pos")
+            .agg(
+                F.sum(F.col("x").cast(_DOT_DEC)).cast("double").alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("k", "pos", (F.col("sx") / F.col("n")).alias("mx"))
+        )
+        norm = raw.groupBy("k").agg(
+            F.sqrt(F.sum(F.col("mx") * F.col("mx"))).alias("nrm")
+        )
+        model = (
+            raw.join(norm, "k")
+            .select("k", "pos", (F.col("mx") / F.col("nrm")).alias("cx"))
+            .collect()
+        )
+        cent = spark.createDataFrame(model, "k int, pos int, cx double")
+
+    assign = _ivf_assign(cand, cent)
+    blocked = cand.join(assign, "vec_id")
+    a = blocked.select("k", "pos", "vec_id", "x")
+    b = blocked.select(
+        "k", "pos", F.col("vec_id").alias("vid2"), F.col("x").alias("x2")
+    )
+    pairs = (
+        a.join(b, ["k", "pos"])
+        .filter(F.col("vec_id") < F.col("vid2"))
+        .groupBy("k", "vec_id", "vid2")
+        .agg(
+            F.round(F.sum((F.col("x") * F.col("x2")).cast(_DOT_DEC)), 6)
+            .cast("double")
+            .alias("cos")
+        )
+    )
+    dups = (
+        pairs.filter(F.col("cos") >= tau)
+        .select("k", F.col("vid2").alias("vec_id"))
+        .distinct()
+    )
+    sizes = assign.groupBy("k").agg(F.count(F.lit(1)).alias("n_vecs"))
+    ndups = dups.groupBy("k").agg(F.count(F.lit(1)).alias("n_dups"))
+    return (
+        sizes.join(ndups, "k", "left")
+        .select(
+            F.col("k").alias("cluster"),
+            "n_vecs",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query("vec_semantic_dedup")
+def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): embedding-space near-dup removal
+    with the quadratic term BLOCKED BY K-MEANS CLUSTER — the scale path
+    for embedding dedup, next to the label-blocked exact
+    ``vec_near_dup_cosine``. With K grown ∝ corpus size, per-cluster
+    pairwise cost stays bounded at 100 TB; only the K×dim model is ever
+    collected. Rows-only by design (cluster assignment is
+    iterative/approximate); a planted-duplicate test in
+    tests/test_semantics.py asserts dup detection and determinism."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup_summary(spark, emb)

@@ -271,3 +271,37 @@ def test_approx_quantile_error_bound(spark):
         e50, e95 = exact[t]
         assert abs(a50 - e50) <= max(1.0, 0.01 * abs(e50)), (t, a50, e50)
         assert abs(a95 - e95) <= max(1.0, 0.01 * abs(e95)), (t, a95, e95)
+
+
+def test_semantic_dedup_planted_duplicate(spark):
+    """A planted exact-duplicate embedding must be flagged by SemDeDup
+    (cosine 1.0 ≥ tau within its cluster); without the plant, the random
+    unit vectors contain no pair above tau. Run twice for determinism."""
+    import hashlib
+    import math
+
+    from storm_netmonitor_spark.operators.corpus import semantic_dedup_summary
+
+    def unit(seed: int) -> list[float]:
+        # deterministic uncorrelated unit vector: hash-driven components
+        raw = [
+            int.from_bytes(
+                hashlib.sha256(f"{seed}:{i}".encode()).digest()[:4], "big"
+            )
+            / 2**31
+            - 1.0
+            for i in range(64)
+        ]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        return [x / nrm for x in raw]
+
+    vecs = [(i, unit(i)) for i in range(1, 41)]
+    vecs.append((99, unit(7)))  # exact duplicate of vec_id 7
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    out1 = [tuple(r) for r in semantic_dedup_summary(spark, emb).collect()]
+    out2 = [tuple(r) for r in semantic_dedup_summary(spark, emb).collect()]
+    assert out1 == out2, "semantic dedup is not run-to-run deterministic"
+    assert sum(n for _, _, n in out1) == 1, f"expected exactly the planted dup: {out1}"
+    assert sum(n for _, n, _ in out1) == 41
