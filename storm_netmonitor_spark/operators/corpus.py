@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.stable import dround, dround_sql
 from ..io import load_table
 from ..registry import query
-from .vectors import _DOT_DEC, _ivf_assign, _pos_explode
+from .vectors import _DOT_DEC, _dot_arrays, _ivf_assign, _pos_explode
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -255,7 +255,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic (embedding-space) dedup — SemDeDup shape
 # ---------------------------------------------------------------------------
 
-SEMDEDUP_K = 8
+#: Target k-means cluster size: K grows ∝ corpus size so the per-cluster
+#: pairwise term stays O(SEMDEDUP_CLUSTER_TARGET²) at ANY scale — the
+#: property that makes SemDeDup the embedding-dedup scale path (a fixed K
+#: would re-create the unbounded O(block²) shape the block caps exist to
+#: prevent).
+SEMDEDUP_CLUSTER_TARGET = 250
+SEMDEDUP_K_MIN = 8
 SEMDEDUP_ITERS = 3
 SEMDEDUP_TAU = 0.95
 
@@ -263,7 +269,7 @@ SEMDEDUP_TAU = 0.95
 def semantic_dedup_summary(
     spark: SparkSession,
     emb: DataFrame,
-    k: int = SEMDEDUP_K,
+    k: int | None = None,
     iters: int = SEMDEDUP_ITERS,
     tau: float = SEMDEDUP_TAU,
 ) -> DataFrame:
@@ -272,7 +278,13 @@ def semantic_dedup_summary(
     then WITHIN each cluster mark the higher ``vec_id`` of every pair with
     cosine ≥ tau as a duplicate. Returns one row per cluster:
     (cluster, n_vecs, n_dups). Exposed as a helper so the planted-pair
-    semantics test can run it over a constructed frame."""
+    semantics test can run it over a constructed frame.
+
+    The one driver-side action (``emb.count()``) sizes K for the index
+    build — legitimate: this is build-time accounting, amortized exactly
+    like the per-iteration K×dim model collect."""
+    if k is None:
+        k = max(SEMDEDUP_K_MIN, emb.count() // SEMDEDUP_CLUSTER_TARGET)
     cand = _pos_explode(emb, "vec_id").cache()
     cent = (
         cand.filter(F.col("vec_id").isin(*range(1, k + 1)))
@@ -300,19 +312,20 @@ def semantic_dedup_summary(
         cent = spark.createDataFrame(model, "k int, pos int, cx double")
 
     assign = _ivf_assign(cand, cent)
-    blocked = cand.join(assign, "vec_id")
-    a = blocked.select("k", "pos", "vec_id", "x")
-    b = blocked.select(
-        "k", "pos", F.col("vec_id").alias("vid2"), F.col("x").alias("x2")
+    # pairwise WITHIN cluster on the un-exploded arrays: the join carries
+    # one row per pair (not 64 per pair) and the decimal dot is row-local
+    ve = emb.join(assign, "vec_id")
+    a = ve.select("k", "vec_id", "embedding")
+    b = ve.select(
+        "k", F.col("vec_id").alias("vid2"), F.col("embedding").alias("emb2")
     )
     pairs = (
-        a.join(b, ["k", "pos"])
+        a.join(b, "k")
         .filter(F.col("vec_id") < F.col("vid2"))
-        .groupBy("k", "vec_id", "vid2")
-        .agg(
-            F.round(F.sum((F.col("x") * F.col("x2")).cast(_DOT_DEC)), 6)
-            .cast("double")
-            .alias("cos")
+        .select(
+            "k",
+            "vid2",
+            _dot_arrays(F.col("embedding"), F.col("emb2")).alias("cos"),
         )
     )
     dups = (

@@ -190,3 +190,21 @@ def test_sorted_layout_clusters_row_groups(spark):
     u = t.column("user_id").to_pylist()
     assert u == sorted(u), "user_id not sorted within partition file"
     assert n_users > 0
+
+
+def test_corpus_rowlocal_ops_have_no_shuffle(spark):
+    """PII redaction and the Gopher repetition rules are pure row-local
+    projections — any Exchange in their plan is a regression."""
+    for name in ("text_pii_redact", "text_quality_gopher"):
+        p = plan(QUERIES[name](spark, SF_CORRECT))
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+        read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+        assert "text:string" in read[0] and "n_chars" not in read[0], read
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set and contaminated-id set are small relative
+    to the training corpus — both joins must broadcast, never sort-merge."""
+    p = plan(QUERIES["text_decontaminate"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, p

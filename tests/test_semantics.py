@@ -300,8 +300,8 @@ def test_semantic_dedup_planted_duplicate(spark):
     emb = spark.createDataFrame(
         vecs, "vec_id long, embedding array<double>"
     )
-    out1 = [tuple(r) for r in semantic_dedup_summary(spark, emb).collect()]
-    out2 = [tuple(r) for r in semantic_dedup_summary(spark, emb).collect()]
+    out1 = [tuple(r) for r in semantic_dedup_summary(spark, emb, k=8).collect()]
+    out2 = [tuple(r) for r in semantic_dedup_summary(spark, emb, k=8).collect()]
     assert out1 == out2, "semantic dedup is not run-to-run deterministic"
     assert sum(n for _, _, n in out1) == 1, f"expected exactly the planted dup: {out1}"
     assert sum(n for _, n, _ in out1) == 41
