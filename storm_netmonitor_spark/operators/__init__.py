@@ -24,6 +24,7 @@ _MODULES = (
     "pipeline",
     "extras",
     "corpus",
+    "tpch",
 )
 
 

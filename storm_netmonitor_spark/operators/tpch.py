@@ -1,0 +1,698 @@
+"""TPC-H decision-support suite (SURVEY §2.N — round-2 addendum).
+
+The driver's testdata is a reduced TPC-H star schema (TESTDATA.md): there is
+no ``partsupp`` table, ``lineitem`` lacks commit/receipt dates and shipmode,
+``customer`` lacks phone/address. This module implements every classic
+TPC-H query expressible on that schema — adapted where a missing column
+forces it (each adaptation is noted on the query) — as first-class oracled
+operators. Q1 and Q5 shapes already exist (``agg_group_pricing``,
+``join_star_multiway``) and are not duplicated.
+
+Netmonitor anchor: the reference's dashboard queries are exactly these
+shapes — top-k by revenue ≙ top-k hosts by traffic, priority counts ≙
+alert-class counts, market share ≙ per-tenant bandwidth share.
+
+Scale notes (the plans you'd want on 1000 executors / 100 TB):
+- ``part``/``supplier``/``nation``/``region`` are dimension tables —
+  broadcast explicitly; the fact side (lineitem/orders) never shuffles for
+  a dim join.
+- Aggregate-before-join wherever semantics allow (q15 revenue per supplier,
+  q18 per-order quantity) so the shuffle carries the reduced, not raw, rows.
+- Correlated EXISTS / NOT EXISTS are expressed as semi/anti joins or
+  per-key aggregates — Catalyst's decorrelation output, written directly.
+- All float aggregates use the decimal-stable helpers (functions/stable.py)
+  so results are bit-identical across engines AND across partition orders —
+  the property that matters when 1000 executors merge partial aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.stable import (
+    davg,
+    davg_sql,
+    dround,
+    dround_sql,
+    dsum,
+    dsum_sql,
+    ts_str,
+    ts_str_sql,
+)
+from ..io import load_table
+from ..registry import query
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "tpch_q03",
+    oracle=f"""
+SELECT
+  l_orderkey,
+  {dsum_sql(_REV)} AS revenue,
+  {ts_str_sql('o_orderdate')} AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority (adapted: no o_shippriority column). Top-10
+    unshipped-revenue orders for one segment. Customer is the small side of
+    the first join at any SF ratio — broadcast; ties broken on l_orderkey
+    so the LIMIT is deterministic."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(_rev()).alias("revenue"))
+        .select("l_orderkey", "revenue", ts_str("o_orderdate").alias("orderdate"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q04",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (adapted: "late" = shipped >60 days after
+    order date, since commit/receipt dates don't exist). The EXISTS is a
+    left-semi join on the order key with the lateness predicate in the join
+    condition — one shuffle, no decorrelation subquery machinery needed."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q06",
+    oracle=f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting revenue change — pure scan+filter+global agg; every
+    predicate pushes to the parquet scan, the agg is a two-phase partial
+    (map-side combine), zero-shuffle except the 1-row final merge."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q07",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {dsum_sql('volume')} AS revenue
+FROM (
+  SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+    {_REV} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between two nations. Both nation dims broadcast;
+    the OR-pair predicate lands after the broadcasts so Catalyst can still
+    push the single-nation IN-filters into supplier/customer scans."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ["NATION_1", "NATION_2"]
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (F.col("supp_nation").isin(pair))
+            & (F.col("cust_nation").isin(pair))
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q08",
+    oracle=f"""
+SELECT
+  o_year,
+  {dround_sql('nation_rev / total_rev')} AS mkt_share
+FROM (
+  SELECT
+    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    {dsum_sql("CASE WHEN n2.n_name = 'NATION_2' THEN " + _REV + " ELSE 0.0 END", 4)} AS nation_rev,
+    {dsum_sql(_REV, 4)} AS total_rev
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  GROUP BY o_year
+) shares
+""",
+)
+def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share — NATION_2's share of ASIA-customer PROMO
+    volume per order year. Part/supplier/nation/region all broadcast; the
+    share is a conditional-over-total ratio computed in one grouped pass
+    (no self-join of two aggregates)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _rev()
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0), 4
+            ).alias("nation_rev"),
+            dsum(vol, 4).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            dround(F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
+    )
+
+
+@query(
+    "tpch_q09",
+    oracle=f"""
+SELECT nation, o_year, {dsum_sql('volume')} AS sum_profit
+FROM (
+  SELECT
+    n_name AS nation,
+    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    {_REV} AS volume
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit (adapted: no partsupp/ps_supplycost, so
+    profit = discounted revenue). The LIKE-filtered part dim broadcasts and
+    prunes lineitem FIRST — the highest-selectivity join runs before the
+    orders join so the big shuffle carries ~12% of lineitem."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(_rev()).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+SELECT
+  c_custkey, c_name, {dsum_sql(_REV)} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting (adapted: no phone/address/comment
+    columns) — top-20 customers by lost revenue in a quarter. Both filters
+    push to scans; the group-by keys ride the customer join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution (adapted: the excluded-comment
+    predicate becomes an order-priority exclusion). Two cascaded aggs; the
+    second input is one row per customer — tiny shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+SELECT {dround_sql('100.0 * promo_rev / total_rev')} AS promo_share
+FROM (
+  SELECT
+    {dsum_sql("CASE WHEN p_type = 'PROMO' THEN " + _REV + " ELSE 0.0 END", 4)} AS promo_rev,
+    {dsum_sql(_REV, 4)} AS total_rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+) m
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect — PROMO share of one month's revenue. Part
+    broadcasts; conditional + total aggregate in a single pass."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = _rev()
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0), 4).alias(
+                "promo_rev"
+            ),
+            dsum(vol, 4).alias("total_rev"),
+        )
+        .select(
+            dround(100.0 * F.col("promo_rev") / F.col("total_rev")).alias(
+                "promo_share"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {dsum_sql(_REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier — revenue view + scalar-max subquery. The max is an
+    unpartitioned window over the ALREADY-AGGREGATED per-supplier rows
+    (100 rows per 10k suppliers of lineitem), not over raw lineitem — the
+    aggregate-then-rank order matters at scale. Decimal-stable revenue
+    makes the equality-with-max exact, not ULP-lucky."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev()).alias("total_revenue")
+    )
+    top = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    return (
+        F.broadcast(top)
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle=f"""
+SELECT {dround_sql('yearly / 7.0', 2)} AS avg_yearly
+FROM (
+  SELECT {dsum_sql('l_extendedprice', 4)} AS yearly
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'
+    AND l_quantity < (
+      SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = part.p_partkey
+    )
+) t
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue — correlated scalar subquery
+    (per-part average quantity), decorrelated by hand into a per-part
+    aggregate joined back. Quantities are small integers stored as double,
+    so AVG is exact IEEE and the 0.2× threshold is engine-identical. The
+    per-part avg covers ALL lineitems (not just Brand#13), matching the
+    correlated-subquery semantics."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    per_part = l.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(dsum("l_extendedprice", 4).alias("yearly"))
+        .select(dround(F.col("yearly") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+SELECT
+  c_name, c_custkey, o_orderkey,
+  {ts_str_sql('o_orderdate')} AS orderdate,
+  o_totalprice,
+  {dsum_sql('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers. The IN-subquery is an aggregate-then-
+    semi-join: per-order quantity sums reduce lineitem ~4:1 BEFORE any
+    join, and the surviving key set (46 orders at sf0.01) broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ts_str("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+SELECT {dsum_sql(_REV)} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue (adapted: p_container doesn't exist, so the
+    three arms discriminate on brand/size/quantity). Single broadcast
+    equi-join on partkey with the OR-of-ANDs as a post-join filter — NOT
+    three unioned joins; the brand IN-superset still pushes to the part
+    scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#13", "Brand#20")
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    arm1 = (F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#13") & sz.between(1, 25) & q.between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#20") & sz.between(1, 35) & q.between(20, 30)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_3'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting (adapted: "late" = shipped
+    >90 days after order date). The EXISTS / NOT-EXISTS pair is rewritten
+    as ONE per-order aggregate — distinct suppliers and distinct LATE
+    suppliers — instead of two correlated self-joins of the fact table:
+    a qualifying l1 row is a late row in an order with ≥2 suppliers where
+    the only late supplier is l1's own. One lineitem shuffle on orderkey
+    serves both the aggregate and the join back."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = l.join(
+        o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle=f"""
+SELECT n_name, COUNT(*) AS numcust, {dsum_sql('c_acctbal')} AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n_name
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity (adapted: no phone column, so the
+    country code becomes the nation; "no orders" becomes "no orders since
+    2000" — every customer has SOME order in this data). Scalar avg
+    broadcasts as a 1-row cross join; the NOT EXISTS is an anti join on
+    the date-filtered orders. The threshold uses the decimal-stable avg so
+    boundary customers don't flip between engines."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

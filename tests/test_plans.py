@@ -82,11 +82,11 @@ def test_partitioned_sink_prunes_partitions(spark):
 
 
 # Queries whose plan legitimately contains a cartesian/nested-loop shape:
-# join_cross IS a cartesian by definition; text_tfidf_topk cross-joins a
-# broadcast 1-row corpus-count aggregate (O(n), not quadratic). The
+# join_cross IS a cartesian by definition; text_tfidf_topk and tpch_q22
+# cross-join a broadcast 1-row scalar aggregate (O(n), not quadratic). The
 # interval join's whitelist entry would be a bug — keep it out and let the
 # test prove it stays out.
-_CARTESIAN_OK = {"join_cross", "text_tfidf_topk"}
+_CARTESIAN_OK = {"join_cross", "text_tfidf_topk", "tpch_q22"}
 
 
 def _is_streaming(fn) -> bool:
@@ -208,3 +208,21 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     p = plan(QUERIES["text_decontaminate"](spark, SF_CORRECT))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, p
+
+
+def test_tpch_dim_joins_broadcast(spark):
+    """The TPC-H star joins must broadcast every dimension side — the fact
+    table (lineitem) may shuffle only for its agg keys / fact-fact joins,
+    never to co-locate with a dim."""
+    for name, min_bhj in (("tpch_q09", 3), ("tpch_q08", 5), ("tpch_q07", 3)):
+        p = plan(QUERIES[name](spark, SF_CORRECT))
+        n_bhj = p.count("BroadcastHashJoin")
+        assert n_bhj >= min_bhj, f"{name}: {n_bhj} broadcast joins\n{p}"
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    """Q18's IN-subquery must reduce lineitem to per-order sums BEFORE the
+    semi join (aggregate below the join in the plan), and the surviving
+    key set must broadcast."""
+    p = plan(QUERIES["tpch_q18"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
