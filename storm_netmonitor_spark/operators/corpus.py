@@ -19,9 +19,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.stable import dround, dround_sql
+from ..functions.stable import DEC, DEC_SQL, dround, dround_sql
 from ..io import load_table
 from ..registry import query
 from .vectors import _DOT_DEC, _dot_arrays, _ivf_assign, _pos_explode
@@ -343,6 +343,249 @@ def semantic_dedup_summary(
             F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-document boilerplate detection (CCNet-style repetition ACROSS docs)
+# ---------------------------------------------------------------------------
+
+#: Boilerplate = a word 3-gram appearing in more than BOILER_DF distinct
+#: documents (the cross-document sibling of the within-document Gopher
+#: rules); a doc is dropped when boilerplate grams exceed BOILER_SHARE_MAX
+#: of its distinct grams.
+BOILER_NGRAM = 3
+BOILER_DF = 5
+BOILER_SHARE_MAX = 0.30
+
+
+@query(
+    "text_boilerplate_share",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - {BOILER_NGRAM - 1}),
+             i -> array_to_string(toks[i : i + {BOILER_NGRAM - 1}], ' ')))) AS gram
+  FROM t
+), boiler AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > {BOILER_DF}
+), per_doc AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM g LEFT JOIN boiler b USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       {dround_sql('COALESCE(p.n_boiler / p.n_grams, 0.0)')} AS boiler_share,
+       COALESCE(p.n_boiler / p.n_grams, 0.0) <= {BOILER_SHARE_MAX} AS keep
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet/RefinedWeb shape): a word
+    3-gram present in > BOILER_DF distinct documents is boilerplate
+    (headers, footers, nav chrome in real corpora); each doc reports its
+    boilerplate share and a keep verdict.
+
+    Scale: per-doc DISTINCT grams bound the explode fan-out (so per-gram
+    counts ARE document frequencies); one shuffle on gram computes the DF
+    table; the resulting blocklist is small by construction (high-DF grams
+    only) → broadcast back — no second shuffle of the gram stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= BOILER_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (BOILER_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, BOILER_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    boiler = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > BOILER_DF)
+        .select("gram")
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        g.join(F.broadcast(boiler), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    share = F.col("n_boiler") / F.col("n_grams")
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            dround(F.coalesce(share, F.lit(0.0))).alias("boiler_share"),
+            (F.coalesce(share, F.lit(0.0)) <= BOILER_SHARE_MAX).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture weighting (temperature sampling)
+# ---------------------------------------------------------------------------
+
+#: Mixture temperature alpha (weights ∝ tokens^alpha, the multilingual
+#: pretraining standard — alpha=1 keeps the natural mix, alpha→0 goes
+#: uniform) and the token budget as a fraction of the corpus.
+MIX_ALPHA = 0.5
+MIX_BUDGET_FRAC = 0.5
+
+
+@query(
+    "pipeline_mixture_weights",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS toks,
+         pow(CAST(SUM(n_chars) AS DOUBLE), {MIX_ALPHA}) AS w_raw
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT source, n_docs, toks, w_raw,
+         CAST(SUM(CAST(w_raw AS {DEC_SQL})) OVER () AS DOUBLE) AS sum_w,
+         CAST(SUM(CAST(toks AS {DEC_SQL})) OVER () AS DOUBLE) AS sum_toks
+  FROM per_src
+), shares AS (
+  SELECT source, n_docs, toks,
+         {dround_sql('w_raw / sum_w')} AS target_share,
+         {dround_sql('toks / sum_toks')} AS actual_share,
+         sum_toks
+  FROM tot
+)
+SELECT source, n_docs, toks, target_share, actual_share,
+       {dround_sql(f'least(1.0, target_share * sum_toks * {MIX_BUDGET_FRAC} / toks)')}
+         AS sampling_rate
+FROM shares
+""",
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture weighting (NORTH: temperature sampling over corpus
+    sources, the mBERT/XLM alpha-scaling rule): per source, the
+    alpha-scaled target share, the natural share, and the deterministic
+    sampling rate that hits a half-of-corpus token budget (MIX_BUDGET_FRAC)
+    at the target mixture.
+
+    Scale: one partial-aggregated shuffle reduces the corpus to ONE ROW
+    PER SOURCE; the unpartitioned windows run over that reduced frame
+    (dozens of rows at any corpus size), never over raw documents. Sums
+    bounce through decimal so the shares are partition-order-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("toks"),
+    )
+    w_raw = F.pow(F.col("toks").cast("double"), MIX_ALPHA)
+    everything = Window.partitionBy()
+    tot = per_src.select(
+        "source",
+        "n_docs",
+        "toks",
+        w_raw.alias("w_raw"),
+        F.sum(w_raw.cast(DEC)).over(everything).cast("double").alias("sum_w"),
+        F.sum(F.col("toks").cast(DEC))
+        .over(everything)
+        .cast("double")
+        .alias("sum_toks"),
+    )
+    shares = tot.select(
+        "source",
+        "n_docs",
+        "toks",
+        dround(F.col("w_raw") / F.col("sum_w")).alias("target_share"),
+        dround(F.col("toks") / F.col("sum_toks")).alias("actual_share"),
+        "sum_toks",
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("target_share") * F.col("sum_toks") * MIX_BUDGET_FRAC / F.col("toks"),
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        "toks",
+        "target_share",
+        "actual_share",
+        dround(rate).alias("sampling_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed windows with overlap)
+# ---------------------------------------------------------------------------
+
+#: Chunk window and stride in characters (stride < window ⇒ overlapping
+#: context windows, the long-document training prep).
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+
+@query(
+    "pipeline_chunk_documents",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         unnest(generate_series(
+             0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}.0) AS BIGINT)))
+           AS chunk_id,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT),
+                          {CHUNK_CHARS})) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT),
+                  {CHUNK_CHARS})) AS chunk_md5
+FROM c
+""",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (NORTH: long-document →
+    training-window prep; CHUNK_CHARS-wide windows every CHUNK_STRIDE
+    chars ⇒ 50-char overlap between consecutive chunks).
+
+    Scale: row-local sequence+explode — fan-out is len/stride per doc
+    (bounded by document length), no shuffle anywhere; the chunk table
+    inherits the input partitioning, ready for a downstream tokenize/pack
+    stage."""
+    d = load_table(spark, sf_dir, "documents")
+    n_last = F.floor((F.length("text") - 1) / CHUNK_STRIDE)
+    c = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_last)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int")
+    chunk = F.substring(F.col("text"), start, CHUNK_CHARS)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        start.cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
     )
 
 

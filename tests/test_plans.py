@@ -226,3 +226,10 @@ def test_tpch_q18_aggregates_before_join(spark):
     key set must broadcast."""
     p = plan(QUERIES["tpch_q18"](spark, SF_CORRECT))
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+
+
+def test_chunking_is_rowlocal(spark):
+    """Document chunking is explode+substring — any Exchange is a
+    regression (the chunk table must inherit the input partitioning)."""
+    p = plan(QUERIES["pipeline_chunk_documents"](spark, SF_CORRECT))
+    assert "Exchange" not in p, p
