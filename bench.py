@@ -50,6 +50,9 @@ EXTRA_REPORTED = [
     "text_near_dedup_minhash",  # MinHash+LSH banding dedup
     "vec_ann_ivf",  # IVF approximate nearest neighbor (distributed Lloyd)
     "text_ngram_jaccard",  # df-capped shingle-join verification stage
+    "tpch_q08",  # heaviest TPC-H addendum join (8-table, 5 broadcasts)
+    "tpch_q21",  # EXISTS/NOT-EXISTS rewrite (per-order aggregate + join-back)
+    "text_boilerplate_share",  # cross-doc gram DF shuffle + broadcast-back
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
