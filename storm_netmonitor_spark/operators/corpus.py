@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.stable import DEC, DEC_SQL, dround, dround_sql
 from ..io import load_table
 from ..registry import query
+from .text import NGRAM_JACCARD_MIN, NGRAM_PAIRS_CTE, text_ngram_jaccard
 from .vectors import _DOT_DEC, _dot_arrays, _ivf_assign, _pos_explode
 
 # ---------------------------------------------------------------------------
@@ -587,6 +588,97 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("long").alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+#: Iteration cap for min-label propagation: components converge within
+#: their graph diameter, and near-dup clusters are shallow; the cap only
+#: guards a pathological chain from looping forever.
+CC_MAX_ITERS = 20
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label-propagation connected components: every node starts as its
+    own component; each round a node adopts the smallest component id among
+    itself and its neighbors, until a fixpoint. Returns (doc_id, component)
+    where component = min doc_id reachable.
+
+    Scale: the classic Spark CC loop — per round one shuffle to propagate
+    labels over edges plus one join to update, O(diameter) rounds (near-dup
+    clusters are shallow; power graphs would use large-star/small-star).
+    ``localCheckpoint`` truncates the lineage each round so the plan does
+    not grow with iterations; the per-round convergence count is the only
+    driver action, the data never leaves the executors."""
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    bi = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    for _ in range(CC_MAX_ITERS):
+        neigh = (
+            labels.join(bi, labels.doc_id == bi.doc_a)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("neigh_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("neigh_min", F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.select("doc_id", "component")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@query(
+    "text_dedup_components",
+    oracle=f"""
+WITH RECURSIVE {NGRAM_PAIRS_CTE}, sim AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {NGRAM_JACCARD_MIN}
+), bi AS (
+  SELECT doc_a AS s, doc_b AS d FROM sim
+  UNION ALL
+  SELECT doc_b, doc_a FROM sim
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT b.d, r.lbl FROM reach r JOIN bi b ON b.s = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach GROUP BY node
+""",
+)
+def text_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (NORTH: the finishing stage of every
+    near-dedup pipeline): connected components over the n-gram-Jaccard
+    near-dup pairs, so A~B and B~C land in ONE cluster even when A≁C and a
+    single keeper (the min doc_id = the component label) can be elected
+    per cluster.
+
+    The edge set is the SAME pair definition text_ngram_jaccard checks
+    (shared CTE / threshold constants), and the oracle resolves components
+    with a recursive CTE — a full hash check of a genuinely iterative
+    distributed algorithm."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = text_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(d.select("doc_id"), edges)
 
 
 @query("vec_semantic_dedup")

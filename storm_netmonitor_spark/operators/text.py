@@ -443,10 +443,11 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_DF_CAP = 1000
 
 
-@query(
-    "text_ngram_jaccard",
-    oracle=f"""
-WITH toks AS (
+#: The pair-generation CTE chain, shared verbatim with the
+#: text_dedup_components oracle (corpus.py) so the two stages of the
+#: dedup pipeline — pair discovery and component resolution — are checked
+#: against the SAME edge definition.
+NGRAM_PAIRS_CTE = f"""toks AS (
   SELECT doc_id, lang, source, list_filter({_TOKENS_SQL}, t -> t <> '') AS tk
   FROM documents
 ), grams AS (
@@ -473,7 +474,17 @@ WITH toks AS (
     ON a.lang = b.lang AND a.source = b.source
    AND a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+#: Jaccard threshold for a pair to count as near-duplicate (shared with
+#: the component-resolution stage).
+NGRAM_JACCARD_MIN = 0.05
+
+
+@query(
+    "text_ngram_jaccard",
+    oracle=f"""
+WITH {NGRAM_PAIRS_CTE}
 SELECT
   doc_a, doc_b,
   {dround_sql('CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)', 4)} AS jaccard
@@ -535,7 +546,7 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
-        .filter(jac >= 0.05)
+        .filter(jac >= NGRAM_JACCARD_MIN)
         .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
 

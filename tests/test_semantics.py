@@ -305,3 +305,14 @@ def test_semantic_dedup_planted_duplicate(spark):
     assert out1 == out2, "semantic dedup is not run-to-run deterministic"
     assert sum(n for _, _, n in out1) == 1, f"expected exactly the planted dup: {out1}"
     assert sum(n for _, n, _ in out1) == 41
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A~B and B~C must land in one component even though A and C share no
+    edge; disconnected pairs stay separate; singletons label themselves."""
+    from storm_netmonitor_spark.operators.corpus import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
