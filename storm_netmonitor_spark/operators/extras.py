@@ -144,3 +144,75 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC-style incremental-refresh detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 100 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT
+  COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+  CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+       WHEN new.o_orderkey IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  old.o_totalprice AS old_price,
+  new.o_totalprice AS new_price
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.o_totalprice <> new.o_totalprice
+""",
+)
+def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (NM: config/topology refresh detection; NORTH:
+    incremental corpus refresh — which docs were added/removed/changed
+    between two crawl snapshots). Two deterministic views of ``orders``
+    stand in for the snapshots (keys %100 missing from old = inserts,
+    %13 dropped from new = deletes, %7 repriced = updates); the diff is
+    a single full-outer join on the key with a value comparison, emitting
+    only changed rows.
+
+    Scale: one co-partitioned shuffle join on the snapshot key — the same
+    plan at any size; with both snapshots bucketed by key (sink_sorted_
+    layout) the exchange disappears entirely. Unchanged rows are filtered
+    before any downstream consumer sees them."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 100 != 0).withColumnRenamed(
+        "o_totalprice", "old_price"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_price"),
+        )
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    return j.filter(
+        F.col("old_price").isNull()
+        | F.col("new_price").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_price",
+        "new_price",
+    )
