@@ -13,7 +13,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import dsum, dsum_sql
+from ..functions.stable import davg, davg_sql, dsum, dsum_sql, ts_str, ts_str_sql
 from ..io import load_table
 from ..registry import query
 
@@ -215,4 +215,80 @@ def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type"),
         "old_price",
         "new_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (regular grid + forward fill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_gapfill",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         {davg_sql('value')} AS v
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), j AS (
+  SELECT g.user_id, g.h, hr.v
+  FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+)
+SELECT user_id,
+       {ts_str_sql('h')} AS hour_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       v IS NULL AS was_gap
+FROM j
+""",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (NM: regularize each host's sparse metric
+    samples onto an hourly grid with last-observation-carried-forward —
+    the step before any rate/SLA math on telemetry). Per-user hourly
+    means → per-user min/max bounds → dense hour grid (sequence+explode)
+    → forward fill via a running ``last(ignorenulls)`` window.
+
+    Scale: the grid explode is per-user-bounded (hours in the user's own
+    span, not the global span); ONE shuffle on user_id serves the hourly
+    agg, the grid join, and the ordered fill window — Catalyst reuses the
+    partitioning across all three. Restricted to one week so the oracle
+    compare stays fast; the plan is span-independent."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    from pyspark.sql import Window
+
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(davg("value").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        ts_str("h").alias("hour_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNull().alias("was_gap"),
     )
