@@ -619,11 +619,12 @@ LIMIT 20
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting (adapted: "late" = shipped
     >90 days after order date). The EXISTS / NOT-EXISTS pair is rewritten
-    as ONE per-order aggregate — distinct suppliers and distinct LATE
-    suppliers — instead of two correlated self-joins of the fact table:
-    a qualifying l1 row is a late row in an order with ≥2 suppliers where
-    the only late supplier is l1's own. One lineitem shuffle on orderkey
-    serves both the aggregate and the join back."""
+    as per-order WINDOW aggregates — distinct suppliers and distinct LATE
+    suppliers over ``partitionBy(l_orderkey)`` — instead of a groupBy +
+    join-back (which planned the lineitem⋈orders subtree TWICE, no
+    exchange reuse): a qualifying l1 row is a late row in an order with
+    ≥2 suppliers where the only late supplier is l1's own. ONE lineitem
+    shuffle on orderkey feeds both window counts and the filter."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -634,16 +635,22 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    w = Window.partitionBy("l_orderkey")
+    counted = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late_supp"),
     )
     return (
-        lo.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        counted.filter(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
