@@ -13,7 +13,16 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import davg, davg_sql, dsum, dsum_sql, ts_str, ts_str_sql
+from ..functions.stable import (
+    davg,
+    davg_sql,
+    dround,
+    dround_sql,
+    dsum,
+    dsum_sql,
+    ts_str,
+    ts_str_sql,
+)
 from ..io import load_table
 from ..registry import query
 
@@ -291,4 +300,158 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("h").alias("hour_ts"),
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("v").isNull().alias("was_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew JOIN (the join-side sibling of agg_salted_skew)
+# ---------------------------------------------------------------------------
+
+#: Salt fan-out for the hot-key join. The dim side is replicated SALT_N×,
+#: so pick the smallest value that splits the hot key below the skew
+#: threshold — at 100 TB this comes from key-frequency stats, here fixed.
+SALT_N = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+WITH facts AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_custkey % 10 < 5 THEN 0 ELSE o_custkey % 50 END AS hot_key
+  FROM orders
+), dim AS (
+  SELECT c_custkey % 50 AS hot_key, COUNT(*) AS n_cust,
+         {dsum_sql('c_acctbal')} AS dim_bal
+  FROM customer GROUP BY 1
+)
+SELECT f.hot_key, COUNT(*) AS n_orders, {dsum_sql('f.o_totalprice')} AS revenue,
+       MAX(d.n_cust) AS n_cust, MAX(d.dim_bal) AS dim_bal
+FROM facts f JOIN dim d ON f.hot_key = d.hot_key
+GROUP BY f.hot_key
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN: half the fact rows share ONE key (planted via
+    ``o_custkey%10<5 → key 0``), the worst case for a hash join — one
+    task gets half the table. The fact side appends a deterministic salt
+    (``o_orderkey % SALT_N``), the dim side is replicated SALT_N× by an
+    exploded sequence, and the join runs on (key, salt) — the hot key's
+    rows spread over SALT_N tasks. The oracle is the PLAIN unsalted join:
+    salting must be result-invisible.
+
+    Scale: this is the manual fallback when AQE's skew-join split can't
+    help (e.g. the skew is in a broadcast-ineligible dim or a grouped
+    aggregate follows); dim replication costs SALT_N × |dim|, paid only
+    on the small side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    facts = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_custkey") % 10 < 5, 0)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("hot_key"),
+        (F.col("o_orderkey") % SALT_N).alias("salt"),
+    )
+    dim = (
+        c.groupBy((F.col("c_custkey") % 50).alias("hot_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("dim_bal"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1))))
+    )
+    return (
+        facts.join(dim, ["hot_key", "salt"])
+        .groupBy("hot_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.max("n_cust").alias("n_cust"),
+            F.max("dim_bal").alias("dim_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8 storage path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vec_quantize_int8",
+    oracle=f"""
+WITH p AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_min(e) AS mn,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM p
+), q AS (
+  SELECT vec_id, mn, scale,
+         list_transform(e, x -> CAST(floor((x - mn) / scale + 0.5) AS BIGINT))
+           AS qv,
+         e
+  FROM s
+)
+SELECT vec_id,
+       {dround_sql('mn')} AS zero_point,
+       {dround_sql('scale', 8)} AS scale,
+       array_to_string(qv, ',') AS quantized,
+       {dround_sql('list_max(list_transform(list_zip(e, qv), t -> abs(t[1] - (mn + t[2] * scale))))', 6)}
+         AS max_abs_err
+FROM q
+""",
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) affine quantization of the embedding
+    column — the 4× storage-reduction path every embedding store runs
+    before ANN indexing; reports the reconstruction error bound.
+
+    The random test embeddings have per-vector range >0 so scale is never
+    zero (a production guard would special-case constant vectors). Uses
+    explicit ``floor(x + 0.5)`` rounding so Spark and DuckDB agree at
+    .5 boundaries (round() is half-even in one engine, half-up in the
+    other).
+
+    Scale: pure row-local array HOFs — zero shuffle, codegen'd scan; the
+    quantized array serializes to a string so the driver's canonicalizer
+    can hash it (same convention as agg_collect_sorted)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", e.alias("e"))
+    d = d.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("mn"),
+        ((F.array_max("e") - F.array_min("e")) / 255.0).alias("scale"),
+    )
+    qv = F.transform(
+        "e",
+        lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5).cast("long"),
+    )
+    d = d.select("vec_id", "mn", "scale", qv.alias("qv"), "e")
+    recon_err = F.array_max(
+        F.zip_with(
+            "e",
+            "qv",
+            lambda x, q: F.abs(x - (F.col("mn") + q * F.col("scale"))),
+        )
+    )
+    # recon_err must be projected BEFORE the output aliases: the final
+    # select re-aliases a rounded column as "scale", and a lambda's
+    # F.col("scale") in the same projection resolves to that sibling
+    # alias, silently computing the error against the ROUNDED scale
+    # (found via oracle hash mismatch — the oracle uses the raw scale).
+    d = d.select("vec_id", "mn", "scale", "qv", recon_err.alias("raw_err"))
+    return d.select(
+        "vec_id",
+        dround("mn").alias("zero_point"),
+        dround("scale", 8).alias("scale"),
+        F.concat_ws(",", F.col("qv").cast("array<string>")).alias("quantized"),
+        dround("raw_err", 6).alias("max_abs_err"),
     )
