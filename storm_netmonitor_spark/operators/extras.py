@@ -455,3 +455,78 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.col("qv").cast("array<string>")).alias("quantized"),
         dround("raw_err", 6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest statistics (metadata-only query answering, table-format style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_manifest_stats",
+    oracle="""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n_rows,
+       MIN(user_id) AS min_user_id,
+       MAX(user_id) AS max_user_id
+FROM events
+GROUP BY 1
+""",
+)
+def scan_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest/metadata-only query answering (the Iceberg/Delta trick a
+    modern table format does for free): per-date row counts and key
+    min/max computed from PARQUET FOOTERS ALONE — zero data pages read —
+    over the sorted production layout (scans.sorted_layout_dir). The
+    oracle computes the same stats from the raw data: footer statistics
+    must be exact.
+
+    Scale: the driver only LISTS files (what any Spark scan's file index
+    does); footers are opened on EXECUTORS via mapInPandas over the
+    path list — thousands of ~KB footer reads spread across the cluster,
+    no driver loop, no data-page I/O."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    from .scans import sorted_layout_dir
+
+    root = sorted_layout_dir(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(root, "event_date=*", "*.parquet")))
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        8
+    )
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                date = p.split("event_date=")[1].split(os.sep)[0]
+                mins, maxs, nrows = [], [], 0
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    nrows += g.num_rows
+                    col = next(
+                        g.column(i)
+                        for i in range(g.num_columns)
+                        if g.column(i).path_in_schema == "user_id"
+                    )
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                out.append((date, nrows, min(mins), max(maxs)))
+            yield _pd.DataFrame(
+                out, columns=["event_date", "n_rows", "min_user_id", "max_user_id"]
+            )
+
+    stats = fdf.mapInPandas(
+        read_footers,
+        "event_date string, n_rows long, min_user_id long, max_user_id long",
+    )
+    return stats.groupBy("event_date").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_user_id").alias("min_user_id"),
+        F.max("max_user_id").alias("max_user_id"),
+    )
