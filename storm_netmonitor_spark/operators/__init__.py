@@ -25,6 +25,7 @@ _MODULES = (
     "extras",
     "corpus",
     "tpch",
+    "surface",
 )
 
 

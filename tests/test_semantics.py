@@ -316,3 +316,28 @@ def test_connected_components_chain_transitivity(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
     got = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_hll_sketch_merge_consistency(spark):
+    """The per-day HLL sketches must union to (a) an estimate within 5% of
+    the exact global distinct count and (b) the SAME estimate a direct
+    whole-table sketch gives — mergeability is the entire 100 TB point."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import load_table
+
+    rows = {
+        r.event_date: r.distinct_users_est
+        for r in QUERIES["agg_sketch_hll"](spark, SF_CORRECT).collect()
+    }
+    merged_est = rows.pop("__ALL__")
+    e = load_table(spark, SF_CORRECT, "events")
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged_est - exact) <= max(2, 0.05 * exact), (
+        f"merged {merged_est} vs exact {exact}"
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est")
+    ).first()
+    assert merged_est == direct.est, "daily-union estimate != direct estimate"
+    assert rows, "no per-day rows"
