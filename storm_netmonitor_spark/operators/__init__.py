@@ -26,6 +26,7 @@ _MODULES = (
     "corpus",
     "tpch",
     "surface",
+    "corpus2",
 )
 
 

@@ -1,0 +1,223 @@
+"""Round-2 corpus-analytics extensions: token-budget corpus cuts, Zipf
+frequency profiles, and word co-occurrence mining.
+
+Registered AFTER ``surface`` (see operators/__init__ note): new modules
+must not displace operators still awaiting a driver verdict from the
+capped per-round check window.
+
+Reference citations: /root/reference is empty this round (SURVEY §0.1);
+these realize the north-star LLM-data-pipeline mandate [L BASELINE.json:6].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.stable import dround, dround_sql
+from ..io import load_table
+from ..registry import query
+
+#: Tokenizer shared with operators/text.py:29-36 — lowercase, split on
+#: single spaces, drop empty tokens (trailing-space artifacts).
+_TOKS = "array_remove(split(lower(text), ' '), '')"
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+#: Per-source token budget for the corpus cut (chosen so at sf0.01 every
+#: source keeps some docs and drops some — both branches exercised).
+_TOKEN_BUDGET = 300
+
+
+@query(
+    "pipeline_token_budget",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens,
+         md5('tb:' || doc_id) AS priority
+  FROM documents
+), cum AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(CASE WHEN running <= {_TOKEN_BUDGET} THEN 1 END) AS BIGINT)
+         AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN running <= {_TOKEN_BUDGET} THEN n_tokens END), 0)
+         AS BIGINT) AS kept_tokens,
+       CAST(COUNT(CASE WHEN running > {_TOKEN_BUDGET} THEN 1 END) AS BIGINT)
+         AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN running > {_TOKEN_BUDGET} THEN n_tokens END), 0)
+         AS BIGINT) AS dropped_tokens
+FROM cum
+GROUP BY source
+""",
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus cut (NORTH: 'give me N tokens per source' is
+    the standard pre-training data request): docs get a deterministic
+    md5 priority, a per-source running token total is computed with one
+    window, and docs past the budget are dropped. Per-source accounting
+    comes back (kept/dropped docs and tokens). ONE shuffle on source;
+    the window runs inside each source partition in parallel — at 100 TB
+    the cut is per-source-parallel, never a global sort. Hash-oracled
+    against the identical window in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(_TOKS)).alias("n_tokens"),
+        F.md5(F.concat(F.lit("tb:"), F.col("doc_id"))).alias("priority"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("priority", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("running", F.sum("n_tokens").over(w))
+    kept = F.col("running") <= _TOKEN_BUDGET
+    return cum.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)).alias(
+            "kept_tokens"
+        ),
+        F.count(F.when(~kept, 1)).alias("n_dropped"),
+        F.coalesce(F.sum(F.when(~kept, F.col("n_tokens"))), F.lit(0)).alias(
+            "dropped_tokens"
+        ),
+    )
+
+
+@query(
+    "text_word_freq_zipf",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({_TOKS_SQL}) AS word FROM documents
+), freq AS (
+  SELECT word, COUNT(*) AS n FROM words GROUP BY word
+), ranked AS (
+  SELECT word, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS rnk,
+         SUM(n) OVER () AS total,
+         SUM(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+)
+SELECT word, n, rnk,
+       {dround_sql('CAST(n AS DOUBLE) / total')} AS share,
+       {dround_sql('CAST(cum AS DOUBLE) / total')} AS cum_share,
+       {dround_sql('CAST(rnk AS DOUBLE) * n / total')} AS zipf_rn_share
+FROM ranked
+WHERE rnk <= 30
+""",
+)
+def text_word_freq_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile (NORTH: text analysis — the first report
+    run on any new crawl): corpus-wide word frequencies, Zipf rank, share
+    and cumulative coverage, plus rank×share (≈constant under Zipf's law,
+    so deviations flag synthetic or boilerplate-heavy corpora). The word
+    count is a partial-aggregated shuffle over the vocabulary (tiny vs
+    corpus); the rank/cumulative windows then run over VOCAB-sized data,
+    where a single-partition window is correct at any corpus scale —
+    vocabulary grows ~log(corpus), not with it. Integer-ratio doubles are
+    identical across engines; rounded in decimal space."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.expr(_TOKS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("word"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = freq.select(
+        "word",
+        "n",
+        F.row_number().over(w_rank).cast("bigint").alias("rnk"),
+        F.sum("n").over(w_all).alias("total"),
+        F.sum("n").over(w_cum).alias("cum"),
+    ).where(F.col("rnk") <= 30)
+    n_d = F.col("n").cast("double")
+    return ranked.select(
+        "word",
+        "n",
+        "rnk",
+        dround(n_d / F.col("total")).alias("share"),
+        dround(F.col("cum").cast("double") / F.col("total")).alias("cum_share"),
+        dround(F.col("rnk").cast("double") * n_d / F.col("total")).alias(
+            "zipf_rn_share"
+        ),
+    )
+
+
+#: Co-occurrence is computed only among the top-V most document-frequent
+#: words: bounds the pair space to V² regardless of corpus size.
+_COOCCUR_V = 20
+
+
+@query(
+    "text_cooccur_lift",
+    oracle=f"""
+WITH doc_words AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+), df AS (
+  SELECT word, COUNT(*) AS n_docs FROM doc_words GROUP BY word
+), vocab AS (
+  SELECT word, n_docs FROM df ORDER BY n_docs DESC, word LIMIT {_COOCCUR_V}
+), dw AS (
+  SELECT d.doc_id, d.word FROM doc_words d JOIN vocab v USING (word)
+), pairs AS (
+  SELECT a.word AS w1, b.word AS w2, COUNT(*) AS n_pair
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word
+), n AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT w1, w2, n_pair,
+       {dround_sql('CAST(n_pair AS DOUBLE) * n_total / (v1.n_docs * v2.n_docs)')}
+         AS lift
+FROM pairs
+JOIN vocab v1 ON v1.word = w1
+JOIN vocab v2 ON v2.word = w2
+CROSS JOIN n
+ORDER BY lift DESC, w1, w2
+LIMIT 20
+""",
+)
+def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence lift (NORTH: text analysis — collocation mining
+    over the corpus): among the top-V document-frequent words, count docs
+    containing each pair and score lift = P(w1,w2)/(P(w1)·P(w2)); the
+    top-20 pairs by lift come back. The vocab cap makes the pair space V²
+    — corpus-size-independent — and the vocab/df frames are broadcast to
+    the pair join, so the only big shuffles are the distinct(doc,word)
+    dedup and the pair count, both partial-aggregated. Lift is an exact-
+    integer ratio: identical doubles on both engines, rounded in decimal
+    space. Deterministic total order (lift DESC, w1, w2)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("word")
+    ).distinct()
+    df_counts = doc_words.groupBy("word").agg(F.count("*").alias("n_docs"))
+    vocab = df_counts.orderBy(F.desc("n_docs"), F.asc("word")).limit(_COOCCUR_V)
+    dw = doc_words.join(F.broadcast(vocab.select("word")), "word")
+    a = dw.select(F.col("doc_id"), F.col("word").alias("w1"))
+    b = dw.select(F.col("doc_id"), F.col("word").alias("w2"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    n_total = d.count()  # driver scalar: one count, reused as a literal
+    v1 = vocab.select(F.col("word").alias("w1"), F.col("n_docs").alias("n1"))
+    v2 = vocab.select(F.col("word").alias("w2"), F.col("n_docs").alias("n2"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.lit(n_total)
+        / (F.col("n1") * F.col("n2"))
+    )
+    return (
+        pairs.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .select("w1", "w2", "n_pair", dround(lift).alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )
