@@ -375,3 +375,115 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_users_est",
     )
     return per_day.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# Null-aware anti join (the NOT IN trap: SQL's three-valued logic makes
+# NOT IN vs a nullable subquery a DIFFERENT operator from NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_anti_null_aware",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN anti join (NM: hosts that never reported an urgent-class
+    sample): unlike NOT EXISTS (plain left-anti, see join_anti), NOT IN
+    must honor three-valued logic — one NULL in the subquery empties the
+    result — so Catalyst plans a NULL-AWARE anti join. With a broadcast-
+    able single-column build side Spark uses the optimized
+    BroadcastHashJoin(NAAJ) form, not a nested loop: the 100 TB-safe
+    shape. Expressed via spark.sql so the planner sees the NOT IN
+    construct itself."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("nm_naaj_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nm_naaj_ord")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               SUM(c_custkey) AS sum_keys
+        FROM nm_naaj_cust
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM nm_naaj_ord
+                                WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended string functions (NM: component/host-name munging surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+SELECT event_type,
+       levenshtein(event_type, 'click') AS dist_click,
+       levenshtein(event_type, reverse(event_type)) AS dist_palindrome,
+       translate(event_type, 'aeiou', '*****') AS devoweled,
+       repeat(substr(event_type, 1, 2), 3) AS stutter,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance and string-shaping surface: ``levenshtein`` (exact
+    dynamic-programming edit distance — both engines implement the same
+    well-defined function, so integer outputs match), ``translate``,
+    ``repeat`` — the fuzzy-matching toolkit for reconciling near-identical
+    host/component names. All row-local codegen'd JVM work collapsed to a
+    vocabulary-sized group-by."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count("*").alias("n_events")).select(
+        "event_type",
+        F.levenshtein("event_type", F.lit("click")).alias("dist_click"),
+        F.levenshtein("event_type", F.reverse("event_type")).alias(
+            "dist_palindrome"
+        ),
+        F.translate("event_type", "aeiou", "*****").alias("devoweled"),
+        F.repeat(F.substring("event_type", 1, 2), 3).alias("stutter"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boolean / conditional aggregates (NM: fleet-wide health predicates —
+# "did EVERY host stay under threshold", "did ANY host spike")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bool_countif",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(CASE WHEN value > 500 THEN 1 END) AS BIGINT) AS n_over_500,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 990) AS any_spike,
+       CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even_users
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: ``count_if`` plus ``bool_and`` /
+    ``bool_or`` (SQL: EVERY / ANY) — the alerting predicates a monitor
+    evaluates per metric class ("all samples in range?", "any spike?").
+    All partial-aggregable: each reduces map-side to (count, bool, bool)
+    per group, so the shuffle carries three scalars per key regardless of
+    input size."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 500).alias("n_over_500"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 990).alias("any_spike"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_users"),
+    )
