@@ -457,3 +457,32 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("w.end")).alias("session_end"),
         "n_events",
     )
+
+
+@query("stream_distinct_approx")  # sketch estimate — no DuckDB twin;
+# semantic test asserts stream == batch estimate exactly (mergeable state)
+def stream_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct talkers per hourly window, LIVE (NM core:
+    'how many unique sources reported this interval' without keeping the
+    full user set in state): ``approx_count_distinct`` keeps one HLL++
+    sketch per (window × type) — kilobytes of state per key regardless of
+    cardinality, the only shape that survives a 100 TB keyspace. Register
+    merge is commutative max, so the streamed estimate is EXACTLY the
+    batch estimate whatever the batch/partition split — asserted by the
+    semantic test (batch-equivalence, same policy as every §2.I op)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out = drain_to_memory(agg, mode="complete")
+    return out.select(
+        ts_str(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "approx_users",
+        "n_events",
+    )

@@ -341,3 +341,37 @@ def test_hll_sketch_merge_consistency(spark):
     ).first()
     assert merged_est == direct.est, "daily-union estimate != direct estimate"
     assert rows, "no per-day rows"
+
+
+def test_stream_distinct_approx_matches_batch(spark):
+    """HLL++ register merge is commutative: the streamed per-window
+    estimate must EQUAL the batch estimate over the same rows, and sit
+    within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.functions.stable import ts_str
+    from storm_netmonitor_spark.io import load_table
+
+    streamed = {
+        (r.window_start, r.event_type): (r.approx_users, r.n_events)
+        for r in QUERIES["stream_distinct_approx"](spark, SF_CORRECT).collect()
+    }
+    e = load_table(spark, SF_CORRECT, "events")
+    batch = {
+        (r.window_start, r.event_type): (r.approx_users, r.n_events, r.exact_users)
+        for r in e.groupBy(
+            ts_str(F.date_trunc("hour", "ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    }
+    assert set(streamed) == set(batch)
+    for k, (s_approx, s_n) in streamed.items():
+        b_approx, b_n, b_exact = batch[k]
+        assert s_n == b_n, f"{k}: row counts differ"
+        assert s_approx == b_approx, f"{k}: stream {s_approx} != batch {b_approx}"
+        assert abs(s_approx - b_exact) <= max(2, 0.05 * b_exact)
