@@ -27,6 +27,7 @@ _MODULES = (
     "tpch",
     "surface",
     "corpus2",
+    "events_analytics",
 )
 
 

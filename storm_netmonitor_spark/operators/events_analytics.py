@@ -1,0 +1,359 @@
+"""Round-2 event-analytics extensions: ordered funnels, cohort retention,
+OHLC resampling, rolling z-score anomaly detection.
+
+Registered AFTER ``corpus2`` (see operators/__init__ note): new modules
+must not displace operators still awaiting a driver verdict from the
+capped per-round check window.
+
+Reference citations: /root/reference is empty this round (SURVEY §0.1);
+these are the canonical product-analytics computations over the events
+stream a metrics collector feeds (SURVEY §0.3's capability model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.stable import dround, dround_sql, dsum, dsum_sql
+from ..io import load_table
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (NM: did a host progress probe → report → alert, in order)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT user_id, ts, event_type, t1,
+         MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT user_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), per_user AS (
+  SELECT user_id,
+         CASE WHEN MAX(t3) IS NOT NULL THEN 3
+              WHEN MAX(t2) IS NOT NULL THEN 2
+              WHEN MAX(t1) IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM s3 GROUP BY user_id
+), counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COUNT(CASE WHEN stage >= 1 THEN 1 END) AS BIGINT) AS r1,
+         CAST(COUNT(CASE WHEN stage >= 2 THEN 1 END) AS BIGINT) AS r2,
+         CAST(COUNT(CASE WHEN stage >= 3 THEN 1 END) AS BIGINT) AS r3
+  FROM per_user
+), totals AS (
+  SELECT 1 AS stage_id, 'signup' AS stage_name, r1 AS reached, n_users FROM counts
+  UNION ALL
+  SELECT 2, 'signup>click', r2, n_users FROM counts
+  UNION ALL
+  SELECT 3, 'signup>click>purchase', r3, n_users FROM counts
+)
+SELECT stage_id, stage_name, reached,
+       {rate} AS rate
+FROM totals
+""".format(rate=dround_sql("CAST(reached AS DOUBLE) / n_users")),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (signup → click → purchase, strictly
+    time-ordered per user — NM: probe → report → alert progression per
+    host): each step's earliest qualifying timestamp is a per-user window
+    minimum CONDITIONED on the previous step's timestamp, so the three
+    chained selects share ONE user_id shuffle and run as three
+    in-partition window passes — no joins, no re-shuffle. The per-user
+    stage then collapses to three funnel rows with exact-integer
+    conversion rates. At 100 TB this is a single keyed exchange however
+    long the funnel gets."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w).alias("t1"),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.when(F.max("t3").isNotNull(), 3)
+        .when(F.max("t2").isNotNull(), 2)
+        .when(F.max("t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("stage")
+    )
+    stages = [(1, "signup"), (2, "signup>click"), (3, "signup>click>purchase")]
+    agg = per_user.agg(
+        F.count("*").alias("n_users"),
+        *[
+            F.count(F.when(F.col("stage") >= sid, 1)).alias(f"r{sid}")
+            for sid, _ in stages
+        ],
+    )
+    # ONE row after aggregation — explode it into the three funnel rows so
+    # the heavy per-user subtree is planned (and executed) exactly once,
+    # not once per union branch.
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sid).alias("stage_id"),
+                        F.lit(sname).alias("stage_name"),
+                        F.col(f"r{sid}").alias("reached"),
+                        dround(
+                            F.col(f"r{sid}").cast("double") / F.col("n_users")
+                        ).alias("rate"),
+                    )
+                    for sid, sname in stages
+                ]
+            )
+        ).alias("f")
+    )
+    return rows.select("f.stage_id", "f.stage_name", "f.reached", "f.rate")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (NM: does a host keep reporting after first contact)
+# ---------------------------------------------------------------------------
+
+_RETAIN_MAX_OFFSET = 7
+
+
+@query(
+    "agg_retention_cohort",
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS offset_days
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE)) <= {_RETAIN_MAX_OFFSET}
+), matrix AS (
+  SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, offset_days,
+         COUNT(*) AS n_active FROM activity GROUP BY 1, 2
+)
+SELECT cohort_day, offset_days, n_active,
+       {dround_sql('CAST(n_active AS DOUBLE) / MAX(CASE WHEN offset_days = 0 THEN n_active END) OVER (PARTITION BY cohort_day)')}
+         AS retention
+FROM matrix
+""",
+)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (NM: of the hosts first seen on day D, how
+    many still report D+k): cohort = per-user first event day (one keyed
+    aggregation), joined back to activity on the SAME user_id
+    partitioning (one shuffle, reused), distinct (user, cohort, offset)
+    then the (cohort × offset) matrix — day-count-sized output. The
+    retention base (offset 0) comes from a window over the tiny matrix,
+    not another join. Exact-integer ratios, decimal-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day"))
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        days.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("offset_days"),
+        )
+        .where(F.col("offset_days") <= _RETAIN_MAX_OFFSET)
+        .distinct()
+    )
+    matrix = activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"), "offset_days"
+    ).agg(F.count("*").alias("n_active"))
+    w = Window.partitionBy("cohort_day")
+    base = F.max(F.when(F.col("offset_days") == 0, F.col("n_active"))).over(w)
+    return matrix.select(
+        "cohort_day",
+        "offset_days",
+        "n_active",
+        dround(F.col("n_active").cast("double") / base).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling (NM: counter first/last/extremes per reporting interval)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle=f"""
+WITH ordered AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, value,
+         FIRST_VALUE(value) OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+         LAST_VALUE(value)  OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+  FROM events
+)
+SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+       MIN(close) AS close, COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM ordered
+GROUP BY event_type, bucket
+""",
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (NM: per-interval counter open/high/low/close —
+    the lossless-enough rollup a 100 TB raw stream is stored as): first
+    and last value per (type × hour) come from full-frame ordered window
+    first/last with a DETERMINISTIC total order (ts, event_id — unique
+    tie-break), extremes and volume from plain aggregation; the window
+    and the group-by share the same (type, hour) hash partitioning so
+    this is one shuffle end-to-end. Raw doubles pass through untouched
+    (no float arithmetic) except the decimal-stable volume sum."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    # bucket is projected ONCE so the window partition keys and the
+    # group-by keys are the same attributes — Catalyst then satisfies the
+    # aggregation with the window's existing hash partitioning (single
+    # exchange end-to-end).
+    w = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ordered = e.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    # group on the SAME (event_type, bucket) exprs the window partitioned
+    # by — Catalyst reuses the hash partitioning, so no second exchange;
+    # the string rendering happens after aggregation.
+    return (
+        ordered.groupBy("event_type", "bucket")
+        .agg(
+            F.min("open").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close").alias("close"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection (NM core: alert when a counter leaves
+# its own recent distribution)
+# ---------------------------------------------------------------------------
+
+_Z_LOOKBACK = 20
+_Z_MIN_N = 10
+_Z_THRESHOLD = 3.0
+
+_DEC = "decimal(28,6)"
+_DEC_SQL = "DECIMAL(28,6)"
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+WITH rolled AS (
+  SELECT event_type, value,
+         COUNT(value) OVER w AS n,
+         CAST(SUM(CAST(value AS {_DEC_SQL})) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS {_DEC_SQL})) OVER w AS DOUBLE) AS sq
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type, value, n,
+         (value - s / n) / sqrt((sq - s * s / n) / (n - 1)) AS z
+  FROM rolled WHERE n >= {_Z_MIN_N} AND (sq - s * s / n) > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(COUNT(CASE WHEN abs(z) > {_Z_THRESHOLD} THEN 1 END) AS BIGINT)
+         AS n_anomalies,
+       {dround_sql('MAX(abs(z))')} AS max_abs_z
+FROM scored
+GROUP BY event_type
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (NM core: flag a sample that
+    leaves its metric's own recent distribution — the threshold alert's
+    adaptive sibling): mean/std over the trailing 20-sample frame
+    (excluding the current row) via EXACT DECIMAL window sums — the
+    rolling moments are order-exact, and the z arithmetic is then
+    identical IEEE on identical doubles in both engines (SURVEY §7.4.1
+    discipline applied to window frames). One keyed shuffle; the frame
+    is bounded so state per row is O(1). Scores with fewer than 10
+    warm-up samples (or a degenerate zero-variance frame) are
+    suppressed."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    v = F.col("value")
+    rolled = e.select(
+        "event_type",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum(v.cast(_DEC)).over(w).cast("double").alias("s"),
+        F.sum((v * v).cast(_DEC)).over(w).cast("double").alias("sq"),
+    )
+    n = F.col("n")
+    mean = F.col("s") / n
+    ss = F.col("sq") - F.col("s") * F.col("s") / n
+    var = ss / (n - 1)
+    scored = rolled.where((n >= _Z_MIN_N) & (ss > 0)).select(
+        "event_type", ((v - mean) / F.sqrt(var)).alias("z")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.count(F.when(F.abs("z") > _Z_THRESHOLD, 1)).alias("n_anomalies"),
+        dround(F.max(F.abs("z"))).alias("max_abs_z"),
+    )
