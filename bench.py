@@ -53,6 +53,8 @@ EXTRA_REPORTED = [
     "tpch_q08",  # heaviest TPC-H addendum join (8-table, 5 broadcasts)
     "tpch_q21",  # EXISTS/NOT-EXISTS rewrite (per-order aggregate + join-back)
     "text_boilerplate_share",  # cross-doc gram DF shuffle + broadcast-back
+    "events_funnel",  # chained conditional window minima (1 keyed shuffle)
+    "ts_anomaly_zscore",  # decimal rolling moments over bounded frames
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
