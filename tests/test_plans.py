@@ -233,3 +233,25 @@ def test_chunking_is_rowlocal(spark):
     regression (the chunk table must inherit the input partitioning)."""
     p = plan(QUERIES["pipeline_chunk_documents"](spark, SF_CORRECT))
     assert "Exchange" not in p, p
+
+
+def test_ohlc_single_exchange(spark):
+    """Window partition keys and group-by keys are the same attributes, so
+    the whole OHLC rollup must run on ONE hash exchange."""
+    import re
+
+    p = plan(QUERIES["ts_resample_ohlc"](spark, SF_CORRECT))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_funnel_single_scan_single_shuffle(spark):
+    """The three chained funnel stages share one user_id shuffle and the
+    events table is scanned exactly once (the single-row aggregate is
+    exploded into funnel rows, never unioned per stage)."""
+    import re
+
+    p = plan(QUERIES["events_funnel"](spark, SF_CORRECT))
+    scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert scans == 1, f"{scans} scans\n{p}"
+    windows = len(re.findall(r"\(\d+\) Window", p))
+    assert windows <= 3, p
