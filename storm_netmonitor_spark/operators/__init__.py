@@ -28,6 +28,7 @@ _MODULES = (
     "surface",
     "corpus2",
     "events_analytics",
+    "incremental",
 )
 
 
