@@ -46,10 +46,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with schema normalization.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with the nanosAsLong conf it
-    arrives as a raw long which we convert to a microsecond timestamp.
-    Integer ``div`` (not ``/``) is essential: epoch-nanos ≈ 1.7e18 exceeds
-    double's 53-bit mantissa, so float division would corrupt microseconds.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (rounds 1-2)
+    and TIMESTAMP(MICROS) (round 3) — the driver regenerates testdata per
+    round. µs reads natively as TimestampType and needs nothing. NANOS is
+    refused by Spark 4.x; under the nanosAsLong conf it arrives as a raw
+    long (hence the dtype guard below) which we convert to a microsecond
+    timestamp. Integer ``div`` (not ``/``) is essential there: epoch-nanos
+    ≈ 1.7e18 exceeds double's 53-bit mantissa, so float division would
+    corrupt microseconds.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))

@@ -48,13 +48,16 @@ def load_all() -> None:
     streaming.load()
 
 
-#: Names the driver already verified green (or rows-only by design) in
-#: CORRECTNESS_r01.json. The driver evaluates only the FIRST ~50 entries of
-#: ``queries()`` each round, so ``driver_ordered`` pushes these to the back
-#: until every operator has a driver verdict; they remain covered by the
-#: local parity suite every round. Update per round as verdicts accumulate.
+#: Names the driver already verified (hash-green, or rows-only by design for
+#: oracle-less approximate ops) in CORRECTNESS_r01.json + CORRECTNESS_r02.json.
+#: The driver evaluates only the FIRST ~50 entries of ``queries()`` each
+#: round, so ``driver_ordered`` pushes these to the back until every operator
+#: has a driver verdict; they remain covered by the local parity suite every
+#: round. Update per round as verdicts accumulate (pinned by
+#: tests/test_rotation.py against the CORRECTNESS_r*.json files themselves).
 DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        # --- round 1 ---
         "scan_parquet", "scan_pruned", "scan_filtered",
         "sink_parquet_roundtrip", "sink_csv_json_roundtrip",
         "sink_parquet_partitioned", "sql_interface", "sink_sorted_layout",
@@ -71,27 +74,80 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "agg_grouping_sets", "agg_percentile", "agg_minmax_by",
         "agg_salted_skew", "agg_heavy_hitters_approx", "agg_mode",
         "agg_hourly_events",
+        # --- round 2 ---
+        "source_csv_permissive", "agg_collect_sorted", "vec_centroid_label",
+        "win_topk_group", "win_rank_family", "win_lag_delta",
+        "win_running_sum", "win_moving_avg", "win_range_frame",
+        "win_first_last", "win_distribution", "sort_multicol",
+        "limit_global_topk", "set_union_all", "set_union_distinct",
+        "set_intersect", "set_except", "fn_string", "fn_regexp",
+        "fn_split_explode", "fn_date", "fn_timestamp", "fn_math",
+        "fn_conditional", "fn_array", "fn_json_map", "fn_struct_nested",
+        "fn_cast", "fn_bitwise", "fn_interval", "udf_python",
+        "udf_pandas_scalar", "udaf_pandas_grouped", "udf_grouped_map",
+        "udtf_python", "udf_arrow_optimized", "text_exact_dedup",
+        "text_token_stats", "text_ngrams", "text_tfidf_topk",
+        "text_lang_profile", "text_quality_score", "text_fingerprint",
+        "text_near_dedup_minhash", "text_near_dedup_simhash",
+        "text_ngram_jaccard", "text_lang_id", "text_token_bpe",
+        "text_clean_html", "vec_knn_cosine",
     }
 )
 
 #: Red/crashed rows from the last driver round, fixed this round — they go
-#: FIRST so the fix is re-verified before anything else.
-RECHECK_FIRST: tuple[str, ...] = (
-    "source_csv_permissive",
-    "agg_collect_sorted",
-    "vec_centroid_label",
+#: FIRST so the fix is re-verified before anything else. (Round 2 had zero
+#: failures; all three round-1 re-checks are green, so this is empty.)
+RECHECK_FIRST: tuple[str, ...] = ()
+
+#: Round-3 window priority among the still-unverified operators. The
+#: reference is a *stream* processor (SURVEY §0.3) yet no ``stream_*`` op has
+#: ever been driver-checked — natural registration order would push streaming
+#: to round 4, so the never-checked segment is explicitly reordered: all 19
+#: streaming ops first, then the vectors tail, then the §2.M pipeline layer.
+#: Operators not listed here keep registration order after these (the 15
+#: TPC-H + remaining §2.O rows → round 4's 31-op window).
+PRIORITY_FIRST: tuple[str, ...] = (
+    # §2.I + streaming addendum — the reference's core identity
+    "stream_tumbling", "stream_session", "stream_stateful_counter",
+    "stream_counter_rate", "stream_topk_talkers", "stream_static_join",
+    "stream_stream_join", "source_stream_events", "stream_sliding",
+    "stream_alert_threshold", "stream_session_dynamic",
+    "stream_distinct_approx", "stream_dedup", "stream_watermark_late",
+    "stream_rate_ewma", "stream_stream_left_join", "source_stream_csv",
+    "sink_stream_parquet", "sink_foreach_batch",
+    # vectors tail (§2.K/§2.L)
+    "vec_pairwise_topk", "vec_ann_ivf", "vec_near_dup_cosine",
+    "multimodal_binary", "multimodal_decode_stub", "vec_ann_lsh",
+    # §2.M pipeline-composition layer + stragglers
+    "pivot_events_wide", "unpivot_lineitem_long", "sample_split_hash",
+    "sample_stratified_topk", "pack_sequences", "win_sessionize_batch",
+    "pipeline_pretrain_corpus", "source_json_lines",
+    "multimodal_frame_sample", "agg_approx_quantile", "scan_snapshot_diff",
+    "ts_gapfill", "join_salted_skew", "vec_quantize_int8",
+    "scan_manifest_stats", "text_pii_redact", "text_quality_gopher",
+    "text_decontaminate", "text_boilerplate_share",
+    "pipeline_mixture_weights", "pipeline_chunk_documents",
+    "text_dedup_components", "vec_semantic_dedup", "agg_incremental_rollup",
+    "events_funnel",
 )
 
 
 def driver_ordered(mapping: dict) -> dict:
     """Reorder ``mapping`` for the driver's capped per-round check window:
-    fixed-red rows first, never-driver-checked next (registration order),
-    already-verified last."""
+    fixed-red rows first, prioritized never-checked rows next, remaining
+    never-checked rows next (registration order), already-verified last."""
     front = [n for n in RECHECK_FIRST if n in mapping]
+    prio = [
+        n for n in PRIORITY_FIRST
+        if n in mapping and n not in DRIVER_VERIFIED and n not in RECHECK_FIRST
+    ]
+    placed = set(front) | set(prio)
     mid = [
-        n for n in mapping if n not in DRIVER_VERIFIED and n not in RECHECK_FIRST
+        n for n in mapping
+        if n not in DRIVER_VERIFIED and n not in placed
     ]
     back = [
-        n for n in mapping if n in DRIVER_VERIFIED and n not in RECHECK_FIRST
+        n for n in mapping
+        if n in DRIVER_VERIFIED and n not in placed and n not in front
     ]
-    return {n: mapping[n] for n in front + mid + back}
+    return {n: mapping[n] for n in front + prio + mid + back}

@@ -20,10 +20,19 @@ RUNTIME_CONFS: dict[str, str] = {
     # testdata timestamps are naive/UTC-intended (FIXTURES.md); DuckDB's
     # TIMESTAMP is naive, so both engines must agree on UTC.
     "spark.sql.session.timeZone": "UTC",
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4.x refuses by
-    # default; read it as long and convert in io.load_table (lossless,
-    # measured: no sub-microsecond components in the testdata).
+    # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    # generations, which Spark 4.x refuses by default; with this conf it
+    # reads as long and io.load_table converts (lossless, measured: no
+    # sub-microsecond components). Harmless for µs/ms generations, where
+    # the column reads as a native timestamp and the guard is a no-op.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Round-3 testdata ships timestamps as isAdjustedToUTC=false µs, which
+    # Spark 4.x infers as TIMESTAMP_NTZ by default — breaking functions
+    # that require TIMESTAMP (unix_micros, window()) and diverging from
+    # DuckDB's naive-timestamp reading. With inference off, naive parquet
+    # timestamps read as session-TZ TIMESTAMP; session TZ is pinned UTC
+    # above, so wall-clock values match DuckDB exactly (SURVEY §7.4.3).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Adaptive execution: runtime broadcast-join conversion, skew-join
     # splitting, partition coalescing — the main scale levers.
     "spark.sql.adaptive.enabled": "true",

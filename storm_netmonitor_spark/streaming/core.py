@@ -22,23 +22,52 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..io import table_path
 from ..session import apply_runtime_confs
 
-#: Raw parquet schema of events (ts as long — TIMESTAMP(NANOS) read under
-#: the nanosAsLong conf).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_field(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: Events schema with ts as a proper timestamp — used for µs/ms parquet
+#: (Spark reads those natively) and for all OUR staged files, which
+#: ``stateful._read_events_arrow`` normalizes to timestamp[us] on write.
+EVENTS_RAW_SCHEMA = _events_field(TimestampType())
+
+#: Events schema for TIMESTAMP(NANOS) parquet, which Spark 4.x refuses
+#: unless read as a raw long under the nanosAsLong conf; ``events_stream``
+#: then converts (ts div 1000 → µs, lossless for this data).
+EVENTS_NANOS_SCHEMA = _events_field(LongType())
+
+_ts_unit_cache: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Physical unit of events.ts in this dir's parquet ('ns'/'us'/'ms').
+
+    The driver regenerates testdata between rounds and has shipped BOTH
+    TIMESTAMP(NANOS) (rounds 1-2) and TIMESTAMP(MICROS) (round 3) — so the
+    unit is detected from the file footer, never assumed."""
+    key = os.path.abspath(sf_dir)
+    if key not in _ts_unit_cache:
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(table_path(sf_dir, "events")).schema_arrow.field("ts").type
+        _ts_unit_cache[key] = getattr(t, "unit", "us")
+    return _ts_unit_cache[key]
 
 _stage_cache: dict[str, str] = {}
 
@@ -80,10 +109,11 @@ def events_stream_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str, source_dir: str | None = None) -> DataFrame:
     """Unbounded events DataFrame (ts normalized to TimestampType)."""
     apply_runtime_confs(spark)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
-        source_dir or events_stream_dir(sf_dir)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    src = source_dir or events_stream_dir(sf_dir)
+    if events_ts_unit(sf_dir) == "ns":
+        raw = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(src)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
 
 
 def drain_to_memory(df: DataFrame, mode: str = "complete", **stream_opts) -> DataFrame:

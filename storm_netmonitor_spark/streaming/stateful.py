@@ -58,15 +58,22 @@ from ..registry import query
 from ..session import apply_runtime_confs
 from .core import EVENTS_RAW_SCHEMA, _state_sized_shuffle, drain_to_memory
 
-HOUR_NS = 3_600 * 10**9
+HOUR_US = 3_600 * 10**6
 
 _staged: dict[tuple[str, str], Any] = {}
 
 
 def _read_events_arrow(sf_dir: str):
+    """Events table with ts normalized to timestamp[us] — staged files are
+    ALWAYS µs regardless of the source file's physical unit (the driver has
+    shipped both ns and µs testdata; ``core.events_ts_unit``), so every
+    staging consumer and ``_stream_staged``'s schema stay unit-agnostic."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    return pq.read_table(table_path(sf_dir, "events"))
+    t = pq.read_table(table_path(sf_dir, "events"))
+    i = t.schema.get_field_index("ts")
+    return t.set_column(i, "ts", t.column("ts").cast(pa.timestamp("us")))
 
 
 def _stage_once(kind: str, sf_dir: str, build) -> Any:
@@ -85,8 +92,9 @@ def _stream_staged(
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if one_file_per_batch:
         reader = reader.option("maxFilesPerTrigger", "1")
-    raw = reader.parquet(source_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # staged files carry ts as timestamp[us] (see _read_events_arrow) —
+    # EVENTS_RAW_SCHEMA reads that natively, no unit conversion needed
+    return reader.parquet(source_dir)
 
 
 def _build_late_staging(
@@ -107,16 +115,16 @@ def _build_late_staging(
     import pyarrow.parquet as pq
 
     t = _read_events_arrow(sf_dir)
-    ts_ns = pc.cast(t.column("ts"), pa.int64())
-    lo = pc.min(ts_ns).as_py()
-    hi = pc.max(ts_ns).as_py()
-    stale = t.filter(pc.less(ts_ns, pa.scalar(lo + HOUR_NS)))
-    sentinel_ns = (hi // HOUR_NS) * HOUR_NS + 3 * HOUR_NS
+    ts_us = pc.cast(t.column("ts"), pa.int64())
+    lo = pc.min(ts_us).as_py()
+    hi = pc.max(ts_us).as_py()
+    stale = t.filter(pc.less(ts_us, pa.scalar(lo + HOUR_US)))
+    sentinel_us = (hi // HOUR_US) * HOUR_US + 3 * HOUR_US
     k = len(sentinel_types)
     sentinel = pa.table(
         {
             "event_id": pa.array([-1 - i for i in range(k)], pa.int64()),
-            "ts": pa.array([sentinel_ns] * k, pa.int64()).cast(pa.timestamp("ns")),
+            "ts": pa.array([sentinel_us] * k, pa.int64()).cast(pa.timestamp("us")),
             # distinct negative user_ids: multiple sentinels must never
             # join each other (same ts + shared key would match)
             "user_id": pa.array([-1 - i for i in range(k)], pa.int64()),
@@ -132,7 +140,7 @@ def _build_late_staging(
     pq.write_table(stale.slice(0, 1), f4)
     for i, f in enumerate((f1, f2, f3, f4)):
         os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
-    return {"dir": d, "sentinel_us": sentinel_ns // 1000}
+    return {"dir": d, "sentinel_us": sentinel_us}
 
 
 # ---------------------------------------------------------------------------

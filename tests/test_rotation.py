@@ -1,0 +1,107 @@
+"""Driver-window rotation guards (VERDICT r2 action #1).
+
+The driver checks only the first ~50 entries of ``queries()`` per round.
+These tests pin, against the CORRECTNESS_r*.json files themselves, that
+
+1. every id the driver has already passed (hash-green, or rows-only by
+   design) is in ``registry.DRIVER_VERIFIED`` — so it is rotated to the back;
+2. the first 50 entries of ``queries()`` contain NO already-green id — the
+   whole window reaches never-checked operators;
+3. the streaming flagships land inside the round-3 window (VERDICT r2 #2);
+4. registry ordering is a permutation: nothing dropped or duplicated.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import __spark_entry__ as entrymod
+from storm_netmonitor_spark import registry
+
+REPO = Path(entrymod.__file__).resolve().parent
+WINDOW = 50
+
+
+def _driver_passed_ids() -> set[str]:
+    """Ids with a conclusive passing driver verdict in any CORRECTNESS file.
+
+    Green = rows+schema+hash all true.  err == 'no_oracle' counts too: the
+    driver ran the query (rows-only by design for oracle-less approximate
+    ops) — re-checking it buys nothing while other ops have no verdict.
+    A crashed or mismatched row is NOT passed and must stay in rotation.
+    """
+    passed: set[str] = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for name, rec in json.loads(path.read_text()).items():
+            if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
+                passed.add(name)
+            elif rec.get("err") == "no_oracle" and rec.get("spark_rows", 0) >= 0:
+                passed.add(name)
+    return passed
+
+
+def test_correctness_files_exist():
+    assert list(REPO.glob("CORRECTNESS_r*.json")), "driver correctness files missing"
+
+
+def test_driver_verified_covers_all_green_rows():
+    passed = _driver_passed_ids()
+    missing = passed - registry.DRIVER_VERIFIED
+    assert not missing, (
+        f"DRIVER_VERIFIED is stale — add these driver-passed ids so the "
+        f"window rotates past them: {sorted(missing)}"
+    )
+
+
+def test_driver_verified_has_no_phantom_ids():
+    # Everything we claim verified must actually have a passing verdict —
+    # otherwise we'd rotate a never-checked or failed op out of the window.
+    passed = _driver_passed_ids()
+    phantom = registry.DRIVER_VERIFIED - passed
+    assert not phantom, f"claimed verified but no passing driver verdict: {sorted(phantom)}"
+
+
+def test_window_contains_no_already_green_id():
+    window = list(entrymod.queries())[:WINDOW]
+    stale = [n for n in window if n in _driver_passed_ids() and n not in registry.RECHECK_FIRST]
+    assert not stale, f"already-green ids wasting window slots: {stale}"
+
+
+def test_recheck_first_only_holds_red_rows():
+    # RECHECK_FIRST re-spends window slots; only genuinely red rows belong.
+    stale = [n for n in registry.RECHECK_FIRST if n in _driver_passed_ids()]
+    assert not stale, f"RECHECK_FIRST holds already-green ids: {stale}"
+
+
+def test_streaming_flagships_inside_round3_window():
+    window = set(list(entrymod.queries())[:WINDOW])
+    flagships = {
+        "stream_tumbling", "stream_session", "stream_stateful_counter",
+        "stream_counter_rate", "stream_topk_talkers", "stream_static_join",
+        "stream_stream_join",
+    }
+    missing = flagships - window
+    assert not missing, f"streaming flagships outside the driver window: {sorted(missing)}"
+
+
+def test_all_streaming_ops_inside_round3_window():
+    window = set(list(entrymod.queries())[:WINDOW])
+    streaming = {
+        n for n, fn in registry.QUERIES.items()
+        if fn.__module__.startswith("storm_netmonitor_spark.streaming")
+    }
+    unwindowed = streaming - window - _driver_passed_ids()
+    assert not unwindowed, f"streaming ops missing a verdict AND outside window: {sorted(unwindowed)}"
+
+
+def test_driver_ordered_is_a_permutation():
+    q = entrymod.queries()
+    assert list(sorted(q)) == sorted(registry.QUERIES)
+    o = entrymod.oracle_sql()
+    assert list(sorted(o)) == sorted(registry.ORACLES)
+
+
+def test_priority_first_ids_exist():
+    unknown = [n for n in registry.PRIORITY_FIRST if n not in registry.QUERIES]
+    assert not unknown, f"PRIORITY_FIRST names unregistered ids: {unknown}"

@@ -25,7 +25,9 @@ from .conftest import SF_CORRECT
 
 
 def _split_events(n_parts: int) -> tuple[str, int]:
-    t = pq.read_table(table_path(SF_CORRECT, "events"))
+    from storm_netmonitor_spark.streaming.stateful import _read_events_arrow
+
+    t = _read_events_arrow(SF_CORRECT)  # ts normalized to µs for the schema
     d = tempfile.mkdtemp(prefix="nm_live_")
     step = (t.num_rows + n_parts - 1) // n_parts
     for i in range(n_parts):
