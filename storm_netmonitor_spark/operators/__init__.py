@@ -29,6 +29,7 @@ _MODULES = (
     "corpus2",
     "events_analytics",
     "incremental",
+    "extensions3",
 )
 
 

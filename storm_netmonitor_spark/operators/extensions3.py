@@ -1,0 +1,515 @@
+"""Round-3 extensions (SURVEY §2.Q): CDC compaction, SLA gap detection,
+exact-moment correlation, ordered string aggregation, dimension surrogate
+keys, Simpson diversity, batch kNN, binary dedup, duplicate survivorship
+election, and the corpus report rollup.
+
+Registered AFTER ``incremental`` (operators/__init__ note): new modules
+must not displace operators still awaiting a driver verdict from the
+capped per-round check window (registry.PRIORITY_FIRST / driver_ordered).
+
+Reference citations: /root/reference is empty this round (SURVEY §0.1);
+NM anchors map to the Storm-metrics capability model of SURVEY §0.3, NORTH
+anchors to the LLM-data-pipeline mandate of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.stable import davg, davg_sql, dround, dround_sql, ts_str, ts_str_sql
+from ..io import load_table
+from ..registry import query
+from .text import _STOP_SQL, _STOPWORDS, _TOKENS_SQL, _tokens
+from .vectors import _dot_arrays, _DOT_SUM_SQL
+
+_DEC = "decimal(28,6)"
+_DEC_SQL = "DECIMAL(28,6)"
+
+
+# ---------------------------------------------------------------------------
+# dedup_latest_per_key — CDC compaction / QUALIFY
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_latest_per_key",
+    oracle=f"""
+SELECT user_id, event_type, event_id, {ts_str_sql('ts')} AS last_ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the LATEST row per key — the CDC-compaction / QUALIFY
+    primitive (NM: current value of every counter per host; NORTH: newest
+    crawl per URL). One keyed window shuffle; deterministic tie-break on
+    event_id. At 100 TB this is the same single exchange, and over the
+    date-partitioned layout (sink_sorted_layout) the sort within
+    partitions makes it near-map-side."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            ts_str("ts").alias("last_ts"),
+            "value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_sla_gap_detect — the host-went-silent report
+# ---------------------------------------------------------------------------
+
+_GAP_US = 6 * 3_600 * 10**6  # report silences of 6 h or more
+
+
+@query(
+    "ts_sla_gap_detect",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       {ts_str_sql('prev_ts')} AS silent_from,
+       {ts_str_sql('ts')} AS silent_until,
+       CAST((epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS BIGINT) AS gap_minutes
+FROM t
+WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) >= {_GAP_US}
+""",
+)
+def ts_sla_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting-gap detection (NM core: a host that stops sending samples
+    is the incident): per-source consecutive-sample gaps ≥ 6 h, reported as
+    silence intervals with integer minute durations (exact epoch-µs
+    arithmetic — no float). One keyed window shuffle, then a row-local
+    filter; the 100 TB plan is identical."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    return (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull() & (gap_us >= _GAP_US))
+        .select(
+            "user_id",
+            ts_str("prev_ts").alias("silent_from"),
+            ts_str("ts").alias("silent_until"),
+            F.expr("(unix_micros(ts) - unix_micros(prev_ts)) div 60000000")
+            .cast("long")
+            .alias("gap_minutes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_moments — exact-decimal Pearson correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_corr_moments",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS {_DEC_SQL})) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(value AS DOUBLE) AS {_DEC_SQL})) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) * CAST(value AS DOUBLE)
+                       AS {_DEC_SQL})) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) * CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                       AS {_DEC_SQL})) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                       AS {_DEC_SQL})) AS DOUBLE) AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       {dround_sql('(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))', 8)}
+         AS corr_hour_value
+FROM s
+""",
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hour-of-day and sample value per metric
+    type (NM: is this counter diurnal?) from EXACT DECIMAL moment sums —
+    same discipline as agg_linreg: the native ``corr`` aggregate
+    accumulates doubles in shuffle order and differs across engines in
+    final ULPs, while decimal moments are order-independent and the
+    finishing formula (sqrt is correctly rounded in both IEEE libms) is
+    identical arithmetic on identical inputs. One partial-aggregated
+    shuffle, vocabulary-sized output."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value").cast("double")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(_DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(_DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(_DEC)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("event_type", "n", dround(corr, 8).alias("corr_hour_value"))
+
+
+# ---------------------------------------------------------------------------
+# agg_string_concat — ordered listagg
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       string_agg(c_name, '|' ORDER BY c_name) AS customer_names
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): all customer names per nation,
+    sorted and '|'-joined — deterministic by construction (sort_array
+    before join ↔ string_agg ORDER BY). Broadcast dim join + one grouped
+    shuffle; the payload per group is bounded by group size, which at
+    100 TB argues for capping or sketching — here groups are ≤ hundreds."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias(
+                "customer_names"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_surrogate_key — dimension encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+WITH dims AS (
+  SELECT lang, source,
+         md5(lang || '|' || source) AS src_key,
+         CAST(DENSE_RANK() OVER (ORDER BY lang, source) AS BIGINT) AS src_id
+  FROM (SELECT DISTINCT lang, source FROM documents)
+)
+SELECT d.doc_id, d.lang, d.source, dims.src_key, dims.src_id
+FROM documents d JOIN dims USING (lang, source)
+""",
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable surrogate keys for a dimension: content-hash key (md5 of the
+    natural key — stable under re-runs and appends) plus a dense integer
+    id. The dense rank runs over the DISTINCT dimension frame (97 rows),
+    never over the fact table — the global-ordering window is confined to
+    dimension cardinality and the facts get the ids back via broadcast
+    join. That is the 100 TB dimension-encoding pattern; ranking the fact
+    table itself would serialize on one partition."""
+    d = load_table(spark, sf_dir, "documents")
+    dims = d.select("lang", "source").distinct()
+    w = Window.orderBy("lang", "source")  # dimension-sized frame only
+    dims = dims.select(
+        "lang",
+        "source",
+        F.md5(F.concat_ws("|", "lang", "source")).alias("src_key"),
+        F.dense_rank().over(w).cast("long").alias("src_id"),
+    )
+    return d.select("doc_id", "lang", "source").join(
+        F.broadcast(dims), ["lang", "source"]
+    ).select("doc_id", "lang", "source", "src_key", "src_id")
+
+
+# ---------------------------------------------------------------------------
+# text_simpson_diversity — exact rational diversity index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_simpson_diversity",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         list_transform(list_distinct(toks),
+                        u -> CAST(len(list_filter(toks, t -> t = u)) AS BIGINT)) AS counts
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(counts) AS BIGINT) AS n_distinct,
+       {dround_sql('1.0 - CAST(list_sum(list_transform(counts, c -> c * c)) AS DOUBLE) / (len(toks) * len(toks))', 6)}
+         AS simpson_diversity
+FROM c
+""",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index per document, 1 − Σ(cnt²)/n² — a repetition
+    / vocabulary-collapse quality signal (low diversity = degenerate doc).
+    All arithmetic is EXACT integers until one final double division, so
+    both engines agree bit-for-bit with no decimal machinery. Row-local
+    array HOFs only (O(distinct × n) per row, n ≤ doc length): zero
+    shuffle, fully codegen-free but Arrow-free too — scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    d = d.select("doc_id", toks.alias("toks"))
+    counts = F.transform(
+        F.array_distinct("toks"),
+        lambda u: F.size(F.filter("toks", lambda t: t == u)).cast("long"),
+    )
+    d = d.select("doc_id", "toks", counts.alias("counts"))
+    sumsq = F.aggregate(
+        F.transform("counts", lambda c: c * c),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size("toks")
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size("counts").cast("long").alias("n_distinct"),
+        dround(
+            F.lit(1.0) - sumsq.cast("double") / (n * n).cast("double"), 6
+        ).alias("simpson_diversity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vec_batch_knn — many queries at once
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vec_batch_knn",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS qx
+  FROM embeddings WHERE vec_id < 10
+), e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+  FROM embeddings WHERE vec_id >= 10
+), dots AS (
+  SELECT q_id, vec_id, {_DOT_SUM_SQL} AS sim
+  FROM (SELECT q.q_id, e.vec_id, CAST(e.x AS DOUBLE) * CAST(q.qx AS DOUBLE) AS px
+        FROM e JOIN q USING (pos))
+  GROUP BY q_id, vec_id
+)
+SELECT q_id, vec_id, sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      FROM dots)
+WHERE rn <= 3
+""",
+)
+def vec_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: top-3 cosine neighbors for EACH of a set of query
+    vectors (vec_id < 10) in one pass — the retrieval-eval / dedup-probe
+    shape. The query block is broadcast (Q × dim floats); each candidate
+    row computes Q row-local decimal-stable dots (zip_with/aggregate — no
+    posexplode shuffle), then one window ranks per query. Cost is
+    O(N × Q) map work + one Q-keyed exchange: linear in the corpus at
+    fixed Q, the correct 100 TB shape (the oracle's positional-join
+    rendering is the same math, just SQL-expressible)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = e.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    sims = cand.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        _dot_arrays(F.col("embedding"), F.col("q_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_binary — content-hash dedup of opaque payloads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_dedup_binary",
+    oracle="""
+SELECT sha256(substr(text, 1, 16)) AS content_sha,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(SUM(octet_length(encode(substr(text, 1, 16)))) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of opaque BINARY payloads by content digest — the
+    multimodal twin of text_exact_dedup (NORTH: the same sha-groupBy dedup
+    must run on image/audio blobs; the 16-byte head of each document
+    stands in as the payload and yields real duplicate groups in this
+    corpus). Digest is computed map-side from the binary column, then one
+    hash-partitioned aggregate: bytes never shuffle, only (sha, count,
+    bytes) partials do — at 100 TB the shuffle carries KBs per partition
+    regardless of blob sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.substring("text", 1, 16), "utf-8")
+    return (
+        d.select(payload.alias("payload"), "doc_id")
+        .groupBy(F.sha2("payload", 256).alias("content_sha"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dedup_survivors — survivorship election over duplicate groups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_dedup_survivors",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t <> '') AS toks
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(toks)), '|')) AS bag_key,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+  FROM t
+), ranked AS (
+  SELECT bag_key, doc_id, uniq_ratio,
+         COUNT(*) OVER (PARTITION BY bag_key) AS group_size,
+         ROW_NUMBER() OVER (PARTITION BY bag_key
+                            ORDER BY uniq_ratio DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT bag_key,
+       CAST(group_size AS BIGINT) AS group_size,
+       doc_id AS survivor_doc_id,
+       {dround_sql('uniq_ratio', 6)} AS survivor_uniq_ratio
+FROM ranked WHERE rn = 1
+""",
+)
+def pipeline_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship election — the finishing stage of a dedup pipeline:
+    documents sharing a duplicate-group key (here the md5 of the sorted
+    distinct-word set: shuffled word-salad twins collide on it) elect ONE
+    canonical survivor by quality (uniqueness ratio, doc_id tie-break).
+    Group key and quality are row-local; the election is one keyed window
+    shuffle. At 100 TB the same plan runs with the MinHash/SemDeDup
+    component id as the group key (text_dedup_components produces it) —
+    this operator is the quality-argmax that turns duplicate clusters into
+    a kept corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), "|")).alias(
+            "bag_key"
+        ),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("uniq_ratio"),
+    )
+    wcnt = Window.partitionBy("bag_key")
+    wrank = Window.partitionBy("bag_key").orderBy(
+        F.col("uniq_ratio").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("group_size", F.count("*").over(wcnt))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "bag_key",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("doc_id").alias("survivor_doc_id"),
+            dround("uniq_ratio", 6).alias("survivor_uniq_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_corpus_report — the crawl dashboard query
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_corpus_report",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, source, n_chars,
+         list_filter({_TOKENS_SQL}, t -> t <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT lang, source, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE) / len(toks) AS stop_ratio
+  FROM t
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       {davg_sql('stop_ratio', 6)} AS mean_stop_ratio,
+       {dround_sql('quantile_cont(CAST(n_chars AS DOUBLE), 0.5)', 4)} AS median_chars
+FROM scored
+GROUP BY lang, source
+""",
+)
+def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dashboard: per (lang × source) stratum — document count,
+    total whitespace tokens, mean stopword ratio (exact-decimal mean of
+    row-local ratios), and exact median document length (`percentile` ↔
+    `quantile_cont`, the agg_percentile discipline). Everything before the
+    aggregate is row-local; one grouped shuffle over stratum keys. This is
+    the first query run on any new crawl — the accounting that feeds
+    pipeline_mixture_weights' temperature sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    scored = d.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars_d"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("stop_ratio"),
+    )
+    return scored.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        davg("stop_ratio", 6).alias("mean_stop_ratio"),
+        dround(F.expr("percentile(n_chars_d, 0.5)"), 4).alias("median_chars"),
+    )

@@ -83,10 +83,12 @@ def test_partitioned_sink_prunes_partitions(spark):
 
 # Queries whose plan legitimately contains a cartesian/nested-loop shape:
 # join_cross IS a cartesian by definition; text_tfidf_topk and tpch_q22
-# cross-join a broadcast 1-row scalar aggregate (O(n), not quadratic). The
-# interval join's whitelist entry would be a bug — keep it out and let the
-# test prove it stays out.
-_CARTESIAN_OK = {"join_cross", "text_tfidf_topk", "tpch_q22"}
+# cross-join a broadcast 1-row scalar aggregate (O(n), not quadratic);
+# vec_batch_knn cross-joins the broadcast 10-row query block (O(N×Q) map
+# work at fixed Q, the batch-retrieval shape). The interval join's
+# whitelist entry would be a bug — keep it out and let the test prove it
+# stays out.
+_CARTESIAN_OK = {"join_cross", "text_tfidf_topk", "tpch_q22", "vec_batch_knn"}
 
 
 def _is_streaming(fn) -> bool:
@@ -255,3 +257,41 @@ def test_funnel_single_scan_single_shuffle(spark):
     assert scans == 1, f"{scans} scans\n{p}"
     windows = len(re.findall(r"\(\d+\) Window", p))
     assert windows <= 3, p
+
+
+def test_extensions3_single_exchange_shapes(spark):
+    """Round-3 ops that must stay one keyed exchange end-to-end: CDC
+    compaction, gap detection, survivorship election (window keys ≡ the
+    only shuffle key), and the moment-sum correlation (partial+final agg
+    around one exchange)."""
+    import re
+
+    for name in ("dedup_latest_per_key", "ts_sla_gap_detect",
+                 "pipeline_dedup_survivors"):
+        p = plan(QUERIES[name](spark, SF_CORRECT))
+        n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n_ex == 1, f"{name}: {n_ex} exchanges\n{p}"
+    p = plan(QUERIES["agg_corr_moments"](spark, SF_CORRECT))
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p, p
+
+
+def test_extensions3_rowlocal_diversity(spark):
+    """Simpson diversity is pure row-local HOF math — any Exchange is a
+    regression, and only (doc_id, text) may be read from the scan."""
+    p = plan(QUERIES["text_simpson_diversity"](spark, SF_CORRECT))
+    assert "Exchange" not in p, p
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and "text:string" in read[0] and "n_chars" not in read[0], read
+
+
+def test_extensions3_dims_broadcast(spark):
+    """Surrogate-key assignment and the ordered listagg join must
+    broadcast their dimension side (97-row dims / 25-row nation), and the
+    surrogate window must run over the dim frame only (no rank over the
+    fact table: the plan's Window sits above a dim-sized aggregate, and
+    the fact side joins by broadcast)."""
+    for name in ("fn_surrogate_key", "agg_string_concat"):
+        p = plan(QUERIES[name](spark, SF_CORRECT))
+        assert "BroadcastHashJoin" in p, f"{name}:\n{p}"
+    p = plan(QUERIES["vec_batch_knn"](spark, SF_CORRECT))
+    assert "BroadcastExchange" in p, p
