@@ -513,3 +513,96 @@ def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("stop_ratio", 6).alias("mean_stop_ratio"),
         dround(F.expr("percentile(n_chars_d, 0.5)"), 4).alias("median_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct — exact distinct at scale via mergeable bitmaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable roaring-style bitmaps
+    (``bitmap_construct_agg`` over 32k-bit buckets, then ``bitmap_count``
+    summed per key): the 100 TB alternative to countDistinct's expand —
+    per-(key × bucket) partials are fixed-width byte arrays that merge
+    associatively map-side, so the shuffle carries O(keys × buckets)
+    bitmaps instead of O(rows) ids, and — unlike HLL — the result is
+    exact, so the plain COUNT(DISTINCT) is a full hash oracle (NM:
+    distinct talkers, exact, without shuffling every id)."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = (
+        e.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_transition_matrix — Markov transitions between event types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       {dround_sql('CAST(n_transitions AS DOUBLE) / SUM(n_transitions) OVER (PARTITION BY from_type)', 6)}
+         AS p_transition
+FROM pairs
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-source event sequences (NM:
+    which metric report follows which — state-machine profiling of host
+    behavior). One user-keyed window for the LEAD, one grouped shuffle to
+    count pairs; the probability normalization windows over the
+    type×type matrix (≤ V² rows — vocabulary-sized, the only frame the
+    unpartitioned-window rule allows). Probabilities are exact integer
+    ratios finished with one identical double division."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        dround(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )

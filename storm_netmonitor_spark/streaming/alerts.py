@@ -1,0 +1,176 @@
+"""Round-3 streaming extensions (SURVEY §2.Q): stateful gap alerting and
+the incremental-rollup streaming sink.
+
+Registered after ``stateful`` (streaming/__init__ order) so these land
+behind every operator still awaiting a driver verdict — the same
+discipline as operators/extensions3.
+
+Reference citations: /root/reference is empty this round (SURVEY §0.1);
+both ops realize the Storm-metrics capability model of SURVEY §0.3 —
+"host went silent" alerting and periodic rollup publication are what a
+cluster network monitor exists to do.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..functions.stable import dsum_sql, ts_str_sql
+from ..registry import query
+from .core import drain_to_memory, events_stream, _state_sized_shuffle
+from .stateful import _stage_once, _stream_staged
+
+_GAP_US = 6 * 3_600 * 10**6  # same threshold as ts_sla_gap_detect
+
+_GAP_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("silent_from", StringType()),
+        StructField("silent_until", StringType()),
+        StructField("gap_minutes", LongType()),
+    ]
+)
+_GAP_STATE = StructType([StructField("last_ts_us", LongType())])
+
+
+def _fmt_us(us: int) -> str:
+    ts = pd.Timestamp(us * 1000)  # ns
+    return ts.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _gap_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
+    prev = state.get if state.exists else None  # type: ignore[misc]
+    last_us = prev[0] if prev is not None else None
+    chunks = [p for p in pdf_iter]
+    rows: list[tuple[int, str, str, int]] = []
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        uid = int(key[0])
+        for t in pdf["ts"]:
+            us = int(t.value // 1000)  # pandas Timestamp.value is ns
+            if last_us is not None:
+                gap = us - last_us
+                if gap >= _GAP_US:
+                    rows.append(
+                        (uid, _fmt_us(last_us), _fmt_us(us), gap // 60_000_000)
+                    )
+            last_us = us
+    if last_us is not None:
+        state.update((last_us,))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "silent_from", "silent_until", "gap_minutes"]
+    )
+
+
+@query(
+    "stream_gap_alert",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       {ts_str_sql('prev_ts')} AS silent_from,
+       {ts_str_sql('ts')} AS silent_until,
+       CAST((epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS BIGINT) AS gap_minutes
+FROM t
+WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) >= {_GAP_US}
+""",
+)
+def stream_gap_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE host-went-silent alerting (NM core): per-source streaming state
+    carries the last sample time across micro-batches and emits an alert
+    row for every inter-sample silence ≥ 6 h — the streaming twin of
+    ``ts_sla_gap_detect``, sharing its exact batch-LAG oracle (exact
+    epoch-µs integer arithmetic in both). State is ONE timestamp per key —
+    O(hosts), watermark-free bounded — and alerts stream out as the gap is
+    observed rather than in a nightly batch scan. Deterministic: per-batch
+    (ts, event_id) sort, integer math, availableNow drain."""
+    s = events_stream(spark, sf_dir)
+    alerts = (
+        s.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _gap_fn, _GAP_OUT, _GAP_STATE, "append", "NoTimeout"
+        )
+    )
+    return drain_to_memory(alerts, mode="append")
+
+
+@query(
+    "stream_incremental_rollup",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup as a STREAMING SINK (NM: publish the running
+    network report every interval without recomputing history): each
+    micro-batch's foreachBatch callback aggregates ONLY that batch's rows
+    into algebraic partials (count + exact DECIMAL sum — order-independent,
+    SURVEY §7.4.1) and appends them executor-side as parquet; the published
+    report is the partial-merge (counts add, decimal sums add exactly).
+    Four staged micro-batches (maxFilesPerTrigger=1) prove the merge is
+    batch-split-invariant: the oracle is the plain one-shot aggregate.
+    This is the streaming twin of ``agg_incremental_rollup`` — same
+    algebra, arriving data instead of delta-day scans."""
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> str:
+        from .stateful import _read_events_arrow
+
+        t = _read_events_arrow(sf_dir)
+        n_parts = 4
+        step = (t.num_rows + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            f = os.path.join(d, f"p{i}.parquet")
+            pq.write_table(t.slice(i * step, step), f)
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return d
+
+    src = _stage_once("rollup_parts", sf_dir, build)
+    s = _stream_staged(spark, src, one_file_per_batch=True)
+
+    partials_dir = tempfile.mkdtemp(prefix="nm_rollup_partials_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch partials only — never a recompute over history; the
+        # decimal sum column keeps the merge exact in any order
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("double").cast("decimal(28,6)")).alias(
+                    "dec_sum"
+                ),
+            )
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        s.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .trigger(availableNow=True)
+    )
+    with _state_sized_shuffle(spark):
+        q = writer.start()
+        q.awaitTermination()
+
+    partials = spark.read.parquet(partials_dir)
+    return partials.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum("dec_sum"), 2).cast("double").alias("total_value"),
+    )

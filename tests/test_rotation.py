@@ -85,11 +85,16 @@ def test_streaming_flagships_inside_round3_window():
     assert not missing, f"streaming flagships outside the driver window: {sorted(missing)}"
 
 
-def test_all_streaming_ops_inside_round3_window():
+def test_prioritized_streaming_ops_inside_round3_window():
+    # Every PRE-round-3 streaming op (they are all in PRIORITY_FIRST) must
+    # be in the window until verified. Streaming ops REGISTERED in round 3
+    # or later (streaming/alerts.py) correctly wait behind older
+    # unverified ops — the operators/__init__ discipline.
     window = set(list(entrymod.queries())[:WINDOW])
     streaming = {
         n for n, fn in registry.QUERIES.items()
         if fn.__module__.startswith("storm_netmonitor_spark.streaming")
+        and n in registry.PRIORITY_FIRST
     }
     unwindowed = streaming - window - _driver_passed_ids()
     assert not unwindowed, f"streaming ops missing a verdict AND outside window: {sorted(unwindowed)}"
