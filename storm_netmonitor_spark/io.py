@@ -59,6 +59,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Insurance against further generator drift (tests/test_testdata_contract
+    # fails loudly when it happens): date-typed temporal columns normalize
+    # to midnight timestamps so every operator keeps one temporal type.
+    for col, typ in df.dtypes:
+        if typ == "date" and (col == "ts" or col.endswith("date")):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -16,7 +16,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.stable import davg, davg_sql, dround, dround_sql, ts_str, ts_str_sql
+from ..functions.stable import (
+    davg,
+    davg_sql,
+    dround,
+    dround_sql,
+    dsum,
+    dsum_sql,
+    ts_str,
+    ts_str_sql,
+)
 from ..io import load_table
 from ..registry import query
 from .text import _STOP_SQL, _STOPWORDS, _TOKENS_SQL, _tokens
@@ -605,4 +614,162 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wt).cast("double"),
             6,
         ).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_zorder_layout — two-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+_ZORDER_CACHE: dict[str, str] = {}
+_Z_BITS = 16  # bits per dimension interleaved into the z-value
+
+
+def _zorder_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write events once per sf_dir sorted by the Morton interleave of
+    (user_id, hour-index): both dimensions cluster simultaneously, so
+    row-group min/max stats skip on EITHER predicate column."""
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ZORDER_CACHE:
+        e = load_table(spark, sf_dir, "events")
+        # bit-interleave via shifts: sum over i of bit_i(a)<<(2i+1) | bit_i(b)<<(2i)
+        terms = []
+        for i in range(_Z_BITS):
+            terms.append(
+                f"(((user_id >> {i}) & 1) << {2 * i + 1})"
+                f" + (((hour_idx >> {i}) & 1) << {2 * i})"
+            )
+        zexpr = " + ".join(terms)
+        out = os.path.join(tempfile.mkdtemp(prefix="nm_zorder_"), "events_z")
+        (
+            e.withColumn(
+                "hour_idx",
+                (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long"),
+            )
+            .withColumn("zval", F.expr(zexpr))
+            .repartitionByRange(32, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _ZORDER_CACHE[key] = out
+    return _ZORDER_CACHE[key]
+
+
+@query(
+    "sink_zorder_layout",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {{dsum}} AS total_value
+FROM events
+WHERE user_id BETWEEN 40 AND 59
+GROUP BY event_type
+""".replace("{dsum}", dsum_sql("value")),
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout: events written sorted by the Morton bit-interleave
+    of (user_id, hour) — the Delta/Iceberg OPTIMIZE ZORDER technique,
+    expressed as plain Spark (range-partition + sort on the interleaved
+    key). Unlike the single-key sorted layout, BOTH a user predicate and a
+    time predicate see clustered row-group min/max stats, so either scan
+    skips most of a 100 TB table. Layout is lossless — the oracle is the
+    plain filtered aggregate; clustering quality is asserted from parquet
+    footer statistics in tests/test_plans.py."""
+    back = spark.read.parquet(_zorder_dir(spark, sf_dir))
+    return (
+        back.filter(F.col("user_id").between(40, 59))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_encrypt_roundtrip — column-level encryption surface
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "nm-demo-key-16by"  # 16-byte demo key — governance surface, not secrecy
+
+
+@query(
+    "fn_encrypt_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_plain_bytes,
+       CAST(((octet_length(encode(text)) // 16) + 1) * 16 AS BIGINT) AS n_cipher_bytes,
+       text AS decrypted
+FROM documents
+""",
+)
+def fn_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface (governance: encrypt PII columns at
+    rest, decrypt for authorized readers): AES-128-ECB encrypt → decrypt
+    round-trip on the text column. ECB is used ONLY because it is
+    deterministic (hash-checkable ciphertext length, PKCS7 padding =
+    next 16-byte boundary — the oracle predicts it arithmetically); real
+    deployments use GCM with random IVs, same API shape. All JVM codegen
+    (``aes_encrypt``/``aes_decrypt``), zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    cipher = F.expr(f"aes_encrypt(text, '{_AES_KEY}', 'ECB', 'PKCS')")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias(
+            "n_plain_bytes"
+        ),
+        F.octet_length(cipher).cast("long").alias("n_cipher_bytes"),
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(text, '{_AES_KEY}', 'ECB', 'PKCS'),"
+            f" '{_AES_KEY}', 'ECB', 'PKCS') AS STRING)"
+        ).alias("decrypted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_shard_assignment — deterministic training-shard routing
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@query(
+    "pipeline_shard_assignment",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CAST(("hash_int" % {_N_SHARDS} + {_N_SHARDS}) % {_N_SHARDS} AS BIGINT) AS shard
+  FROM (SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS "hash_int"
+        FROM documents)
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM assigned
+GROUP BY shard
+""",
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard routing + balance report: every doc is
+    assigned a shard by md5(doc_id) — stable across runs, machines and
+    engines (no partitioner internals leak into the assignment) — and the
+    report shows docs/bytes per shard so skew is visible before the
+    trainer reads anything. Row-local assignment, one grouped shuffle;
+    at 100 TB this is the write-side routing for `partitionBy(shard)`."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        (h.cast("long") % _N_SHARDS).alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
     )

@@ -295,3 +295,40 @@ def test_extensions3_dims_broadcast(spark):
         assert "BroadcastHashJoin" in p, f"{name}:\n{p}"
     p = plan(QUERIES["vec_batch_knn"](spark, SF_CORRECT))
     assert "BroadcastExchange" in p, p
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """The z-order claim, checked from parquet footers: row-group min/max
+    spans must be a strict fraction of the global range on BOTH interleaved
+    dimensions — that is what makes either predicate skip row groups
+    (single-key sorting clusters only its own key)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from storm_netmonitor_spark.operators.extensions3 import _zorder_dir
+
+    d = _zorder_dir(spark, SF_CORRECT)
+    spans_u, spans_h = [], []
+    gu = [float("inf"), float("-inf")]
+    gh = [float("inf"), float("-inf")]
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [
+            md.row_group(0).column(i).path_in_schema
+            for i in range(md.row_group(0).num_columns)
+        ]
+        ui, hi = names.index("user_id"), names.index("hour_idx")
+        for rg in range(md.num_row_groups):
+            su = md.row_group(rg).column(ui).statistics
+            sh = md.row_group(rg).column(hi).statistics
+            spans_u.append(su.max - su.min)
+            spans_h.append(sh.max - sh.min)
+            gu = [min(gu[0], su.min), max(gu[1], su.max)]
+            gh = [min(gh[0], sh.min), max(gh[1], sh.max)]
+    assert len(spans_u) >= 16, "layout produced too few row groups to judge"
+    mean_u = sum(spans_u) / len(spans_u)
+    mean_h = sum(spans_h) / len(spans_h)
+    assert mean_u <= 0.6 * (gu[1] - gu[0]), (mean_u, gu)
+    assert mean_h <= 0.35 * (gh[1] - gh[0]), (mean_h, gh)
