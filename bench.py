@@ -55,6 +55,8 @@ EXTRA_REPORTED = [
     "text_boilerplate_share",  # cross-doc gram DF shuffle + broadcast-back
     "events_funnel",  # chained conditional window minima (1 keyed shuffle)
     "ts_anomaly_zscore",  # decimal rolling moments over bounded frames
+    "vec_batch_knn",  # broadcast query block × row-local decimal dots
+    "agg_bitmap_distinct",  # exact distinct via mergeable bitmap partials
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain

@@ -375,3 +375,47 @@ def test_stream_distinct_approx_matches_batch(spark):
         assert s_n == b_n, f"{k}: row counts differ"
         assert s_approx == b_approx, f"{k}: stream {s_approx} != batch {b_approx}"
         assert abs(s_approx - b_exact) <= max(2, 0.05 * b_exact)
+
+
+def test_stream_gap_alert_state_crosses_batches(spark):
+    """The gap detector's whole point is state carrying the last sample
+    time ACROSS micro-batches: split events into 4 files processed one per
+    batch (maxFilesPerTrigger=1) and the emitted alerts must still equal
+    the single-batch run over the same data — i.e. gaps spanning a batch
+    boundary are neither lost nor duplicated."""
+    from storm_netmonitor_spark.streaming.alerts import (
+        _GAP_OUT,
+        _GAP_STATE,
+        _gap_fn,
+    )
+    from storm_netmonitor_spark.streaming.core import drain_to_memory
+    from storm_netmonitor_spark.streaming.stateful import (
+        _read_events_arrow,
+        _stream_staged,
+    )
+
+    t = _read_events_arrow(SF_CORRECT)
+    d = tempfile.mkdtemp(prefix="nm_gap_parts_")
+    step = (t.num_rows + 3) // 4
+    for i in range(4):
+        f = os.path.join(d, f"p{i}.parquet")
+        pq.write_table(t.slice(i * step, step), f)
+        os.utime(f, (1_700_000_000 + i * 1000,) * 2)
+
+    s = _stream_staged(spark, d, one_file_per_batch=True)
+    alerts = (
+        s.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _gap_fn, _GAP_OUT, _GAP_STATE, "append", "NoTimeout"
+        )
+    )
+    multi = {
+        tuple(r) for r in drain_to_memory(alerts, mode="append").collect()
+    }
+    single = {
+        tuple(r)
+        for r in QUERIES["stream_gap_alert"](spark, SF_CORRECT).collect()
+    }
+    assert multi == single
+    assert len(single) > 0, "no gaps in testdata — threshold too high to test"
