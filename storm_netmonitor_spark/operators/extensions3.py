@@ -773,3 +773,223 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_fixed — latency-histogram rollup
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 50.0
+_HIST_TOP = 9  # bins 0..9; the last bin absorbs the tail
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle=f"""
+SELECT event_type,
+       CAST(LEAST(CAST(floor(value / {_HIST_WIDTH}) AS BIGINT), {_HIST_TOP}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per metric type (NM: the latency/size
+    histogram every monitoring UI renders): bin = floor(value / width)
+    clamped into a tail bucket. Bin assignment is row-local integer math
+    (one identical IEEE division then floor — exact in both engines), so
+    the whole histogram is ONE partial-aggregated shuffle of
+    (type × ≤10 bins) groups — at 100 TB the shuffle carries a few
+    hundred counters, nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.floor(F.col("value") / F.lit(_HIST_WIDTH)).cast("long"),
+        F.lit(_HIST_TOP).cast("long"),
+    )
+    return (
+        e.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count("*").alias("n_samples"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_pareto_talkers — the smallest set of sources carrying half the traffic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pareto_talkers",
+    oracle=f"""
+WITH totals AS (
+  SELECT user_id,
+         SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,6))) AS total_dec
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, total_dec,
+         SUM(total_dec) OVER () AS grand,
+         SUM(total_dec) OVER (ORDER BY total_dec DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (ORDER BY total_dec DESC, user_id) AS rnk
+  FROM totals
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, user_id,
+       CAST(ROUND(total_dec, 2) AS DOUBLE) AS total_value,
+       {dround_sql('CAST(cum AS DOUBLE) / CAST(grand AS DOUBLE)', 6)} AS cum_share
+FROM ranked
+WHERE CAST(cum - total_dec AS DOUBLE) / CAST(grand AS DOUBLE) < 0.5
+""",
+)
+def agg_pareto_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto set (NM core: the smallest set of talkers carrying 50 % of
+    total traffic): per-source exact-decimal totals, ranked by volume,
+    kept while the cumulative share BEFORE the row is under the threshold
+    (so the crossing row is included). The global window runs over the
+    per-source AGGREGATE frame (O(sources) rows after one keyed shuffle) —
+    the reduced-frame rule; decimal cumulative sums keep the running share
+    order-exact in both engines. At open cardinality the
+    agg_heavy_hitters_approx sketch is the preface that bounds this
+    frame."""
+    e = load_table(spark, sf_dir, "events")
+    totals = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("double").cast("decimal(28,6)")).alias(
+            "total_dec"
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy(
+        F.col("total_dec").desc(), F.col("user_id")
+    )
+    ranked = totals.select(
+        "user_id",
+        "total_dec",
+        F.sum("total_dec").over(w_all).alias("grand"),
+        F.sum("total_dec").over(
+            w_cum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.row_number().over(w_cum).alias("rnk"),
+    )
+    return ranked.filter(
+        (F.col("cum") - F.col("total_dec")).cast("double")
+        / F.col("grand").cast("double")
+        < 0.5
+    ).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        "user_id",
+        F.round("total_dec", 2).cast("double").alias("total_value"),
+        dround(
+            F.col("cum").cast("double") / F.col("grand").cast("double"), 6
+        ).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_orders — cross-table point-in-time enrichment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_orders",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_custkey,
+       e.event_id AS last_event_id,
+       {ts_str_sql('e.ts')} AS last_event_ts
+FROM orders o
+ASOF LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events) e
+  ON o.o_custkey = e.user_id AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
+""",
+)
+def join_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table point-in-time (as-of) enrichment: each order picks the
+    customer's most recent event at or before the order date — the SCD /
+    telemetry-context lookup (NM: which counter sample was current when
+    the job ran). PySpark has no native as-of join; the union-tag pattern
+    keeps it shuffle-parallel: tag both tables, union on the shared time
+    axis, one (key)-partitioned window carries the last event forward via
+    last(ignorenulls) — O(n log n) per key, no range join, no quadratic
+    state. Ties on the time axis sort events BEFORE orders so an event at
+    exactly the order timestamp is visible to it (ASOF's <=)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"),
+        F.col("event_id"),
+        F.col("ts").alias("t"),
+    )
+    tagged = e.select(
+        "o_custkey",
+        "t",
+        F.lit(0).alias("side"),  # events first on ties (<= semantics)
+        "event_id",
+        F.col("t").alias("ev_ts"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    ).unionByName(
+        o.select(
+            "o_custkey",
+            "t",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ev_ts"),
+            "o_orderkey",
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "o_custkey",
+        "o_orderkey",
+        "side",
+        F.last("event_id", ignorenulls=True).over(w).alias("last_event_id"),
+        F.last("ev_ts", ignorenulls=True).over(w).alias("last_ev_ts"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "last_event_id",
+        ts_str("last_ev_ts").alias("last_event_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_cache_reuse — one materialization, many consumers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_cache_reuse",
+    oracle=f"""
+WITH hot AS (
+  SELECT * FROM events WHERE value > 100
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hot) AS n_hot,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM hot) AS n_hot_users,
+       (SELECT {dsum_sql('value')} FROM hot) AS hot_total
+""",
+)
+def scan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-once, consume-many (NM: several reports over the same hot
+    subset each interval): the filtered frame is persisted, three
+    aggregates read the in-memory columnar copy instead of re-scanning
+    parquet (InMemoryTableScan in their plans — asserted in test_plans),
+    then the one-row results are combined with cheap 1×1 joins. At 100 TB
+    the equivalent is caching a filtered day, not the table; unpersist
+    releases executor memory deterministically."""
+    e = load_table(spark, sf_dir, "events")
+    hot = e.filter(F.col("value") > 100).cache()
+    try:
+        a = hot.agg(F.count("*").cast("long").alias("n_hot"))
+        b = hot.agg(
+            F.countDistinct("user_id").cast("long").alias("n_hot_users")
+        )
+        c = hot.agg(dsum("value").alias("hot_total"))
+        out = a.crossJoin(b).crossJoin(c)
+        out.collect()  # materialize while cached
+        return out
+    finally:
+        hot.unpersist()

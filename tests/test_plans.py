@@ -88,7 +88,13 @@ def test_partitioned_sink_prunes_partitions(spark):
 # work at fixed Q, the batch-retrieval shape). The interval join's
 # whitelist entry would be a bug — keep it out and let the test prove it
 # stays out.
-_CARTESIAN_OK = {"join_cross", "text_tfidf_topk", "tpch_q22", "vec_batch_knn"}
+_CARTESIAN_OK = {
+    "join_cross",
+    "text_tfidf_topk",
+    "tpch_q22",
+    "vec_batch_knn",
+    "scan_cache_reuse",  # three 1-row aggregates combined by 1×1 joins
+}
 
 
 def _is_streaming(fn) -> bool:
@@ -332,3 +338,44 @@ def test_zorder_layout_clusters_both_dimensions(spark):
     mean_h = sum(spans_h) / len(spans_h)
     assert mean_u <= 0.6 * (gu[1] - gu[0]), (mean_u, gu)
     assert mean_h <= 0.35 * (gh[1] - gh[0]), (mean_h, gh)
+
+
+def test_cache_reuse_hits_inmemory_scan(spark):
+    """After the first materialization the consumers must read the cached
+    columnar copy, not re-scan parquet."""
+    df = QUERIES["scan_cache_reuse"](spark, SF_CORRECT)
+    # the returned (already collected once) plan combined cached aggregates;
+    # check the cache was actually used during construction
+    p = plan(df)
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
+
+
+def test_asof_orders_single_union_window(spark):
+    """The union-tag as-of must be one keyed window over the unioned
+    frame — no range join, no nested loop, exactly one exchange on the
+    key."""
+    import re
+
+    p = plan(QUERIES["join_asof_orders"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_histogram_shuffles_only_counters(spark):
+    """The histogram's exchange must sit ABOVE a partial HashAggregate —
+    the shuffle carries (type × bin) counters, never raw samples."""
+    p = plan(QUERIES["agg_histogram_fixed"](spark, SF_CORRECT))
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p, p
+
+
+def test_pareto_window_over_reduced_frame(spark):
+    """The global Pareto window may only run AFTER the per-user aggregate:
+    in execution order (formatted-plan node ids count bottom-up from the
+    scan) every HashAggregate id must precede every Window id."""
+    import re
+
+    p = plan(QUERIES["agg_pareto_talkers"](spark, SF_CORRECT))
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", p)]
+    assert agg_ids and win_ids, p
+    assert max(agg_ids) < min(win_ids), (agg_ids, win_ids)
