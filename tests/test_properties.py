@@ -102,3 +102,53 @@ def test_dsum_is_partition_order_independent(xs):
     ra = a.agg(dsum("v", 6).alias("s")).collect()[0]["s"]
     rb = b.agg(dsum("v", 6).alias("s")).collect()[0]["s"]
     assert ra == rb and repr(ra) == repr(rb)
+
+
+def test_round3_op_invariants(spark):
+    """Structural invariants of the round-3 operators on the real
+    testdata — cheap cross-checks the hash oracle can't express:
+
+    - histogram counts re-sum to the table row count;
+    - transition probabilities sum to 1 per from_type;
+    - Pareto cumulative share is strictly increasing and the LAST kept row
+      is the first to reach >= 50% (minimality + sufficiency);
+    - shard assignment is total (docs re-sum) and uses every shard;
+    - the batch kNN ranks are consistent: per query, sims are
+      non-increasing in rank.
+    """
+    from storm_netmonitor_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    n_events = 10_000
+
+    hist = QUERIES["agg_histogram_fixed"](spark, SF_CORRECT).collect()
+    assert sum(r.n_samples for r in hist) == n_events
+
+    trans = QUERIES["events_transition_matrix"](spark, SF_CORRECT).collect()
+    by_from: dict[str, float] = {}
+    for r in trans:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p_transition
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+
+    pareto = sorted(
+        QUERIES["agg_pareto_talkers"](spark, SF_CORRECT).collect(),
+        key=lambda r: r.rnk,
+    )
+    shares = [r.cum_share for r in pareto]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert shares[-1] >= 0.5, "kept set does not reach half the traffic"
+    assert shares[-2] < 0.5 if len(shares) > 1 else True, "kept set not minimal"
+
+    shards = QUERIES["pipeline_shard_assignment"](spark, SF_CORRECT).collect()
+    assert sum(r.n_docs for r in shards) == 500
+    assert len(shards) == 16, "some shard received no documents"
+
+    knn = QUERIES["vec_batch_knn"](spark, SF_CORRECT).collect()
+    per_q: dict[int, list[float]] = {}
+    for r in sorted(knn, key=lambda r: (r.q_id, -r.sim)):
+        per_q.setdefault(r.q_id, []).append(r.sim)
+    assert len(per_q) == 10
+    for q_id, sims in per_q.items():
+        assert len(sims) == 3 and sims == sorted(sims, reverse=True), (q_id, sims)
