@@ -993,3 +993,205 @@ def scan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         hot.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# sink_compact_small_files — the small-file problem
+# ---------------------------------------------------------------------------
+
+_COMPACT_CACHE: dict[str, tuple[str, int, int]] = {}
+
+
+def _compacted_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Fragment events into many small files once per sf_dir, then compact
+    to 4 right-sized files; returns (compacted_dir, n_small, n_compact)."""
+    import glob
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    if key not in _COMPACT_CACHE:
+        e = load_table(spark, sf_dir, "events")
+        frag = os.path.join(tempfile.mkdtemp(prefix="nm_frag_"), "events_frag")
+        e.repartition(64).write.mode("overwrite").parquet(frag)  # the problem
+        comp = os.path.join(tempfile.mkdtemp(prefix="nm_comp_"), "events_comp")
+        (
+            spark.read.parquet(frag)
+            .repartition(4)  # the fix: read-and-rewrite at target file size
+            .write.mode("overwrite")
+            .parquet(comp)
+        )
+        n_small = len(glob.glob(os.path.join(frag, "*.parquet")))
+        n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
+        _COMPACT_CACHE[key] = (comp, n_small, n_comp)
+    return _COMPACT_CACHE[key]
+
+
+@query(
+    "sink_compact_small_files",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (NM: a per-interval streaming sink emits one
+    tiny file per trigger; a month later the table is millions of files
+    and every scan dies on open() overhead): read the fragmented table,
+    rewrite at target file count/size — the OPTIMIZE/compact maintenance
+    job, as plain Spark. Compaction must be LOSSLESS: the oracle is the
+    plain aggregate over the original table, and the file counts
+    (64 → 4) are asserted in tests."""
+    comp, _, _ = _compacted_dir(spark, sf_dir)
+    back = spark.read.parquet(comp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_rate_limit — ingestion hygiene
+# ---------------------------------------------------------------------------
+
+_RATE_CAP = 5  # keep at most K samples per (source × hour)
+
+
+@query(
+    "events_rate_limit",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > {_RATE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY user_id
+""",
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rate limiting (NM: a misbehaving host flooding
+    samples must not swamp the collector): keep the first K samples per
+    (source × hour) by arrival order, account for the rest. One keyed
+    window shuffle; the kept/dropped accounting aggregates on the same
+    key — at 100 TB the cap turns unbounded per-key floods into bounded
+    per-key work downstream. (Output keeps per-source totals; n_kept
+    counts ALL samples here so the oracle also proves kept+dropped
+    partitioning: kept = n_kept − n_dropped.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    ranked = e.select("user_id", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > _RATE_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vec_matryoshka_truncate — MRL-style dimension reduction
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+
+
+@query(
+    "vec_matryoshka_truncate",
+    oracle=f"""
+WITH t AS (
+  SELECT vec_id, label, embedding[1:{_MRL_DIM}] AS head
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(head, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM t
+)
+SELECT vec_id, label,
+       CAST({_MRL_DIM} AS BIGINT) AS dim,
+       {dround_sql('norm', 6)} AS head_norm
+FROM n
+""",
+)
+def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation (NORTH: store the first 16 of
+    64 dims → 4× cheaper ANN tier, rescore survivors at full precision):
+    row-local array slice + norm — the norm tells how much mass the head
+    carries (MRL-trained embeddings concentrate it there; on these random
+    unit vectors it is ≈ sqrt(16/64), asserted in a property test). Slice
+    and square-sum are identical IEEE per-element ops in both engines
+    (fixed left-to-right accumulation via ordered aggregate), rounded at
+    6 dp. Zero shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    head = F.slice("embedding", 1, _MRL_DIM)
+    sq = F.aggregate(
+        F.transform(head, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.lit(_MRL_DIM).cast("long").alias("dim"),
+        dround(F.sqrt(sq), 6).alias("head_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_epoch_shuffle — deterministic training-order generation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_N_SHARDS} + {_N_SHARDS}) % {_N_SHARDS} AS BIGINT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY md5('epoch1|' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS epoch1_pos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY md5('epoch2|' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS epoch2_pos
+FROM assigned
+""",
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order (NORTH: every rerun and
+    every worker must agree on the sample order, with a DIFFERENT order
+    each epoch): position = rank of md5(epoch-salt || doc_id) WITHIN the
+    doc's shard. Reproducible with no RNG state, orders decorrelate
+    across epochs, and the rank windows are per-shard — each is
+    corpus/shards-sized, never a global sort (the 100 TB reader shuffles
+    within shards, exactly how training dataloaders do it)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    assigned = d.select(
+        "doc_id", (h.cast("long") % _N_SHARDS).alias("shard")
+    )
+    def pos(salt: str):
+        return F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        ).cast("long")
+    return assigned.select(
+        "doc_id",
+        "shard",
+        pos("epoch1").alias("epoch1_pos"),
+        pos("epoch2").alias("epoch2_pos"),
+    )

@@ -174,3 +174,88 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         F.round(F.sum("dec_sum"), 2).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "sink_cdc_apply",
+    oracle=f"""
+SELECT user_id, event_type, event_id, {ts_str_sql('ts')} AS last_ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert-apply as a streaming sink (NM: maintain the
+    current-value table of every counter as samples arrive): each
+    micro-batch MERGEs into a keyed parquet state — new state = latest
+    row per (source × metric) over old state ∪ batch, written to a fresh
+    versioned directory (atomic swap, the Delta MERGE pattern without the
+    format). Four staged micro-batches (maxFilesPerTrigger=1) prove the
+    fold is batch-split-invariant: the final state equals the one-shot
+    latest-per-key over all events — the same oracle as
+    ``dedup_latest_per_key``. State size is O(live keys), not O(stream)."""
+    import os
+
+    from pyspark.sql import Window
+    from ..functions.stable import ts_str
+
+    def build(d: str) -> str:
+        import pyarrow.parquet as pq
+
+        from .stateful import _read_events_arrow
+
+        t = _read_events_arrow(sf_dir)
+        step = (t.num_rows + 3) // 4
+        for i in range(4):
+            f = os.path.join(d, f"p{i}.parquet")
+            pq.write_table(t.slice(i * step, step), f)
+            os.utime(f, (1_700_000_000 + i * 1000,) * 2)
+        return d
+
+    src = _stage_once("cdc_parts", sf_dir, build)
+    s = _stream_staged(spark, src, one_file_per_batch=True)
+
+    root = tempfile.mkdtemp(prefix="nm_cdc_state_")
+    versions: list[str] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cols = ["user_id", "event_type", "event_id", "ts", "value"]
+        upserts = batch_df.select(*cols)
+        merged = (
+            upserts
+            if not versions
+            else spark.read.parquet(versions[-1]).unionByName(upserts)
+        )
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        state = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_version = os.path.join(root, f"v{batch_id}")
+        state.write.mode("overwrite").parquet(new_version)  # atomic swap
+        versions.append(new_version)
+
+    writer = (
+        s.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .trigger(availableNow=True)
+    )
+    with _state_sized_shuffle(spark):
+        q = writer.start()
+        q.awaitTermination()
+
+    return spark.read.parquet(versions[-1]).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        ts_str("ts").alias("last_ts"),
+        "value",
+    )

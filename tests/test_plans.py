@@ -379,3 +379,13 @@ def test_pareto_window_over_reduced_frame(spark):
     win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", p)]
     assert agg_ids and win_ids, p
     assert max(agg_ids) < min(win_ids), (agg_ids, win_ids)
+
+
+def test_compaction_reduces_file_count_losslessly(spark):
+    """64 fragment files must compact to 4; row counts must match (the
+    data-loss check beyond the value-hash oracle)."""
+    from storm_netmonitor_spark.operators.extensions3 import _compacted_dir
+
+    comp, n_small, n_comp = _compacted_dir(spark, SF_CORRECT)
+    assert n_small == 64 and n_comp == 4, (n_small, n_comp)
+    assert spark.read.parquet(comp).count() == 10_000

@@ -152,3 +152,39 @@ def test_round3_op_invariants(spark):
     assert len(per_q) == 10
     for q_id, sims in per_q.items():
         assert len(sims) == 3 and sims == sorted(sims, reverse=True), (q_id, sims)
+
+
+def test_matryoshka_head_norm_concentration(spark):
+    """On random unit vectors the 16-of-64 head carries ~sqrt(16/64)=0.5 of
+    the norm on average — the sanity bound that the slice really is a
+    norm-preserving prefix (MRL-trained embeddings would concentrate
+    more)."""
+    from storm_netmonitor_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    rows = QUERIES["vec_matryoshka_truncate"](spark, SF_CORRECT).collect()
+    assert len(rows) == 500 and all(r.dim == 16 for r in rows)
+    mean = sum(r.head_norm for r in rows) / len(rows)
+    assert 0.35 < mean < 0.65, mean
+    assert all(0.0 <= r.head_norm <= 1.000001 for r in rows)
+
+
+def test_epoch_shuffle_orders_decorrelate(spark):
+    """Each epoch must be a permutation within its shard, and the two
+    epoch orders must genuinely differ (not a relabeling)."""
+    from storm_netmonitor_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    rows = QUERIES["pipeline_epoch_shuffle"](spark, SF_CORRECT).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    moved = 0
+    for shard, rs in by_shard.items():
+        n = len(rs)
+        assert sorted(r.epoch1_pos for r in rs) == list(range(1, n + 1))
+        assert sorted(r.epoch2_pos for r in rs) == list(range(1, n + 1))
+        moved += sum(1 for r in rs if r.epoch1_pos != r.epoch2_pos)
+    assert moved > len(rows) * 0.8, f"only {moved} of {len(rows)} docs moved"
