@@ -57,6 +57,7 @@ EXTRA_REPORTED = [
     "ts_anomaly_zscore",  # decimal rolling moments over bounded frames
     "vec_batch_knn",  # broadcast query block × row-local decimal dots
     "agg_bitmap_distinct",  # exact distinct via mergeable bitmap partials
+    "graph_pagerank_links",  # iterative power-iteration loop (3 rounds, checkpointed)
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain

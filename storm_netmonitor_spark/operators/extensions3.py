@@ -1195,3 +1195,120 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos("epoch1").alias("epoch1_pos"),
         pos("epoch2").alias("epoch2_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_links — iterative link-graph ranking
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+_PR_DEC = "DECIMAL(38,20)"
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration (recursive-CTE aggregation over the
+    recursive term is not portable SQL): pr0 → pr1 → … → prN, each stage
+    the same decimal-summed contribution join the Spark loop performs."""
+    base = """
+WITH e0 AS (
+  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    stage = """, pr{next} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.contrib, 0) AS DOUBLE) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(p.rank / deg.d AS {dec})) AS contrib
+    FROM edges e
+    JOIN pr{cur} p ON p.node = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    sql = base
+    for i in range(_PR_ITERS):
+        sql += stage.format(cur=i, next=i + 1, dec=_PR_DEC)
+    sql += f"""
+SELECT node, {dround_sql('rank', 12)} AS rank
+FROM pr{_PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+    return sql
+
+
+@query("graph_pagerank_links", oracle=_pagerank_oracle())
+def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part↔supplier link graph (NORTH: link-graph
+    ranking is how crawl frontiers prioritize domains; NM: influence
+    ranking of chatty hosts in a communication graph — lineitem is the
+    stand-in edge list). Distributed power iteration, Spark-shaped:
+
+    - edges/degrees computed once and reused every iteration;
+    - each iteration is ONE join + ONE keyed aggregate; the contribution
+      sum accumulates in DECIMAL so it is shuffle-order-independent, and
+      the damping finish is identical IEEE math — the whole loop is
+      bit-stable against the unrolled SQL oracle;
+    - ``localCheckpoint`` truncates lineage each round (the CC-loop rule:
+      iterative plans otherwise grow O(rounds));
+    - driver-side actions are ONE scalar count (node total) + the
+      checkpoint materializations — no data ever collects.
+
+    Fixed 3 iterations (rank deltas < 1e-3 by then on this graph);
+    production would iterate to tolerance with the same per-round shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_nodes = float(nodes.count())  # scalar only — the one driver action
+
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.lit(n_nodes)).alias("rank")
+    )
+    dec_contrib = "CAST(rank / d AS DECIMAL(38,20))"
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr(dec_contrib).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(
+            contribs, nodes.node == contribs.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(0.15) / F.lit(n_nodes)
+                + F.lit(0.85)
+                * F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+            ).alias("rank"),
+        ).localCheckpoint()
+    return (
+        ranks.select("node", dround("rank", 12).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
