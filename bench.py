@@ -65,7 +65,13 @@ EXTRA_REPORTED = [
 #: batch queries the DataFrame is built once and ``collect()`` re-executes
 #: the job (BASELINE.md's method: plan compilation amortized, execution
 #: measured — same as DuckDB re-running a prepared statement).
-RERUN_FULL = {"stream_tumbling"}
+RERUN_FULL = {
+    "stream_tumbling",
+    # the power-iteration loop materializes during DataFrame construction
+    # (localCheckpoint per round) — timing only collect() would measure
+    # the final sort, not the iterations
+    "graph_pagerank_links",
+}
 
 WARMUPS = 1
 RUNS = 3
