@@ -1067,7 +1067,8 @@ WITH ranked AS (
   FROM events
 )
 SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN rn <= {_RATE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(SUM(CASE WHEN rn > {_RATE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM ranked
 GROUP BY user_id
@@ -1079,9 +1080,8 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source × hour) by arrival order, account for the rest. One keyed
     window shuffle; the kept/dropped accounting aggregates on the same
     key — at 100 TB the cap turns unbounded per-key floods into bounded
-    per-key work downstream. (Output keeps per-source totals; n_kept
-    counts ALL samples here so the oracle also proves kept+dropped
-    partitioning: kept = n_kept − n_dropped.)"""
+    per-key work downstream; n_total = n_kept + n_dropped proves the
+    partition is exhaustive."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
         "ts", "event_id"
@@ -1090,7 +1090,10 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(w)
     )
     return ranked.groupBy("user_id").agg(
-        F.count("*").alias("n_kept"),
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("rn") <= _RATE_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
         F.sum(F.when(F.col("rn") > _RATE_CAP, 1).otherwise(0))
         .cast("long")
         .alias("n_dropped"),
