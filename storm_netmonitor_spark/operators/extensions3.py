@@ -1315,3 +1315,114 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_kmeans_assign — Lloyd's algorithm, hash-exactly verifiable
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DOT_DEC = "DECIMAL(28,12)"
+
+
+def _kmeans_oracle() -> str:
+    """One full Lloyd round (assign → re-center → re-assign), unrolled in
+    SQL: the same decimal-summed dots and identical-IEEE centroid means
+    the Spark loop computes — k-means made hash-checkable."""
+    dot = f"CAST(SUM(CAST(p.px AS {_KM_DOT_DEC})) AS DOUBLE)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, pos, x AS cx FROM e WHERE vec_id < {_KM_K}
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.dot DESC, t.cid) AS rn
+    FROM (SELECT p.vec_id, p.cid, {dot} AS dot
+          FROM (SELECT e.vec_id, c0.cid, e.x * c0.cx AS px
+                FROM e JOIN c0 USING (pos)) p
+          GROUP BY p.vec_id, p.cid) t
+  ) WHERE rn = 1
+), c1 AS (
+  SELECT a1.cid, e.pos,
+         CAST(SUM(CAST(e.x AS {_KM_DOT_DEC})) AS DOUBLE) / COUNT(*) AS cx
+  FROM e JOIN a1 USING (vec_id)
+  GROUP BY a1.cid, e.pos
+), a2 AS (
+  SELECT vec_id, cid, dot FROM (
+    SELECT t.vec_id, t.cid, t.dot,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.dot DESC, t.cid) AS rn
+    FROM (SELECT p.vec_id, p.cid, {dot} AS dot
+          FROM (SELECT e.vec_id, c1.cid, e.x * c1.cx AS px
+                FROM e JOIN c1 USING (pos)) p
+          GROUP BY p.vec_id, p.cid) t
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+       {dround_sql('dot', 6)} AS centroid_dot
+FROM a2
+"""
+
+
+@query("vec_kmeans_assign", oracle=_kmeans_oracle())
+def vec_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (K=8, one full assign → re-center → re-assign
+    round) with a FULLY unrolled SQL oracle — distributed clustering made
+    hash-exactly verifiable: dots accumulate in DECIMAL (shuffle-order-
+    independent), argmax ties break on centroid id, centroid means are
+    identical IEEE division of exact decimal sums. This is the machinery
+    `vec_ann_ivf` and `vec_semantic_dedup` run (their end-to-end checks
+    are rows-only by design; THIS op pins the underlying math to the
+    oracle bit-for-bit). Shapes are the scale-correct ones: centroids
+    live in a K×dim frame joined by position — never collected — and the
+    assignment is one positional join + keyed aggregate per round."""
+    e = _pos_explode_all(load_table(spark, sf_dir, "embeddings"))
+    c0 = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        dots = (
+            e.join(cent, "pos")
+            .select("vec_id", "cid", (F.col("x") * F.col("cx")).alias("px"))
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.col("px").cast(_KM_DOT_DEC)).cast("double").alias("dot"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+        return dots.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    a1 = assign(c0).select("vec_id", "cid")
+    c1 = (
+        e.join(a1, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(_KM_DOT_DEC)).cast("double")
+                / F.count("*")
+            ).alias("cx")
+        )
+    )
+    a2 = assign(c1)
+    return a2.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster"),
+        dround("dot", 6).alias("centroid_dot"),
+    )
+
+
+def _pos_explode_all(df: DataFrame) -> DataFrame:
+    """(vec_id, pos, x-double) rows, 1-based pos (DuckDB subscripts)."""
+    return df.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
