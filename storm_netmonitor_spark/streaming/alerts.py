@@ -259,3 +259,59 @@ def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("ts").alias("last_ts"),
         "value",
     )
+
+
+@query(
+    "stream_progress_audit",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS c FROM events),
+     s AS (SELECT ((SELECT c FROM n) + 3) // 4 AS step)
+SELECT CAST(i AS BIGINT) AS batch_id,
+       CAST(LEAST((SELECT step FROM s),
+                  (SELECT c FROM n) - i * (SELECT step FROM s)) AS BIGINT)
+         AS n_input_rows
+FROM range(4) t(i)
+""",
+)
+def stream_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline self-observability on the STREAMING side (the batch twin
+    is ``observe_metrics``): drain the 4-file staged source one file per
+    micro-batch and report each batch's ingested row count from the
+    engine's own ``StreamingQueryProgress`` — the exactly-once audit trail
+    an operator reads when reconciling a collector. The staging slices
+    events into ceil(n/4)-row files, so the per-batch counts are
+    ARITHMETICALLY predictable and the oracle needs no table beyond the
+    row count — any dropped or double-read batch breaks the hash.
+    Progress metadata is 4 rows on the driver (observability scale, like
+    observe_metrics), never data."""
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> str:
+        from .stateful import _read_events_arrow
+
+        t = _read_events_arrow(sf_dir)
+        step = (t.num_rows + 3) // 4
+        for i in range(4):
+            f = os.path.join(d, f"p{i}.parquet")
+            pq.write_table(t.slice(i * step, step), f)
+            os.utime(f, (1_700_000_000 + i * 1000,) * 2)
+        return d
+
+    src = _stage_once("rollup_parts", sf_dir, build)  # shared staging
+    s = _stream_staged(spark, src, one_file_per_batch=True)
+    writer = (
+        s.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .trigger(availableNow=True)
+    )
+    with _state_sized_shuffle(spark):
+        q = writer.start()
+        q.awaitTermination()
+    rows = [
+        (int(p["batchId"]), int(p["numInputRows"]))
+        for p in (q.recentProgress or [])
+        if int(p.get("numInputRows", 0)) > 0
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id long, n_input_rows long"
+    )
