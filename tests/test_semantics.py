@@ -419,3 +419,22 @@ def test_stream_gap_alert_state_crosses_batches(spark):
     }
     assert multi == single
     assert len(single) > 0, "no gaps in testdata — threshold too high to test"
+
+
+def test_cli_list_and_run():
+    """The __main__ CLI surface: list filters ids; run executes a query
+    in a subprocess (own SparkSession) and prints rows."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "storm_netmonitor_spark", "list", "pareto"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert out.returncode == 0 and "agg_pareto_talkers\thash" in out.stdout
+    bad = subprocess.run(
+        [sys.executable, "-m", "storm_netmonitor_spark", "run", "nope"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert bad.returncode == 2 and "unknown query id" in bad.stderr
