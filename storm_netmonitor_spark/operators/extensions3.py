@@ -1446,3 +1446,163 @@ def _pos_explode_all(df: DataFrame) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.col("xf").cast("double").alias("x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_pattern_match — MATCH_RECOGNIZE-style sequence detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_pattern_match",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         LAG(value, 1) OVER w AS v1,
+         LAG(value, 2) OVER w AS v2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, {ts_str_sql('ts')} AS ts,
+       {dround_sql('value - v2', 6)} AS rise
+FROM seq
+WHERE v2 IS NOT NULL AND value > v1 AND v1 > v2
+""",
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection, MATCH_RECOGNIZE re-expressed as lag
+    windows (NM: three consecutive rising samples = ramp alert — the
+    pattern rule engines like Flink CEP run, here as one keyed window):
+    emit the third row of every strictly-rising triple per source with
+    the total rise. One user-keyed shuffle; the boolean chain is
+    row-local after the lags. Longer patterns extend with more lags or
+    a running state column — same single-exchange shape."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_id", "ts", "value").select(
+        "*",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+    )
+    return seq.filter(
+        F.col("v2").isNotNull()
+        & (F.col("value") > F.col("v1"))
+        & (F.col("v1") > F.col("v2"))
+    ).select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts"),
+        dround(F.col("value") - F.col("v2"), 6).alias("rise"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_baseline — deviation from the hour-of-day norm
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hod,
+         {davg_sql('value')} AS baseline
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type,
+       CAST(hour(CAST(e.ts AS TIMESTAMP)) AS BIGINT) AS hod,
+       b.baseline,
+       {dround_sql('e.value - b.baseline', 6)} AS deviation
+FROM events e
+JOIN base b ON e.event_type = b.event_type
+          AND hour(CAST(e.ts AS TIMESTAMP)) = b.hod
+""",
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal normalization (NM: alert on deviation from the hour-of-day
+    NORM, not a flat threshold — nightly backup traffic is normal at 3am,
+    an incident at 3pm): pass 1 computes the (type × hour) baseline means
+    (exact-decimal avg, a 120-row frame); pass 2 joins them BACK to every
+    sample by broadcast and scores the deviation (identical IEEE
+    subtraction). The baseline frame is vocabulary-sized at any data
+    scale, so the enrichment join broadcasts forever — the two-pass
+    'aggregate tiny, broadcast back' shape used by decontaminate and
+    boilerplate."""
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(davg("value", 6).alias("baseline"))
+    )
+    return (
+        e.select("event_id", "event_type", F.hour("ts").alias("hod"), "value")
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hod").cast("long").alias("hod"),
+            "baseline",
+            dround(F.col("value") - F.col("baseline"), 6).alias("deviation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_user_overlap_jaccard — audience overlap between metric types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_overlap_jaccard",
+    oracle=f"""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       {dround_sql('CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both)', 6)} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+""",
+)
+def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between metric types (NM: do the hosts reporting
+    errors overlap the hosts reporting purchases? — correlated-signal
+    discovery): Jaccard of the distinct-user sets per type pair. The
+    self-join is keyed on user_id over the DEDUPLICATED (type, user)
+    frame — fan-out per user is (types-per-user)², bounded by the type
+    vocabulary, never by row count; set sizes broadcast back. Exact
+    integer counts, one final identical division."""
+    e = load_table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            dround(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
