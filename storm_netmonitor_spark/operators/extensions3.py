@@ -1606,3 +1606,104 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_ip_subnet — subnet rollup of per-host traffic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_ip_subnet",
+    oracle=f"""
+WITH addr AS (
+  SELECT user_id, value,
+         '10.' || CAST((user_id // 256) % 256 AS VARCHAR) || '.'
+                || CAST(user_id % 256 AS VARCHAR) || '.'
+                || CAST(1 + (user_id % 250) AS VARCHAR) AS ip
+  FROM events
+), parsed AS (
+  SELECT user_id, value, ip,
+         string_split(ip, '.') AS octets
+  FROM addr
+)
+SELECT CAST(octets[1] || '.' || octets[2] || '.' || octets[3] || '.0/24' AS VARCHAR) AS subnet,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_hosts,
+       {dsum_sql('value')} AS total_value
+FROM parsed
+GROUP BY 1
+""",
+)
+def fn_ip_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-/24-subnet traffic rollup — the literal netmonitor computation
+    (which racks talk most): host addresses derived deterministically from
+    source ids (the testdata carries no IP column; the derivation is the
+    same expression in both engines, so the parse→mask→rollup machinery is
+    what is verified), split into octets, masked to the /24, aggregated.
+    All string/arithmetic work is row-local codegen; one grouped shuffle
+    of subnet-sized partials."""
+    e = load_table(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        ((F.col("user_id") / 256).cast("long") % 256).cast("string"),
+        (F.col("user_id") % 256).cast("string"),
+        (F.lit(1) + F.col("user_id") % 250).cast("string"),
+    )
+    octets = F.split(ip, r"\.")
+    subnet = F.concat_ws(
+        ".", octets.getItem(0), octets.getItem(1), octets.getItem(2), F.lit("0/24")
+    )
+    return (
+        e.select("user_id", "value", subnet.alias("subnet"))
+        .groupBy("subnet")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.countDistinct("user_id").cast("long").alias("n_hosts"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_streak_length — longest consecutive-day reporting streak
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_streak_length",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+), isl AS (
+  SELECT user_id, d,
+         CAST(d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+              AS DATE) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len
+  FROM isl GROUP BY user_id, anchor
+)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak_days
+FROM streaks GROUP BY user_id
+""",
+)
+def win_streak_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day reporting streak per source (NM:
+    reliability scoring — how long did each host report without a
+    miss?): classic gaps-and-islands via the date-minus-row-number
+    anchor, entirely on the DEDUPLICATED (user, day) frame (≤ 30 rows
+    per user regardless of sample volume). One keyed shuffle reused by
+    the window and both aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak_days")
+    )
