@@ -1707,3 +1707,105 @@ def win_streak_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("len").cast("long").alias("longest_streak_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_sla_availability — uptime scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_sla_availability",
+    oracle=f"""
+WITH span AS (
+  SELECT CAST(CAST(MIN(ts) AS TIMESTAMP) AS DATE) AS d0,
+         CAST(CAST(MAX(ts) AS TIMESTAMP) AS DATE) AS d1
+  FROM events
+), days AS (
+  SELECT user_id, COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS days_reported
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(days_reported AS BIGINT) AS days_reported,
+       {dround_sql("CAST(days_reported AS DOUBLE) / ((SELECT d1 - d0 FROM span) + 1)", 6)} AS availability,
+       CAST(days_reported AS DOUBLE) / ((SELECT d1 - d0 FROM span) + 1) >= 0.9 AS sla_met
+FROM days
+""",
+)
+def agg_sla_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source availability scoring (NM: SLA reporting — on what share
+    of the observation window did each host report at least once?):
+    distinct reporting days over the global day span, with a 90 % SLA
+    verdict. The span is a 1-row broadcast scalar (exact integer day
+    arithmetic); the per-source distinct-day count is one keyed
+    aggregate. Pairs with `win_streak_length` (continuity) and
+    `ts_sla_gap_detect` (incidents) as the reliability suite."""
+    e = load_table(spark, sf_dir, "events")
+    span = e.agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("span_d")
+    )
+    days = e.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).alias("days_reported")
+    )
+    avail = F.col("days_reported").cast("double") / (
+        F.col("span_d") + F.lit(1)
+    ).cast("double")
+    return days.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.col("days_reported").cast("long").alias("days_reported"),
+        dround(avail, 6).alias("availability"),
+        (avail >= 0.9).alias("sla_met"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_data_card — the one-row corpus datasheet
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_data_card",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, source, n_chars,
+         len(list_filter({_TOKENS_SQL}, x -> x <> '')) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM t
+""",
+)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus DATA CARD (NORTH: the datasheet every released
+    training set ships with): document/unique/token/char totals, language
+    and source counts, length extremes — one global aggregate pass with
+    row-local token counting, everything exact integers. At 100 TB this
+    is one partial-aggregated scan; the per-stratum drill-down is
+    `pipeline_corpus_report`."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    scored = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

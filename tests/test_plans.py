@@ -94,6 +94,7 @@ _CARTESIAN_OK = {
     "tpch_q22",
     "vec_batch_knn",
     "scan_cache_reuse",  # three 1-row aggregates combined by 1×1 joins
+    "agg_sla_availability",  # 1-row observation-span scalar broadcast
 }
 
 
