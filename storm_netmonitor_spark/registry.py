@@ -91,6 +91,26 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_near_dedup_minhash", "text_near_dedup_simhash",
         "text_ngram_jaccard", "text_lang_id", "text_token_bpe",
         "text_clean_html", "vec_knn_cosine",
+        # --- round 3 (CORRECTNESS_r03.json: 44 hash-green, 6 rows-only) ---
+        "stream_tumbling", "stream_session", "stream_stateful_counter",
+        "stream_counter_rate", "stream_topk_talkers", "stream_static_join",
+        "stream_stream_join", "source_stream_events", "stream_sliding",
+        "stream_alert_threshold", "stream_session_dynamic",
+        "stream_distinct_approx", "stream_dedup", "stream_watermark_late",
+        "stream_rate_ewma", "stream_stream_left_join", "source_stream_csv",
+        "sink_stream_parquet", "sink_foreach_batch", "vec_pairwise_topk",
+        "vec_ann_ivf", "vec_near_dup_cosine", "multimodal_binary",
+        "multimodal_decode_stub", "vec_ann_lsh", "pivot_events_wide",
+        "unpivot_lineitem_long", "sample_split_hash",
+        "sample_stratified_topk", "pack_sequences", "win_sessionize_batch",
+        "pipeline_pretrain_corpus", "source_json_lines",
+        "multimodal_frame_sample", "agg_approx_quantile",
+        "scan_snapshot_diff", "ts_gapfill", "join_salted_skew",
+        "vec_quantize_int8", "scan_manifest_stats", "text_pii_redact",
+        "text_quality_gopher", "text_decontaminate",
+        "text_boilerplate_share", "pipeline_mixture_weights",
+        "pipeline_chunk_documents", "text_dedup_components",
+        "vec_semantic_dedup", "agg_incremental_rollup", "events_funnel",
     }
 )
 
@@ -99,36 +119,34 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 #: failures; all three round-1 re-checks are green, so this is empty.)
 RECHECK_FIRST: tuple[str, ...] = ()
 
-#: Round-3 window priority among the still-unverified operators. The
-#: reference is a *stream* processor (SURVEY §0.3) yet no ``stream_*`` op has
-#: ever been driver-checked — natural registration order would push streaming
-#: to round 4, so the never-checked segment is explicitly reordered: all 19
-#: streaming ops first, then the vectors tail, then the §2.M pipeline layer.
-#: Operators not listed here keep registration order after these (the 15
-#: TPC-H + remaining §2.O rows → round 4's 31-op window).
+#: Round-4 window priority among the 67 still-unverified operators
+#: (VERDICT r3 action #2). 67 > the driver's 50-query cap, so the builder
+#: chooses which 17 overflow to round 5: NM-core streaming, the flagship
+#: dedup/vector ops, and the full TPC-H suite go INSIDE the window;
+#: governance/novelty scalars (fn_encrypt_roundtrip, fn_mask, fn_ip_subnet,
+#: agg_string_concat, pipeline_data_card, win_streak_length,
+#: agg_sla_availability, …) wait in registration order behind these.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # §2.I + streaming addendum — the reference's core identity
-    "stream_tumbling", "stream_session", "stream_stateful_counter",
-    "stream_counter_rate", "stream_topk_talkers", "stream_static_join",
-    "stream_stream_join", "source_stream_events", "stream_sliding",
-    "stream_alert_threshold", "stream_session_dynamic",
-    "stream_distinct_approx", "stream_dedup", "stream_watermark_late",
-    "stream_rate_ewma", "stream_stream_left_join", "source_stream_csv",
-    "sink_stream_parquet", "sink_foreach_batch",
-    # vectors tail (§2.K/§2.L)
-    "vec_pairwise_topk", "vec_ann_ivf", "vec_near_dup_cosine",
-    "multimodal_binary", "multimodal_decode_stub", "vec_ann_lsh",
-    # §2.M pipeline-composition layer + stragglers
-    "pivot_events_wide", "unpivot_lineitem_long", "sample_split_hash",
-    "sample_stratified_topk", "pack_sequences", "win_sessionize_batch",
-    "pipeline_pretrain_corpus", "source_json_lines",
-    "multimodal_frame_sample", "agg_approx_quantile", "scan_snapshot_diff",
-    "ts_gapfill", "join_salted_skew", "vec_quantize_int8",
-    "scan_manifest_stats", "text_pii_redact", "text_quality_gopher",
-    "text_decontaminate", "text_boilerplate_share",
-    "pipeline_mixture_weights", "pipeline_chunk_documents",
-    "text_dedup_components", "vec_semantic_dedup", "agg_incremental_rollup",
-    "events_funnel",
+    # NM-core streaming + flagship-class ops (VERDICT r3 named these)
+    "stream_gap_alert", "stream_incremental_rollup", "sink_cdc_apply",
+    "stream_progress_audit", "graph_pagerank_links", "vec_kmeans_assign",
+    "ts_sla_gap_detect", "dedup_latest_per_key", "agg_bitmap_distinct",
+    # TPC-H decision-support suite (§2.N, all 15)
+    "tpch_q03", "tpch_q04", "tpch_q06", "tpch_q07", "tpch_q08",
+    "tpch_q09", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+    # §2.O SQL-surface / corpus-analytics / sketch rows
+    "source_orc_roundtrip", "fn_url", "fn_variant", "fn_try_arith",
+    "agg_linreg", "agg_sketch_hll", "join_anti_null_aware",
+    "agg_bool_countif", "pipeline_token_budget", "text_word_freq_zipf",
+    "text_cooccur_lift", "agg_retention_cohort", "ts_resample_ohlc",
+    "ts_anomaly_zscore",
+    # §2.Q rows that belong with the core (dedup/vector/layout/events)
+    "agg_corr_moments", "vec_batch_knn", "multimodal_dedup_binary",
+    "pipeline_dedup_survivors", "events_transition_matrix",
+    "sink_zorder_layout", "pipeline_shard_assignment",
+    "agg_histogram_fixed", "agg_pareto_talkers", "join_asof_orders",
+    "sink_compact_small_files", "events_rate_limit",
 )
 
 

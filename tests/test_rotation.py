@@ -36,7 +36,13 @@ def _driver_passed_ids() -> set[str]:
         for name, rec in json.loads(path.read_text()).items():
             if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
                 passed.add(name)
-            elif rec.get("err") == "no_oracle" and rec.get("spark_rows", 0) >= 0:
+            elif (
+                rec.get("err") == "no_oracle"
+                and "spark_rows" in rec
+                and rec["spark_rows"] >= 0
+            ):
+                # 'driver actually ran it' guard: a crashed no-oracle row has
+                # no spark_rows key and must stay in rotation (ADVICE r3).
                 passed.add(name)
     return passed
 
@@ -74,30 +80,33 @@ def test_recheck_first_only_holds_red_rows():
     assert not stale, f"RECHECK_FIRST holds already-green ids: {stale}"
 
 
-def test_streaming_flagships_inside_round3_window():
+def test_round4_flagships_inside_window():
+    # VERDICT r3 action #2: NM-core streaming, flagship dedup/vector ops and
+    # the whole TPC-H suite must land inside round 4's window; governance /
+    # novelty scalars are the chosen 17-op overflow to round 5.
     window = set(list(entrymod.queries())[:WINDOW])
     flagships = {
-        "stream_tumbling", "stream_session", "stream_stateful_counter",
-        "stream_counter_rate", "stream_topk_talkers", "stream_static_join",
-        "stream_stream_join",
-    }
-    missing = flagships - window
-    assert not missing, f"streaming flagships outside the driver window: {sorted(missing)}"
+        "stream_gap_alert", "stream_incremental_rollup", "sink_cdc_apply",
+        "stream_progress_audit", "graph_pagerank_links", "vec_kmeans_assign",
+        "ts_sla_gap_detect", "dedup_latest_per_key", "agg_bitmap_distinct",
+    } | {n for n in registry.QUERIES if n.startswith("tpch_")}
+    missing = flagships - window - _driver_passed_ids()
+    assert not missing, f"round-4 flagships outside the driver window: {sorted(missing)}"
 
 
-def test_prioritized_streaming_ops_inside_round3_window():
-    # Every PRE-round-3 streaming op (they are all in PRIORITY_FIRST) must
-    # be in the window until verified. Streaming ops REGISTERED in round 3
-    # or later (streaming/alerts.py) correctly wait behind older
-    # unverified ops — the operators/__init__ discipline.
-    window = set(list(entrymod.queries())[:WINDOW])
-    streaming = {
-        n for n, fn in registry.QUERIES.items()
-        if fn.__module__.startswith("storm_netmonitor_spark.streaming")
-        and n in registry.PRIORITY_FIRST
-    }
-    unwindowed = streaming - window - _driver_passed_ids()
-    assert not unwindowed, f"streaming ops missing a verdict AND outside window: {sorted(unwindowed)}"
+def test_window_holds_only_unverified_priority_ops():
+    # Until the backlog is clear, every window slot must go to an op from
+    # PRIORITY_FIRST or (once those run out) the oldest-registered
+    # unverified ops — never to an op that already has a verdict.
+    passed = _driver_passed_ids()
+    window = list(entrymod.queries())[:WINDOW]
+    unverified_total = len([n for n in registry.QUERIES if n not in passed])
+    expect = min(WINDOW, unverified_total)
+    fresh = [n for n in window[:expect] if n not in passed]
+    assert len(fresh) == expect, (
+        f"window wastes slots on verified ops: "
+        f"{[n for n in window[:expect] if n in passed]}"
+    )
 
 
 def test_driver_ordered_is_a_permutation():
