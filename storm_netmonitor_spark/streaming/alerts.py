@@ -46,6 +46,12 @@ def _fmt_us(us: int) -> str:
 
 
 def _gap_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
+    # State is the per-key MAX sample time seen so far. Rows within a batch
+    # are sorted here; ACROSS batches the source must deliver time-ordered
+    # files (our staged sources do — one chronological file per batch). If a
+    # straggler batch ever carried older samples, the monotonic-max guard
+    # below skips the negative gap instead of mis-alerting and never
+    # regresses the state (ADVICE r3 #3).
     prev = state.get if state.exists else None  # type: ignore[misc]
     last_us = prev[0] if prev is not None else None
     chunks = [p for p in pdf_iter]
@@ -55,12 +61,16 @@ def _gap_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
         uid = int(key[0])
         for t in pdf["ts"]:
             us = int(t.value // 1000)  # pandas Timestamp.value is ns
-            if last_us is not None:
-                gap = us - last_us
-                if gap >= _GAP_US:
-                    rows.append(
-                        (uid, _fmt_us(last_us), _fmt_us(us), gap // 60_000_000)
-                    )
+            if last_us is None:
+                last_us = us
+                continue
+            if us < last_us:  # out-of-order straggler: no alert, keep max
+                continue
+            gap = us - last_us
+            if gap >= _GAP_US:
+                rows.append(
+                    (uid, _fmt_us(last_us), _fmt_us(us), gap // 60_000_000)
+                )
             last_us = us
     if last_us is not None:
         state.update((last_us,))
@@ -271,6 +281,8 @@ SELECT CAST(i AS BIGINT) AS batch_id,
                   (SELECT c FROM n) - i * (SELECT step FROM s)) AS BIGINT)
          AS n_input_rows
 FROM range(4) t(i)
+WHERE LEAST((SELECT step FROM s),
+            (SELECT c FROM n) - i * (SELECT step FROM s)) > 0
 """,
 )
 def stream_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

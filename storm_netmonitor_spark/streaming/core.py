@@ -61,13 +61,26 @@ def events_ts_unit(sf_dir: str) -> str:
     The driver regenerates testdata between rounds and has shipped BOTH
     TIMESTAMP(NANOS) (rounds 1-2) and TIMESTAMP(MICROS) (round 3) — so the
     unit is detected from the file footer, never assumed."""
-    key = os.path.abspath(sf_dir)
+    return _file_ts_unit(table_path(sf_dir, "events"))
+
+
+def _file_ts_unit(path: str) -> str:
+    key = os.path.abspath(path)
     if key not in _ts_unit_cache:
         import pyarrow.parquet as pq
 
-        t = pq.ParquetFile(table_path(sf_dir, "events")).schema_arrow.field("ts").type
+        t = pq.ParquetFile(path).schema_arrow.field("ts").type
         _ts_unit_cache[key] = getattr(t, "unit", "us")
     return _ts_unit_cache[key]
+
+
+def _dir_ts_unit(src: str) -> str:
+    """ts unit of the parquet files actually inside ``src`` (footer of the
+    first file; staged directories are written with one uniform unit)."""
+    for name in sorted(os.listdir(src)):
+        if name.endswith(".parquet"):
+            return _file_ts_unit(os.path.join(src, name))
+    return "us"
 
 _stage_cache: dict[str, str] = {}
 
@@ -107,10 +120,15 @@ def events_stream_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str, source_dir: str | None = None) -> DataFrame:
-    """Unbounded events DataFrame (ts normalized to TimestampType)."""
+    """Unbounded events DataFrame (ts normalized to TimestampType).
+
+    The nanos-vs-micros schema choice follows the files ACTUALLY being read:
+    when ``source_dir`` overrides the default staged symlink, its own footer
+    decides, so a µs staged dir under a ns ``sf_dir`` reads correctly
+    (ADVICE r3 #1)."""
     apply_runtime_confs(spark)
     src = source_dir or events_stream_dir(sf_dir)
-    if events_ts_unit(sf_dir) == "ns":
+    if _dir_ts_unit(src) == "ns":
         raw = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(src)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
