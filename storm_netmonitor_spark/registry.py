@@ -127,10 +127,13 @@ RECHECK_FIRST: tuple[str, ...] = ()
 #: agg_string_concat, pipeline_data_card, win_streak_length,
 #: agg_sla_availability, …) wait in registration order behind these.
 PRIORITY_FIRST: tuple[str, ...] = (
-    # NM-core streaming + flagship-class ops (VERDICT r3 named these)
+    # NM-core streaming + flagship-class ops (VERDICT r3 named these);
+    # source_stream_custom is round 4's single new registration (r3 #6)
+    # and displaces events_rate_limit into the round-5 overflow.
     "stream_gap_alert", "stream_incremental_rollup", "sink_cdc_apply",
-    "stream_progress_audit", "graph_pagerank_links", "vec_kmeans_assign",
-    "ts_sla_gap_detect", "dedup_latest_per_key", "agg_bitmap_distinct",
+    "stream_progress_audit", "source_stream_custom", "graph_pagerank_links",
+    "vec_kmeans_assign", "ts_sla_gap_detect", "dedup_latest_per_key",
+    "agg_bitmap_distinct",
     # TPC-H decision-support suite (§2.N, all 15)
     "tpch_q03", "tpch_q04", "tpch_q06", "tpch_q07", "tpch_q08",
     "tpch_q09", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",

@@ -17,7 +17,12 @@ executor-side iteration — is identical and is what this module proves.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Deterministic generator parameters (primes keep the sequences mixed).
 N_HOSTS = 8
@@ -55,6 +60,48 @@ class CounterSampleReader(DataSourceReader):
             )
 
 
+class CounterSampleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of :class:`CounterSampleReader`: the collector as an
+    UNBOUNDED source. The offset is the global sample index; each micro-batch
+    advances it by ``batch_samples`` (a poll interval's worth of readings
+    across every host), so the same deterministic sequence the batch reader
+    emits all at once arrives here incrementally with exactly-once replay —
+    ``readBetweenOffsets`` regenerates any [start, end) slice on recovery.
+    The generator is pure integer arithmetic; in production ``read`` would
+    poll the collector endpoints and offsets would be collector sequence
+    numbers, with the same replay contract."""
+
+    def __init__(self, options):
+        self.n_hosts = int(options.get("hosts", N_HOSTS))
+        self.samples = int(options.get("samples", SAMPLES_PER_HOST))
+        self.batch = int(
+            options.get("batch_samples", max(1, self.samples // 4))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, i: int, j: int):
+        for k in range(i, j):
+            for h in range(self.n_hosts):
+                yield (
+                    f"host{h}",
+                    f"eth{k % 2}",
+                    (h * _P1 + k * _P2) % _MOD,
+                    (h * _P2 + k * _P1) % _MOD,
+                )
+
+    def read(self, start: dict):
+        i = start["i"]
+        j = min(i + self.batch, self.samples)
+        # a LIST iterator, not a generator: the engine's prefetch cache
+        # copy.copy()s the iterator for replay, which generators can't do
+        return iter(list(self._rows(i, j))), {"i": j}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["i"], end["i"])))
+
+
 class CounterSampleSource(DataSource):
     """``format("nm_counters")`` — the collector as a pluggable source."""
 
@@ -67,6 +114,9 @@ class CounterSampleSource(DataSource):
 
     def reader(self, schema) -> CounterSampleReader:
         return CounterSampleReader(self.options)
+
+    def simpleStreamReader(self, schema) -> CounterSampleStreamReader:
+        return CounterSampleStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -24,7 +24,12 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions.stable import dsum_sql, ts_str_sql
 from ..registry import query
-from .core import drain_to_memory, events_stream, _state_sized_shuffle
+from .core import (
+    drain_to_memory,
+    drain_to_memory_until,
+    events_stream,
+    _state_sized_shuffle,
+)
 from .stateful import _stage_once, _stream_staged
 
 _GAP_US = 6 * 3_600 * 10**6  # same threshold as ts_sla_gap_detect
@@ -326,4 +331,50 @@ def stream_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "batch_id long, n_input_rows long"
+    )
+
+
+def _counter_stream_oracle() -> str:
+    # Built from the SAME constants the source generates with — the oracle
+    # cannot drift from the implementation.
+    from ..sources.pysource import N_HOSTS, SAMPLES_PER_HOST, _MOD, _P1, _P2
+
+    return f"""
+SELECT 'host' || CAST(h AS VARCHAR) AS host,
+       'eth' || CAST(i % 2 AS VARCHAR) AS iface,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM((h * {_P1} + i * {_P2}) % {_MOD}) AS BIGINT) AS sum_sent,
+       CAST(SUM((h * {_P2} + i * {_P1}) % {_MOD}) AS BIGINT) AS sum_recv
+FROM range({N_HOSTS}) th(h), range({SAMPLES_PER_HOST}) ti(i)
+GROUP BY 1, 2
+"""
+
+
+@query("source_stream_custom", oracle=_counter_stream_oracle())
+def source_stream_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collector as a CUSTOM STREAMING SOURCE (Spark 4
+    ``pyspark.sql.datasource`` ``SimpleDataSourceStreamReader``): the same
+    deterministic per-host counter generator the batch ``nm_counters``
+    format exposes, arriving as micro-batches whose offset is the global
+    sample index — the transport-independent half of a Kafka/socket
+    ingest (VERDICT r3 #6; ``streaming/kafka_twin.py`` is the brokered
+    twin, config-gated until an environment provides a broker). The drain
+    runs until the committed offset reaches the configured sample count
+    (custom Python sources sit outside ``availableNow`` planning —
+    ``drain_to_memory_until``), then the per-(host × iface) integer
+    rollup is hash-compared against a ``range()``-generated DuckDB twin
+    of the generator arithmetic. Exactly-once is real: recovery replays
+    [start, end) via ``readBetweenOffsets`` and the integer sums would
+    expose any dropped or doubled batch."""
+    from ..sources.pysource import SAMPLES_PER_HOST, register
+
+    register(spark)
+    s = spark.readStream.format("nm_counters").load()
+    agg = s.groupBy("host", "iface").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("bytes_sent").alias("sum_sent"),
+        F.sum("bytes_recv").alias("sum_recv"),
+    )
+    return drain_to_memory_until(
+        agg, lambda off: off.get("i", -1) >= SAMPLES_PER_HOST
     )

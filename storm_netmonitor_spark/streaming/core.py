@@ -153,3 +153,47 @@ def drain_to_memory(df: DataFrame, mode: str = "complete", **stream_opts) -> Dat
         q = writer.start()
         q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def drain_to_memory_until(
+    df: DataFrame, done, mode: str = "complete", timeout_s: float = 120.0
+) -> DataFrame:
+    """Run a streaming DataFrame with a fast processing-time trigger until
+    ``done(last_end_offset: dict) -> bool`` says the source is exhausted,
+    then stop and return the sink table.
+
+    Custom Python sources (``pyspark.sql.datasource``) don't participate in
+    ``availableNow``'s drain planning — a single micro-batch is captured —
+    so bounded custom streams are drained by watching the committed offset
+    instead. ``lastProgress`` only ever reports COMPLETED batches, so once
+    ``done`` sees the final offset the sink already holds its output."""
+    import ast
+    import time
+
+    name = "nm_mem_" + uuid.uuid4().hex[:10]
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .trigger(processingTime="0 seconds")
+    )
+    with _state_sized_shuffle(df.sparkSession):
+        q = writer.start()
+        try:
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                p = q.lastProgress
+                if p and p.get("sources"):
+                    off = p["sources"][0].get("endOffset")
+                    if isinstance(off, str):
+                        off = ast.literal_eval(off)
+                    if off and done(off):
+                        break
+                time.sleep(0.05)
+            else:
+                raise TimeoutError("custom stream did not reach end offset")
+        finally:
+            q.stop()
+            q.awaitTermination()
+    return df.sparkSession.table(name)

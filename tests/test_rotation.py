@@ -89,6 +89,7 @@ def test_round4_flagships_inside_window():
         "stream_gap_alert", "stream_incremental_rollup", "sink_cdc_apply",
         "stream_progress_audit", "graph_pagerank_links", "vec_kmeans_assign",
         "ts_sla_gap_detect", "dedup_latest_per_key", "agg_bitmap_distinct",
+        "source_stream_custom",
     } | {n for n in registry.QUERIES if n.startswith("tpch_")}
     missing = flagships - window - _driver_passed_ids()
     assert not missing, f"round-4 flagships outside the driver window: {sorted(missing)}"
