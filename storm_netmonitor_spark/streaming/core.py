@@ -96,16 +96,71 @@ STREAM_STATE_PARTITIONS = int(os.environ.get("NM_STREAM_STATE_PARTITIONS", "8"))
 
 
 @contextmanager
-def _state_sized_shuffle(spark: SparkSession):
+def _state_sized_shuffle(spark: SparkSession, n: int | None = None):
     """Temporarily size shuffle partitions for streaming state; the value
     is captured into the query's checkpoint at start, so restoring the
-    batch setting afterwards does not affect the running drain."""
+    batch setting afterwards does not affect the running drain.
+
+    ``n`` overrides the default for a single drain: JVM-native windowed
+    aggregations with few thousand keys want FEWER state partitions (each
+    one costs store-commit files per batch), while Python-stateful
+    operators (``applyInPandasWithState``) want MORE — their Arrow worker
+    parallelism follows the state partitioning (measured both ways at
+    sf0.1: tumbling 8→2 −15%, stateful_counter 8→2 +34%)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(n or STREAM_STATE_PARTITIONS)
+    )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+#: Throwaway-drain tuning, set around every ``drain_to_memory`` and
+#: restored after (production deployments with durable checkpoints keep
+#: Spark's defaults): retain only the latest checkpoint batch and push the
+#: store-maintenance cadence past the drain's lifetime — pure metadata
+#: overhead for a run-once query (measured ~10% of the sf0.1 tumbling
+#: drain).
+_DRAIN_CONFS = {
+    "spark.sql.streaming.minBatchesToRetain": "1",
+    "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
+}
+
+
+@contextmanager
+def _drain_tuned(spark: SparkSession, mode: str):
+    confs = dict(_DRAIN_CONFS)
+    if mode == "complete":
+        # complete mode re-emits the full state every batch — a trailing
+        # no-data micro-batch (whose only purpose is watermark-driven
+        # FINAL emission in append mode) buys nothing here. Append-mode
+        # drains keep it: their last rows emit in that batch.
+        confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def ckpt_dir() -> str:
+    """Fresh throwaway checkpoint dir — tmpfs when the platform has it
+    (checkpoint I/O is fsync-bound metadata; a deterministic drain never
+    needs it to survive reboot). Production passes a durable location."""
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix="nm_ckpt_", dir=base)
 
 
 def events_stream_dir(sf_dir: str) -> str:
@@ -134,7 +189,12 @@ def events_stream(spark: SparkSession, sf_dir: str, source_dir: str | None = Non
     return spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
 
 
-def drain_to_memory(df: DataFrame, mode: str = "complete", **stream_opts) -> DataFrame:
+def drain_to_memory(
+    df: DataFrame,
+    mode: str = "complete",
+    state_partitions: int | None = None,
+    **stream_opts,
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory sink; return the final result as a batch DataFrame.
 
@@ -144,15 +204,16 @@ def drain_to_memory(df: DataFrame, mode: str = "complete", **stream_opts) -> Dat
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .option("checkpointLocation", ckpt_dir())
         .trigger(availableNow=True)
     )
     for k, v in stream_opts.items():
         writer = writer.option(k, v)
-    with _state_sized_shuffle(df.sparkSession):
+    spark = df.sparkSession
+    with _state_sized_shuffle(spark, state_partitions), _drain_tuned(spark, mode):
         q = writer.start()
         q.awaitTermination()
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def drain_to_memory_until(
@@ -175,7 +236,7 @@ def drain_to_memory_until(
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .option("checkpointLocation", ckpt_dir())
         .trigger(processingTime="0 seconds")
     )
     with _state_sized_shuffle(df.sparkSession):

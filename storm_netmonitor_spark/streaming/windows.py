@@ -56,7 +56,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
     )
-    out = drain_to_memory(agg, mode="complete")
+    # ~3.6k keys of JVM-native state: 2 store partitions beat the default
+    # (fewer per-batch commit files; see _state_sized_shuffle docstring)
+    out = drain_to_memory(agg, mode="complete", state_partitions=2)
     return out.select(
         ts_str(F.col("w.start")).alias("window_start"),
         "event_type",
