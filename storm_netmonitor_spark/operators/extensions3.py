@@ -1206,7 +1206,15 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 3
 _PR_DAMP = 0.85
-_PR_DEC = "DECIMAL(38,20)"
+
+#: Contributions travel as FIXED-POINT LONGS: w(src) = floor(rank·1e18/d)
+#: computed once per NODE (21k divisions at sf0.1), then the per-edge work
+#: is a broadcast-joined BIGINT sum — whole-stage-codegen,
+#: shuffle-order-independent, and bit-identical in DuckDB (same IEEE
+#: multiply/divide/floor on both sides). Σw ≤ 1e18 < 2^63: no overflow.
+#: (Round 3 shipped per-edge DECIMAL(38,20) division — ~6× slower at
+#: sf0.1's 1.18M edges and no more exact.)
+_PR_SCALE = "1e18"
 
 
 def _pagerank_oracle() -> str:
@@ -1229,22 +1237,23 @@ WITH e0 AS (
 ), pr0 AS (
   SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
 )"""
-    stage = """, pr{next} AS (
+    stage = """, w{cur} AS (
+  SELECT deg.src, CAST(FLOOR(p.rank * {scale} / deg.d) AS BIGINT) AS w
+  FROM pr{cur} p JOIN deg ON deg.src = p.node
+), pr{next} AS (
   SELECT n.node,
          CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
-         + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.contrib, 0) AS DOUBLE) AS rank
+         + CAST(0.85 AS DOUBLE)
+           * (CAST(COALESCE(s.contrib, 0) AS DOUBLE) / {scale}) AS rank
   FROM nodes n LEFT JOIN (
-    SELECT e.dst AS node,
-           SUM(CAST(p.rank / deg.d AS {dec})) AS contrib
-    FROM edges e
-    JOIN pr{cur} p ON p.node = e.src
-    JOIN deg ON deg.src = e.src
+    SELECT e.dst AS node, SUM(w{cur}.w) AS contrib
+    FROM edges e JOIN w{cur} ON w{cur}.src = e.src
     GROUP BY e.dst
   ) s ON s.node = n.node
 )"""
     sql = base
     for i in range(_PR_ITERS):
-        sql += stage.format(cur=i, next=i + 1, dec=_PR_DEC)
+        sql += stage.format(cur=i, next=i + 1, scale=_PR_SCALE)
     sql += f"""
 SELECT node, {dround_sql('rank', 12)} AS rank
 FROM pr{_PR_ITERS}
@@ -1291,10 +1300,11 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in edge list). Distributed power iteration, Spark-shaped:
 
     - edges/degrees computed once and reused every iteration;
-    - each iteration is ONE join + ONE keyed aggregate; the contribution
-      sum accumulates in DECIMAL so it is shuffle-order-independent, and
-      the damping finish is identical IEEE math — the whole loop is
-      bit-stable against the unrolled SQL oracle;
+    - each iteration computes a per-NODE fixed-point weight
+      floor(rank·1e18/deg) — O(nodes) divisions — then the edge pass is a
+      broadcast join + BIGINT sum: exact, shuffle-order-independent,
+      whole-stage-codegen, and bit-identical to the unrolled SQL oracle
+      (same IEEE multiply/divide/floor both sides; see _PR_SCALE);
     - ``localCheckpoint`` truncates lineage each round (the CC-loop rule:
       iterative plans otherwise grow O(rounds));
     - driver-side actions are ONE scalar count (node total) + the
@@ -1304,21 +1314,28 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     production would iterate to tolerance with the same per-round shape."""
     edges_dir = _pagerank_edges_dir(spark, sf_dir)
     edges = spark.read.parquet(edges_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
     n_nodes = float(nodes.count())  # scalar only — the one driver action
 
     ranks = nodes.select(
         "node", (F.lit(1.0) / F.lit(n_nodes)).alias("rank")
     )
-    dec_contrib = "CAST(rank / d AS DECIMAL(38,20))"
+    scale = float(_PR_SCALE)
     for _ in range(_PR_ITERS):
+        # per-NODE fixed-point weight; O(nodes) divisions, then the edge
+        # pass is a broadcast join + LONG sum (see _PR_SCALE note)
+        w = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select(
+                "src",
+                F.floor(F.col("rank") * F.lit(scale) / F.col("d")).alias("w"),
+            )
+        )
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select("dst", F.expr(dec_contrib).alias("c"))
+            edges.join(F.broadcast(w), "src")
             .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(F.sum("w").alias("contrib"))
         )
         ranks = nodes.join(
             contribs, nodes.node == contribs.dst, "left"
@@ -1327,7 +1344,8 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.lit(0.15) / F.lit(n_nodes)
                 + F.lit(0.85)
-                * F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+                * (F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+                   / F.lit(scale))
             ).alias("rank"),
         ).localCheckpoint()
     return (
