@@ -1269,7 +1269,12 @@ _PR_EDGE_CACHE: dict[str, str] = {}
 def _pagerank_edges_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the symmetric edge list once per sf_dir (production
     keeps the link graph as a maintained table; the rank refresh — the
-    iterative part — is what reruns periodically)."""
+    iterative part — is what reruns periodically).
+
+    Nodes are encoded as LONGS (part p → 2p, supplier s → 2s+1): every
+    per-iteration join/aggregate hashes 8-byte ints instead of strings;
+    the display names ('p123'/'s45') are reconstructed only for the final
+    top-20 rows."""
     import os
     import tempfile
 
@@ -1278,8 +1283,8 @@ def _pagerank_edges_dir(spark: SparkSession, sf_dir: str) -> str:
         li = load_table(spark, sf_dir, "lineitem")
         e0 = (
             li.select(
-                F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+                (F.col("l_partkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
             )
             .distinct()
         )
@@ -1348,8 +1353,14 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / F.lit(scale))
             ).alias("rank"),
         ).localCheckpoint()
+    # decode long node ids to display names only now, at O(top-k) scale;
+    # the sort key matches the oracle's (rank DESC, node-string ASC)
+    name = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+        F.shiftright("node", 1).cast("string"),
+    )
     return (
-        ranks.select("node", dround("rank", 12).alias("rank"))
+        ranks.select(name.alias("node"), dround("rank", 12).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
