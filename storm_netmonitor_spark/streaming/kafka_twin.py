@@ -33,9 +33,30 @@ BOOTSTRAP_ENV = "NM_KAFKA_BOOTSTRAP"
 TOPIC_ENV = "NM_KAFKA_TOPIC"
 DEFAULT_TOPIC = "nm-events"
 
+#: Wire format for event timestamps: full microsecond precision. Spark's
+#: default JSON timestamp format truncates to milliseconds — silently
+#: losing the µs component every other operator keys on — so producers
+#: and this consumer pin the format explicitly.
+WIRE_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def kafka_available() -> bool:
     return bool(os.environ.get(BOOTSTRAP_ENV))
+
+
+def parse_event_records(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-shaped frame (binary ``value`` column of JSON event
+    payloads) into the events schema — JVM-side ``from_json``, no Python
+    in the hot path. Split out from the stream reader so the decode is
+    unit-testable on a batch DataFrame without a broker."""
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            EVENTS_RAW_SCHEMA,
+            {"timestampFormat": WIRE_TS_FORMAT},
+        ).alias("e")
+    )
+    return parsed.select("e.*")
 
 
 def events_stream_kafka(spark: SparkSession, topic: str | None = None) -> DataFrame:
@@ -58,7 +79,4 @@ def events_stream_kafka(spark: SparkSession, topic: str | None = None) -> DataFr
         .option("startingOffsets", "earliest")
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), EVENTS_RAW_SCHEMA).alias("e")
-    )
-    return parsed.select("e.*")
+    return parse_event_records(raw)

@@ -88,6 +88,35 @@ def test_offsets_saturate_at_sample_cap():
     assert seen == 10 * N_HOSTS
 
 
+def test_kafka_payload_decode_roundtrip(spark):
+    # The broker is env-gated, but the decode path is pure Spark SQL:
+    # serialize real events rows to Kafka-shaped (binary value) JSON
+    # records, run the SAME parse the stream uses, and require a lossless
+    # round-trip of every column.
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.streaming.kafka_twin import (
+        WIRE_TS_FORMAT,
+        parse_event_records,
+    )
+
+    e = load_table(spark, SF_CORRECT, "events").limit(500)
+    wire = e.select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+            {"timestampFormat": WIRE_TS_FORMAT},
+        ).cast("binary").alias("value")
+    )
+    back = parse_event_records(wire)
+    assert [f.name for f in back.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    want = sorted(map(tuple, e.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+
+
 def test_kafka_twin_gated_without_broker(spark):
     from storm_netmonitor_spark.streaming import kafka_twin
 
