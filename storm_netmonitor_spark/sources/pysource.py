@@ -74,8 +74,10 @@ class CounterSampleStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.n_hosts = int(options.get("hosts", N_HOSTS))
         self.samples = int(options.get("samples", SAMPLES_PER_HOST))
-        self.batch = int(
-            options.get("batch_samples", max(1, self.samples // 4))
+        # floor at 1: a 0 batch size would return the same offset forever
+        # and the drain would spin to its timeout
+        self.batch = max(
+            1, int(options.get("batch_samples", max(1, self.samples // 4)))
         )
 
     def initialOffset(self) -> dict:

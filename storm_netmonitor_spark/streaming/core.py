@@ -244,6 +244,8 @@ def drain_to_memory_until(
         try:
             deadline = time.time() + timeout_s
             while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()  # fail fast, don't spin to timeout
                 p = q.lastProgress
                 if p and p.get("sources"):
                     off = p["sources"][0].get("endOffset")
