@@ -622,9 +622,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     not grow with iterations; the per-round convergence count is the only
     driver action, the data never leaves the executors."""
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    # materialize the symmetric edge list ONCE: edges may be an expensive
+    # upstream pipeline (text_dedup_components feeds the full shingle-join
+    # Jaccard plan in here) and the loop would otherwise re-execute it
+    # every round — measured 2× wall at sf0.1
     bi = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     for _ in range(CC_MAX_ITERS):
         neigh = (
             labels.join(bi, labels.doc_id == bi.doc_a)
