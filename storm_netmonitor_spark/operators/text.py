@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import LongType
 
 from ..functions.stable import davg, davg_sql, dround, dround_sql
-from ..io import load_table
+from ..io import load_table, scatter
 from ..registry import query
 
 #: Tokenizer shared by every text operator: lowercase, split on single
@@ -301,7 +301,7 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join complexity is bounded per LSH bucket; at 100 TB the bucket join is
     the only quadratic term and buckets stay small by construction.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = scatter(load_table(spark, sf_dir, "documents"))
     sig = minhash_signatures(d)
     rows_per_band = len(MINHASH_SEEDS) // MINHASH_BANDS
     band_cols = [
@@ -500,7 +500,7 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-verification stage of an n-gram dedup pipeline. Hot grams
     (document frequency > NGRAM_DF_CAP within a block) are removed from
     both sets, bounding the pair-join fan-out per key."""
-    d = load_table(spark, sf_dir, "documents")
+    d = scatter(load_table(spark, sf_dir, "documents"))
     toks_sql = "array_remove(split(lower(text), ' '), '')"
     grams_expr = F.expr(
         f"transform(sequence(1, size({toks_sql}) - 2),"

@@ -203,12 +203,18 @@ def test_sorted_layout_clusters_row_groups(spark):
 
 def test_corpus_rowlocal_ops_have_no_shuffle(spark):
     """PII redaction and the Gopher repetition rules are pure row-local
-    projections — any Exchange in their plan is a regression."""
+    projections — any KEYED Exchange in their plan is a regression. The
+    Gopher op carries exactly one ROUND-ROBIN scatter (io.scatter: the
+    single-row-group testdata scan can't split, so heavy HOF work must be
+    spread over cores); a hashpartitioning exchange would mean a real
+    shuffle crept in."""
     for name in ("text_pii_redact", "text_quality_gopher"):
         p = plan(QUERIES[name](spark, SF_CORRECT))
-        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+        assert "hashpartitioning" not in p, f"{name} keyed-shuffles:\n{p}"
         read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
         assert "text:string" in read[0] and "n_chars" not in read[0], read
+    p = plan(QUERIES["text_pii_redact"](spark, SF_CORRECT))
+    assert "Exchange" not in p, f"text_pii_redact shuffles:\n{p}"
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark):
