@@ -423,8 +423,9 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-doc DISTINCT grams bound the explode fan-out (so per-gram
     counts ARE document frequencies); one shuffle on gram computes the DF
     table; the resulting blocklist is small by construction (high-DF grams
-    only) → broadcast back — no second shuffle of the gram stream."""
-    d = load_table(spark, sf_dir, "documents")
+    only) → broadcast back — no second shuffle of the gram stream. The
+    scan is scattered first (io.scatter — single-row-group testdata)."""
+    d = scatter(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower("text"), " ")
     n = F.size(toks)
     grams = F.when(
