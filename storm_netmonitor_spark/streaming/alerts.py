@@ -25,9 +25,11 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from ..functions.stable import dsum_sql, ts_str_sql
 from ..registry import query
 from .core import (
+    ckpt_dir,
     drain_to_memory,
     drain_to_memory_until,
     events_stream,
+    _drain_tuned,
     _state_sized_shuffle,
 )
 from .stateful import _stage_once, _stream_staged
@@ -177,10 +179,10 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer = (
         s.writeStream.foreachBatch(merge_batch)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .option("checkpointLocation", ckpt_dir())
         .trigger(availableNow=True)
     )
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "append"):
         q = writer.start()
         q.awaitTermination()
 
@@ -260,10 +262,10 @@ def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer = (
         s.writeStream.foreachBatch(apply_batch)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .option("checkpointLocation", ckpt_dir())
         .trigger(availableNow=True)
     )
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "append"):
         q = writer.start()
         q.awaitTermination()
 
@@ -318,10 +320,10 @@ def stream_progress_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _stream_staged(spark, src, one_file_per_batch=True)
     writer = (
         s.writeStream.format("noop")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .option("checkpointLocation", ckpt_dir())
         .trigger(availableNow=True)
     )
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "append"):
         q = writer.start()
         q.awaitTermination()
     rows = [

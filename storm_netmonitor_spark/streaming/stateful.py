@@ -56,7 +56,13 @@ from ..functions.stable import dsum_sql, ts_str, ts_str_sql
 from ..io import table_path
 from ..registry import query
 from ..session import apply_runtime_confs
-from .core import EVENTS_RAW_SCHEMA, _state_sized_shuffle, drain_to_memory
+from .core import (
+    EVENTS_RAW_SCHEMA,
+    ckpt_dir,
+    drain_to_memory,
+    _drain_tuned,
+    _state_sized_shuffle,
+)
 
 HOUR_US = 3_600 * 10**6
 
@@ -525,11 +531,11 @@ def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .writeStream.format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .option("checkpointLocation", ckpt_dir())
         .outputMode("append")
         .trigger(availableNow=True)
     )
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "append"):
         q = writer.start()
         q.awaitTermination()
     back = spark.read.schema(

@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dsum, dsum_sql, ts_str, ts_str_sql
 from ..registry import query
-from .core import _state_sized_shuffle, drain_to_memory, events_stream
+from .core import (
+    ckpt_dir,
+    drain_to_memory,
+    events_stream,
+    _drain_tuned,
+    _state_sized_shuffle,
+)
 
 
 @query(
@@ -206,10 +212,10 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer = (
         agg.writeStream.foreachBatch(push_batch)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="nm_ckpt_"))
+        .option("checkpointLocation", ckpt_dir())
         .trigger(availableNow=True)
     )
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "complete"):
         q = writer.start()
         q.awaitTermination()
     # complete mode: the last batch carries the full final aggregate
