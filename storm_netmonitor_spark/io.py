@@ -72,7 +72,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
-def scatter(df: DataFrame) -> DataFrame:
+def scatter(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition to core count — parallelize heavy row-local
     work over a scan Spark cannot split.
 
@@ -82,5 +82,11 @@ def scatter(df: DataFrame) -> DataFrame:
     sf0.1). On a real multi-file corpus the scan is already parallel and
     this exchange moves nothing that wasn't moving anyway; it is a
     ROUND-ROBIN exchange, never a keyed shuffle — the plan tests pin that
-    distinction."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    distinction.
+
+    ``n`` overrides the width: Arrow-batched passes (mapInPandas /
+    pandas_udf) pay per-partition Python round-trips, so iterative model
+    builds over small-to-medium frames want FEWER, fatter partitions
+    (measured: 5 Lloyd rounds 2.4 s at 32 partitions → 1.3 s at 8 on the
+    sf0.1 embeddings); pure JVM row-local work wants full core count."""
+    return df.repartition(n or df.sparkSession.sparkContext.defaultParallelism)

@@ -25,7 +25,7 @@ from ..functions.stable import DEC, DEC_SQL, dround, dround_sql
 from ..io import load_table, scatter
 from ..registry import query
 from .text import NGRAM_JACCARD_MIN, NGRAM_PAIRS_CTE, text_ngram_jaccard
-from .vectors import _DOT_DEC, _ivf_assign, _pos_explode
+from .vectors import _assign_rowlocal, _lloyd_round
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -302,33 +302,18 @@ def semantic_dedup_summary(
     like the per-iteration K×dim model collect."""
     if k is None:
         k = max(SEMDEDUP_K_MIN, emb.count() // SEMDEDUP_CLUSTER_TARGET)
-    cand = _pos_explode(emb, "vec_id").cache()
-    cent = (
-        cand.filter(F.col("vec_id").isin(*range(1, k + 1)))
-        .select((F.col("vec_id") - 1).alias("k"), "pos", F.col("x").alias("cx"))
+    corpus = scatter(emb.select("vec_id", "embedding"), 8).cache()
+    seeds = (
+        corpus.filter(F.col("vec_id").isin(*range(1, k + 1)))
+        .orderBy("vec_id")
     )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds.collect()]
     for _ in range(iters):
-        assign = _ivf_assign(cand, cent)
-        raw = (
-            cand.join(assign, "vec_id")
-            .groupBy("k", "pos")
-            .agg(
-                F.sum(F.col("x").cast(_DOT_DEC)).cast("double").alias("sx"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select("k", "pos", (F.col("sx") / F.col("n")).alias("mx"))
-        )
-        norm = raw.groupBy("k").agg(
-            F.sqrt(F.sum(F.col("mx") * F.col("mx"))).alias("nrm")
-        )
-        model = (
-            raw.join(norm, "k")
-            .select("k", "pos", (F.col("mx") / F.col("nrm")).alias("cx"))
-            .collect()
-        )
-        cent = spark.createDataFrame(model, "k int, pos int, cx double")
+        cents = _lloyd_round(spark, corpus, cents)
 
-    assign = _ivf_assign(cand, cent)
+    assign = _assign_rowlocal(corpus, cents).select(
+        "vec_id", "k"
+    )
     # pairwise WITHIN cluster on the un-exploded arrays: the join carries
     # one row per pair (not 64 per pair) and the dot is a row-local DOUBLE
     # fold (zip_with + sequential aggregate — element order is fixed, so

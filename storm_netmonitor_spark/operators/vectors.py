@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -26,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import DoubleType
 
 from ..functions.stable import dround
-from ..io import load_table
+from ..io import load_table, scatter
 from ..registry import query
 
 #: Decimal grain for dot-product accumulation: products ≤ 1 in magnitude,
@@ -257,18 +259,69 @@ IVF_ITERS = 5
 IVF_NPROBE = 6
 
 
-def _ivf_assign(cand: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, k) — nearest centroid per vector, deterministic tie-break
-    on the smaller k. cent is tiny (K×dim rows) and broadcast."""
-    dots = (
-        cand.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "k")
-        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
-    )
-    best = dots.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("dot"), (-F.col("k")).alias("nk"))).alias("b")
-    )
-    return best.select("vec_id", (-F.col("b.nk")).alias("k"))
+def _assign_rowlocal(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """``e`` + column ``k`` = nearest centroid by dot product. The K×dim
+    model ships inside an Arrow-vectorized pandas UDF (numpy batch matmul,
+    first-max tie-break = smallest k via ``argmax``) — assignment is pure
+    ROUTING, so it takes the fast float path like ``_fast_dot_udf``; every
+    EMITTED similarity is still rescored with the exact decimal dot. The
+    step moves no data at all — at 100 TB this is a map over the corpus,
+    not a 64×-exploded join."""
+    cmat = np.array(cents, dtype=np.float64).T  # dim × K
+
+    @F.pandas_udf("int")
+    def nearest(emb: pd.Series) -> pd.Series:
+        m = np.array(emb.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(m @ cmat, axis=1).astype("int32"))
+
+    return e.withColumn("k", nearest("embedding"))
+
+
+def _lloyd_round(
+    spark: SparkSession, corpus: DataFrame, cents: list[list[float]]
+) -> list[list[float]]:
+    """One distributed Lloyd iteration returning L2-normalized centroid
+    means, as ONE mapInPandas pass: each partition assigns its vectors
+    (numpy batch matmul) and emits K partial (sum-vector, count) rows —
+    assignment and update share the same scan, nothing shuffles, and the
+    collect is P×K model-scale rows (the flat form of MLlib KMeans'
+    ``treeAggregate``; tree-reduce instead when partition count is huge).
+    Deterministic run-to-run: the cached corpus pins partition contents,
+    numpy reductions are fixed-order per array, and the driver reduces
+    partials in partition order (Spark collects partitions in order)."""
+    k_n, dim = len(cents), len(cents[0])
+    cmat = np.array(cents, dtype=np.float64).T  # dim × K
+
+    def partials(batches):
+        sums = np.zeros((k_n, dim))
+        cnts = np.zeros(k_n, dtype=np.int64)
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ks = np.argmax(m @ cmat, axis=1)
+            for k in np.unique(ks):
+                sums[k] += m[ks == k].sum(axis=0)
+            cnts += np.bincount(ks, minlength=k_n)
+        yield pd.DataFrame(
+            {"k": np.arange(k_n), "s": list(sums), "n": cnts}
+        )
+
+    rows = corpus.select("embedding").mapInPandas(
+        partials, "k int, s array<double>, n bigint"
+    ).collect()
+    sums = np.zeros((k_n, dim))
+    cnts = np.zeros(k_n, dtype=np.int64)
+    for r in rows:
+        sums[r["k"]] += np.asarray(r["s"])
+        cnts[r["k"]] += r["n"]
+    out = []
+    for k in range(k_n):
+        if cnts[k] == 0:  # emptied cluster keeps its previous centroid
+            out.append(cents[k])
+            continue
+        m = sums[k] / cnts[k]
+        nrm = math.sqrt(float(m @ m)) or 1.0
+        out.append([float(x) for x in m / nrm])
+    return out
 
 
 @query("vec_ann_ivf")
@@ -289,60 +342,62 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_semantics.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    # cache: the exploded corpus is re-scanned 2× per Lloyd iteration —
-    # on a cluster this is the persisted training set of the index build
-    cand = _pos_explode(e.filter(F.col("vec_id") != 0), "vec_id").cache()
-    q = _pos_explode(e.filter(F.col("vec_id") == 0), "vec_id").select(
-        "pos", F.col("x").alias("qx")
-    )
+    # cache: the corpus is re-scanned once per Lloyd iteration — on a
+    # cluster this is the persisted training set of the index build.
+    # scatter: the K row-local fold dots per vector are interpreted HOF
+    # work; a single-row-group scan would run them all on one task
+    # 8 fat partitions, not core count: every Lloyd round is an Arrow
+    # pass, and per-partition Python round-trips dominate at this width
+    corpus = scatter(
+        e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"), 8
+    ).cache()
 
     # deterministic init: the first K non-query vectors are the seeds
-    cent = (
-        cand.filter(F.col("vec_id").between(1, IVF_K))
-        .select((F.col("vec_id") - 1).alias("k"), "pos", F.col("x").alias("cx"))
-    )
+    seeds = corpus.filter(F.col("vec_id").between(1, IVF_K)).orderBy("vec_id")
+    cents = [
+        [float(x) for x in r["embedding"]] for r in seeds.collect()
+    ]
     for _ in range(IVF_ITERS):
-        assign = _ivf_assign(cand, cent)
-        # new centroid = decimal-stable mean per (k, pos), L2-normalized
-        raw = (
-            cand.join(assign, "vec_id")
-            .groupBy("k", "pos")
-            .agg(
-                F.sum(F.col("x").cast(_DOT_DEC)).cast("double").alias("sx"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select("k", "pos", (F.col("sx") / F.col("n")).alias("mx"))
-        )
-        norm = raw.groupBy("k").agg(
-            F.sqrt(F.sum(F.col("mx") * F.col("mx"))).alias("nrm")
-        )
-        # model is K×dim — collect to the driver and rebroadcast (small)
-        model = (
-            raw.join(norm, "k")
-            .select("k", "pos", (F.col("mx") / F.col("nrm")).alias("cx"))
-            .collect()
-        )
-        cent = spark.createDataFrame(model, "k int, pos int, cx double")
+        cents = _lloyd_round(spark, corpus, cents)
 
-    # probe the nprobe cells nearest the query direction
-    probe = (
-        cent.join(F.broadcast(q), "pos")
-        .groupBy("k")
-        .agg(F.sum(F.col("cx") * F.col("qx")).alias("centroid_sim"))
-        .orderBy(F.col("centroid_sim").desc(), F.col("k").asc())
-        .limit(IVF_NPROBE)
+    # the query vector is one row — fetched like the LSH query row; probing
+    # is model-side math (K dots on the driver), not a Spark job
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    sims = sorted(
+        ((sum(c[i] * qvec[i] for i in range(len(qvec))), -k) for k, c in enumerate(cents)),
+        reverse=True,
     )
-    assign = _ivf_assign(cand, cent)
-    dots = (
-        cand.join(assign, "vec_id")
-        .join(F.broadcast(probe.select("k")), "k")
-        .join(F.broadcast(q), "pos")
-        .groupBy("vec_id")
-        .agg(
-            F.round(F.sum((F.col("x") * F.col("qx")).cast(_DOT_DEC)), 6)
-            .cast("double")
-            .alias("cos_sim")
+    probe_ks = [-nk for _, nk in sims[:IVF_NPROBE]]
+
+    # one routing pass: cell assignment + float query dot per vector (the
+    # vectorized prefilter, same discipline as vec_pairwise_topk); only
+    # vectors in probed cells survive, a 4×-overfetched shortlist is
+    # exact-decimal rescored (float vs decimal dots differ < 1e-9 — far
+    # inside the overfetch margin), and the emitted cos_sim is decimal
+    cmat = np.array(cents, dtype=np.float64).T
+    qarr = np.array(qvec, dtype=np.float64)
+
+    @F.pandas_udf("k int, fs double")
+    def route(emb: pd.Series) -> pd.DataFrame:
+        m = np.array(emb.tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {"k": np.argmax(m @ cmat, axis=1).astype("int32"), "fs": m @ qarr}
         )
+
+    routed = corpus.withColumn("r", route("embedding")).select(
+        "vec_id", "embedding", F.col("r.k").alias("k"), F.col("r.fs").alias("fs")
+    )
+    short = (
+        routed.filter(F.col("k").isin(probe_ks))
+        .orderBy(F.col("fs").desc(), F.col("vec_id").asc())
+        .limit(40)
+    )
+    q_lit = F.array(*[F.lit(v) for v in qvec])
+    dots = short.select(
+        "vec_id", _dot_arrays(F.col("embedding"), q_lit).alias("cos_sim")
     )
     return dots.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
 
