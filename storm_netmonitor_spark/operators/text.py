@@ -398,7 +398,9 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 6. Rows-only (no DuckDB xxhash/simhash); semantics unit-
     tested with planted near-duplicates."""
     simhash = F.pandas_udf(_simhash_batch, LongType())
-    d = load_table(spark, sf_dir, "documents")
+    # scatter: the signature UDF is the heavy stage and the single-row-
+    # group scan would run it on one task
+    d = scatter(load_table(spark, sf_dir, "documents"))
     sig = d.select("doc_id", simhash("text").alias("sig"))
     bands = sig.select(
         "doc_id",
