@@ -58,32 +58,42 @@ def _gap_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
     # files (our staged sources do — one chronological file per batch). If a
     # straggler batch ever carried older samples, the monotonic-max guard
     # below skips the negative gap instead of mis-alerting and never
-    # regresses the state (ADVICE r3 #3).
+    # regresses the state (ADVICE r3 #3). Gap detection is one vectorized
+    # numpy diff over the sorted batch, not a per-row Python loop.
+    import numpy as np
+
     prev = state.get if state.exists else None  # type: ignore[misc]
     last_us = prev[0] if prev is not None else None
     chunks = [p for p in pdf_iter]
-    rows: list[tuple[int, str, str, int]] = []
+    out = pd.DataFrame(
+        columns=["user_id", "silent_from", "silent_until", "gap_minutes"]
+    )
     if chunks:
         pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-        uid = int(key[0])
-        for t in pdf["ts"]:
-            us = int(t.value // 1000)  # pandas Timestamp.value is ns
-            if last_us is None:
-                last_us = us
-                continue
-            if us < last_us:  # out-of-order straggler: no alert, keep max
-                continue
-            gap = us - last_us
-            if gap >= _GAP_US:
-                rows.append(
-                    (uid, _fmt_us(last_us), _fmt_us(us), gap // 60_000_000)
+        us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+        if last_us is not None:
+            # sorted batch: stragglers older than the state max are a
+            # PREFIX — drop them (no alert, state never regresses)
+            us = us[us >= last_us]
+            vals = np.concatenate(([last_us], us))
+        else:
+            vals = us
+        if len(vals):
+            gaps = np.diff(vals)
+            idx = np.nonzero(gaps >= _GAP_US)[0]
+            if len(idx):
+                out = pd.DataFrame(
+                    {
+                        "user_id": int(key[0]),
+                        "silent_from": [_fmt_us(int(v)) for v in vals[idx]],
+                        "silent_until": [_fmt_us(int(v)) for v in vals[idx + 1]],
+                        "gap_minutes": gaps[idx] // 60_000_000,
+                    }
                 )
-            last_us = us
+            last_us = int(vals[-1])
     if last_us is not None:
         state.update((last_us,))
-    yield pd.DataFrame(
-        rows, columns=["user_id", "silent_from", "silent_until", "gap_minutes"]
-    )
+    yield out
 
 
 @query(
