@@ -438,3 +438,41 @@ def test_cli_list_and_run():
         capture_output=True, text=True, cwd=repo, timeout=120,
     )
     assert bad.returncode == 2 and "unknown query id" in bad.stderr
+
+
+def test_lloyd_round_semantics(spark):
+    """The fused Lloyd helpers: assignment routes to the argmax-dot
+    centroid with first-max (smallest-k) tie-break; the round returns
+    L2-normalized means; an emptied cluster keeps its previous centroid."""
+    from storm_netmonitor_spark.operators.vectors import (
+        _assign_rowlocal,
+        _lloyd_round,
+    )
+
+    # 2-d toy: vectors on the axes; centroid 0 = +x, centroid 1 = +y,
+    # centroid 2 = -x (never nearest -> empties)
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    rows = [
+        (1, [2.0, 0.1]),   # -> k=0
+        (2, [0.1, 3.0]),   # -> k=1
+        (3, [4.0, 0.0]),   # -> k=0
+        (4, [1.0, 1.0]),   # tie dot(k0)=1.0 dot(k1)=1.0 -> smallest k=0
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["k"] for r in _assign_rowlocal(e, cents).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 0, 4: 0}
+
+    out = _lloyd_round(spark, e, cents)
+    # cluster 0 mean of (2,.1),(4,0),(1,1) = (7/3, 1.1/3), normalized
+    import math
+
+    m0 = [7 / 3, 1.1 / 3]
+    n0 = math.sqrt(sum(x * x for x in m0))
+    assert all(abs(a - b / n0) < 1e-12 for a, b in zip(out[0], m0))
+    # cluster 1 = (0.1, 3.0) normalized
+    n1 = math.sqrt(0.1**2 + 3.0**2)
+    assert all(abs(a - b / n1) < 1e-12 for a, b in zip(out[1], [0.1, 3.0]))
+    # cluster 2 emptied -> previous centroid preserved verbatim
+    assert out[2] == [-1.0, 0.0]
