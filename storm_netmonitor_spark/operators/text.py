@@ -101,14 +101,19 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 bigrams. Spark builds bigrams array-side (transform over
     positions — no self-join needed); the oracle does the classic
     positional self-join. Same bag of bigrams either way."""
-    d = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
-        " i -> concat(element_at(split(lower(text), ' '), i), ' ',"
-        "             element_at(split(lower(text), ' '), i + 1)))"
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    # materialize the token array as a real column first: element_at over
+    # an inline split() re-splits the whole text per lambda element
+    # (O(len²) per doc — measured 2.9 s → 0.4 s at sf0.1)
+    tk = d.select(F.split(F.lower("text"), " ").alias("tk"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+        ),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        tk.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
