@@ -233,18 +233,22 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-join (no shuffle of the training grams); contaminated
     ids then drive one broadcast left join for the accounting."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    n = F.size(toks)
+    # tokens materialized as a column first: slice over an inline split()
+    # re-splits the text per lambda element (O(len²)/doc)
+    t = d.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
+    )
+    n = F.size("tk")
     grams = F.when(
         n >= DECON_NGRAM,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n - (DECON_NGRAM - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, DECON_NGRAM)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, DECON_NGRAM)),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    g = t.select("doc_id", "source", F.explode(grams).alias("gram"))
     bench = (
         g.filter(F.col("source") == BENCH_SOURCE).select("gram").distinct()
     )
@@ -411,18 +415,19 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     only) → broadcast back — no second shuffle of the gram stream. The
     scan is scattered first (io.scatter — single-row-group testdata)."""
     d = scatter(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.lower("text"), " ")
-    n = F.size(toks)
+    # tokens materialized as a column first (see text_decontaminate note)
+    t = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    n = F.size("tk")
     grams = F.when(
         n >= BOILER_NGRAM,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n - (BOILER_NGRAM - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, BOILER_NGRAM)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, BOILER_NGRAM)),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = t.select("doc_id", F.explode(grams).alias("gram"))
     boiler = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))

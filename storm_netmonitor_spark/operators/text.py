@@ -269,14 +269,22 @@ MINHASH_BANDS = 4
 SHINGLE_K = 3
 
 
-def _shingle_arr():
-    """Per-doc array of DISTINCT word-3-shingles — computed row-local (no
-    explode, no shuffle): at 100 TB the whole signature stage is a single
-    codegen'd scan."""
-    toks_sql = "array_remove(split(lower(text), ' '), '')"
-    return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({toks_sql}) - {SHINGLE_K - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({toks_sql}, i, {SHINGLE_K}))))"
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) — per-doc array of DISTINCT word-3-shingles, computed
+    row-local (no explode, no shuffle): at 100 TB the whole signature
+    stage is a single codegen'd scan. Tokens are materialized as a column
+    FIRST — slice over an inline split() re-splits the text per lambda
+    element (O(len²)/doc; same fix as text_ngrams)."""
+    tk = docs.select(
+        "doc_id",
+        F.expr("array_remove(split(lower(text), ' '), '')").alias("tk"),
+    )
+    return tk.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(tk) - {SHINGLE_K - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(tk, i, {SHINGLE_K}))))"
+        ).alias("sh"),
     )
 
 
@@ -288,7 +296,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     def hash_with(seed: int):
         return lambda s: F.xxhash64(s, F.lit(seed))
 
-    sh = docs.select("doc_id", _shingle_arr().alias("sh"))
+    sh = _with_shingles(docs)
     return sh.select(
         "doc_id",
         *[
@@ -341,7 +349,7 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Jaccard verification: candidates (tiny) join the per-doc
     # shingle-set arrays; intersection/union are row-local JVM array ops —
     # the candidate set is the only pairwise term, and LSH keeps it small.
-    sh_tbl = d.select("doc_id", _shingle_arr().alias("sh"))
+    sh_tbl = _with_shingles(d)
     sh_a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     sh_b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
@@ -508,13 +516,21 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (document frequency > NGRAM_DF_CAP within a block) are removed from
     both sets, bounding the pair-join fan-out per key."""
     d = scatter(load_table(spark, sf_dir, "documents"))
-    toks_sql = "array_remove(split(lower(text), ' '), '')"
+    # materialize the token array before the gram lambda: slice over an
+    # inline split() re-splits the whole text per element (O(len²)/doc —
+    # same fix as text_ngrams)
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("array_remove(split(lower(text), ' '), '')").alias("tk"),
+    )
     grams_expr = F.expr(
-        f"transform(sequence(1, size({toks_sql}) - 2),"
-        f" i -> concat_ws(' ', slice({toks_sql}, i, 3)))"
+        "transform(sequence(1, size(tk) - 2),"
+        " i -> concat_ws(' ', slice(tk, i, 3)))"
     )
     all_grams = (
-        d.select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
+        t.select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
         .distinct()
     )
     rare = (
