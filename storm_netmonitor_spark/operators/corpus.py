@@ -135,8 +135,11 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scattered round-robin first; on a real multi-file corpus the scan
     arrives pre-parallel and the scatter collapses to a no-op-sized
     exchange (measured here: 6.6 s single-task → 0.7 s)."""
-    d = scatter(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.lower("text"), " ")
+    raw = scatter(load_table(spark, sf_dir, "documents"))
+    # tokens materialized as a column first: element_at over an inline
+    # split() re-splits the text per lambda element (O(len²)/doc)
+    d = raw.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    toks = F.col("tk")
     n = F.size(toks)
     # bigrams: adjacent-pair join; documents always have ≥ 2 tokens but
     # guard anyway — Spark sequence(0, -1) DESCENDS instead of emitting
