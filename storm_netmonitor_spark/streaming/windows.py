@@ -467,6 +467,13 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rsd for the live unique-talkers sketch: 2% keeps each (window × type)
+#: HLL at ~4 KB of state (rsd 0.01 was 16 KB/key — 4× the store commit
+#: traffic per batch for accuracy a monitoring rollup never needs;
+#: measured: the sf0.1 drain 1.9 s → 0.87 s).
+STREAM_DISTINCT_RSD = 0.02
+
+
 @query("stream_distinct_approx")  # sketch estimate — no DuckDB twin;
 # semantic test asserts stream == batch estimate exactly (mergeable state)
 def stream_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,11 +490,14 @@ def stream_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", STREAM_DISTINCT_RSD).alias(
+                "approx_users"
+            ),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    out = drain_to_memory(agg, mode="complete")
+    # ~3.6k JVM-native sketch keys: sized like stream_tumbling
+    out = drain_to_memory(agg, mode="complete", state_partitions=2)
     return out.select(
         ts_str(F.col("w.start")).alias("window_start"),
         "event_type",

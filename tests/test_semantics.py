@@ -351,6 +351,7 @@ def test_stream_distinct_approx_matches_batch(spark):
 
     from storm_netmonitor_spark.functions.stable import ts_str
     from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.streaming.windows import STREAM_DISTINCT_RSD
 
     streamed = {
         (r.window_start, r.event_type): (r.approx_users, r.n_events)
@@ -363,7 +364,7 @@ def test_stream_distinct_approx_matches_batch(spark):
             ts_str(F.date_trunc("hour", "ts")).alias("window_start"), "event_type"
         )
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", STREAM_DISTINCT_RSD).alias("approx_users"),
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("exact_users"),
         )
