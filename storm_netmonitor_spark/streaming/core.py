@@ -270,7 +270,10 @@ def drain_to_memory_until(
                         off = ast.literal_eval(off)
                     if off and done(off):
                         break
-                time.sleep(0.05)
+                # 10 ms: the offset poll gates EVERY batch boundary of a
+                # multi-batch drain, so poll latency × batch count is pure
+                # added wall (the check itself is a cheap property read)
+                time.sleep(0.01)
             else:
                 raise TimeoutError("custom stream did not reach end offset")
         finally:
