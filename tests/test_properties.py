@@ -188,3 +188,124 @@ def test_epoch_shuffle_orders_decorrelate(spark):
         assert sorted(r.epoch2_pos for r in rs) == list(range(1, n + 1))
         moved += sum(1 for r in rs if r.epoch1_pos != r.epoch2_pos)
     assert moved > len(rows) * 0.8, f"only {moved} of {len(rows)} docs moved"
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_fused_lloyd_matches_numpy_reference(data):
+    """The fused mapInPandas Lloyd round must equal a straight-line numpy
+    reference: same argmax routing (first-max tie-break), same normalized
+    means, emptied clusters keep their previous centroid — independent of
+    how rows are partitioned."""
+    import numpy as np
+
+    from storm_netmonitor_spark.operators.vectors import (
+        _assign_rowlocal,
+        _lloyd_round,
+    )
+
+    dim = data.draw(st.integers(min_value=2, max_value=5))
+    n = data.draw(st.integers(min_value=3, max_value=12))
+    k = data.draw(st.integers(min_value=1, max_value=3))
+    vals = data.draw(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-4, max_value=4,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=dim, max_size=dim,
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    cents = data.draw(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-4, max_value=4,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=dim, max_size=dim,
+            ),
+            min_size=k, max_size=k,
+        )
+    )
+    spark = _spark()
+    parts = data.draw(st.integers(min_value=1, max_value=4))
+    e = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>",
+    ).repartition(parts)
+
+    m = np.array(vals)
+    cm = np.array(cents)
+    ref_ks = np.argmax(m @ cm.T, axis=1)
+    got = {r["vec_id"]: r["k"] for r in _assign_rowlocal(e, cents).collect()}
+    assert got == {i: int(ref_ks[i]) for i in range(n)}
+
+    out = _lloyd_round(spark, e, cents)
+    for kk in range(k):
+        mask = ref_ks == kk
+        if not mask.any():
+            assert out[kk] == cents[kk]  # emptied cluster
+            continue
+        mean = m[mask].mean(axis=0)
+        nrm = np.sqrt(mean @ mean) or 1.0
+        assert np.allclose(out[kk], mean / nrm, rtol=0, atol=1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    start=st.one_of(st.none(), st.integers(min_value=0, max_value=10**7)),
+    ts=st.lists(st.integers(min_value=0, max_value=10**8), max_size=30),
+)
+def test_gap_fn_matches_scalar_reference(start, ts):
+    """The vectorized in-batch gap scan must equal the original per-row
+    loop: stragglers older than the incoming state max are skipped without
+    alerting or regressing state; every other adjacent gap >= the
+    threshold alerts once."""
+    import numpy as np
+
+    from storm_netmonitor_spark.streaming import alerts as A
+
+    thr = A._GAP_US
+    # scale some gaps up so alerts actually occur
+    ts = sorted(t * (thr // 10**6) for t in ts)
+
+    # scalar reference (the pre-round-4 loop)
+    last = start
+    ref = []
+    for us in ts:
+        if last is None:
+            last = us
+            continue
+        if us < last:
+            continue
+        if us - last >= thr:
+            ref.append((last, us, (us - last) // 60_000_000))
+        last = us
+    ref_state = last
+
+    # vectorized path (mirror of _gap_fn's numpy core)
+    us_arr = np.array(ts, dtype=np.int64)
+    last_v = start
+    got = []
+    if len(us_arr):
+        if last_v is not None:
+            kept = us_arr[us_arr >= last_v]
+            vals = np.concatenate(([last_v], kept))
+        else:
+            vals = us_arr
+        if len(vals):
+            gaps = np.diff(vals)
+            idx = np.nonzero(gaps >= thr)[0]
+            got = [
+                (int(vals[i]), int(vals[i + 1]), int(gaps[i] // 60_000_000))
+                for i in idx
+            ]
+            last_v = int(vals[-1])
+    assert got == ref
+    assert last_v == ref_state
