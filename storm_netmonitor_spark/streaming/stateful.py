@@ -177,13 +177,12 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage_once("dedup", sf_dir, build)
     s = _stream_staged(spark, src)
-    deduped = s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
-        ["event_id"]
+    deduped = (
+        s.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", ts_str("ts").alias("ts"), "user_id", "event_type")
     )
-    out = drain_to_memory(deduped, mode="append")
-    return out.select(
-        "event_id", ts_str("ts").alias("ts"), "user_id", "event_type"
-    )
+    return drain_to_memory(deduped, mode="append")
 
 
 # ---------------------------------------------------------------------------
