@@ -1263,7 +1263,7 @@ LIMIT 20
     return sql
 
 
-_PR_EDGE_CACHE: dict[str, str] = {}
+_PR_EDGE_CACHE: dict[str, dict] = {}
 
 
 def _pagerank_edges_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -1291,9 +1291,20 @@ def _pagerank_edges_dir(spark: SparkSession, sf_dir: str) -> str:
         edges = e0.unionByName(
             e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        out = os.path.join(tempfile.mkdtemp(prefix="nm_pr_edges_"), "edges")
+        root = tempfile.mkdtemp(prefix="nm_pr_edges_")
+        out = os.path.join(root, "edges")
         edges.write.mode("overwrite").parquet(out)
-        _PR_EDGE_CACHE[key] = out
+        # degrees and node count are PROPERTIES of the edge artifact —
+        # derive them once at staging time, not per rank refresh
+        deg_out = os.path.join(root, "deg")
+        deg = spark.read.parquet(out).groupBy("src").agg(
+            F.count("*").alias("d")
+        )
+        deg.write.mode("overwrite").parquet(deg_out)
+        n_nodes = spark.read.parquet(deg_out).count()
+        _PR_EDGE_CACHE[key] = {
+            "edges": out, "deg": deg_out, "n_nodes": n_nodes
+        }
     return _PR_EDGE_CACHE[key]
 
 
@@ -1317,11 +1328,11 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fixed 3 iterations (rank deltas < 1e-3 by then on this graph);
     production would iterate to tolerance with the same per-round shape."""
-    edges_dir = _pagerank_edges_dir(spark, sf_dir)
-    edges = spark.read.parquet(edges_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
-    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
-    n_nodes = float(nodes.count())  # scalar only — the one driver action
+    art = _pagerank_edges_dir(spark, sf_dir)
+    edges = spark.read.parquet(art["edges"])
+    deg = spark.read.parquet(art["deg"])
+    nodes = deg.select(F.col("src").alias("node"))
+    n_nodes = float(art["n_nodes"])  # staged scalar — no per-refresh action
 
     ranks = nodes.select(
         "node", (F.lit(1.0) / F.lit(n_nodes)).alias("rank")
