@@ -106,12 +106,18 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an inline split() re-splits the whole text per lambda element
     # (O(len²) per doc — measured 2.9 s → 0.4 s at sf0.1)
     tk = d.select(F.split(F.lower("text"), " ").alias("tk"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("tk") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+    # n >= 2 guard: Spark sequence(1, 0) DESCENDS instead of emitting
+    # empty (unlike DuckDB generate_series) — a 1-token doc would crash
+    # element_at under ANSI mode
+    bigrams = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         tk.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -525,9 +531,12 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr("array_remove(split(lower(text), ' '), '')").alias("tk"),
     )
+    # size >= 3 guard: sequence(1, 0) descends (see text_ngrams note)
     grams_expr = F.expr(
-        "transform(sequence(1, size(tk) - 2),"
+        "CASE WHEN size(tk) >= 3 THEN"
+        " transform(sequence(1, size(tk) - 2),"
         " i -> concat_ws(' ', slice(tk, i, 3)))"
+        " ELSE CAST(array() AS array<string>) END"
     )
     all_grams = (
         t.select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
