@@ -477,3 +477,44 @@ def test_lloyd_round_semantics(spark):
     assert all(abs(a - b / n1) < 1e-12 for a, b in zip(out[1], [0.1, 3.0]))
     # cluster 2 emptied -> previous centroid preserved verbatim
     assert out[2] == [-1.0, 0.0]
+
+
+def test_gram_builders_tolerate_short_documents(spark):
+    """Spark sequence(1, 0) descends instead of emitting empty; the
+    bigram/trigram builders must return NO grams for 1-2-token documents
+    (matching DuckDB generate_series) rather than crash element_at/slice
+    under ANSI mode. Guards exist in text_ngrams, text_ngram_jaccard,
+    gopher, decontaminate, and boilerplate; this pins the two that were
+    missing them."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "now three words here")],
+        "doc_id long, text string",
+    )
+    tk = df.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    bigrams = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tk"), i), F.element_at(F.col("tk"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.expr(
+        "CASE WHEN size(tk) >= 3 THEN"
+        " transform(sequence(1, size(tk) - 2),"
+        " i -> concat_ws(' ', slice(tk, i, 3)))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    rows = {
+        r["doc_id"]: (r["b"], r["g"])
+        for r in tk.select("doc_id", bigrams.alias("b"), grams.alias("g")).collect()
+    }
+    assert rows[1] == ([], [])
+    assert rows[2] == (["two words"], [])
+    assert rows[3] == (
+        ["now three", "three words", "words here"],
+        ["now three words", "three words here"],
+    )
