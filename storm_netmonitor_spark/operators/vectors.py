@@ -530,13 +530,16 @@ LSH_PLANES = 8
 LSH_PROBE_HAMMING = 3
 
 
-def _lsh_hyperplanes() -> "np.ndarray":
+def _lsh_hyperplanes(dim: int) -> "np.ndarray":
+    """Fixed-seed hyperplanes, parametric in the embedding dim (the
+    driver has regenerated testdata shapes between rounds before; for the
+    current dim=64 the values are bit-identical to prior rounds)."""
     rng = np.random.RandomState(20260813)
-    return rng.standard_normal((LSH_PLANES, 64))
+    return rng.standard_normal((LSH_PLANES, dim))
 
 
-def _lsh_sig_udf():
-    planes = _lsh_hyperplanes()
+def _lsh_sig_udf(dim: int):
+    planes = _lsh_hyperplanes(dim)
     weights = (1 << np.arange(LSH_PLANES)).astype(np.int64)
 
     @F.pandas_udf("long")
@@ -562,11 +565,23 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itertools import combinations
 
     e = load_table(spark, sf_dir, "embeddings")
-    sig = e.select(
-        "vec_id", "embedding", _lsh_sig_udf()("embedding").alias("sig")
+    # the query row is ONE collect (LSH's one sanctioned row fetch); its
+    # length sizes the hyperplanes and its signature is the same numpy
+    # arithmetic the UDF runs
+    q_emb_vals = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    planes = _lsh_hyperplanes(len(q_emb_vals))
+    weights = (1 << np.arange(LSH_PLANES)).astype(np.int64)
+    q_sig = int(
+        ((np.array(q_emb_vals) @ planes.T) > 0) @ weights
     )
-    q_row = sig.filter(F.col("vec_id") == 0).collect()[0]
-    q_sig = int(q_row.sig)
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        _lsh_sig_udf(len(q_emb_vals))("embedding").alias("sig"),
+    )
 
     probe_sigs = {q_sig}
     for k in range(1, LSH_PROBE_HAMMING + 1):
@@ -579,7 +594,7 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sig.filter(
         (F.col("vec_id") != 0) & F.col("sig").isin(*[int(s) for s in probe_sigs])
     )
-    q_emb = F.array(*[F.lit(float(x)) for x in q_row.embedding])
+    q_emb = F.array(*[F.lit(x) for x in q_emb_vals])
     scored = cand.select(
         "vec_id", _dot_arrays(q_emb, F.col("embedding")).alias("cos_sim")
     )
