@@ -112,7 +112,8 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return drain_to_memory(agg, mode="complete")
+    # ~14k JVM-native window keys: 4 store partitions (measured 0.74→0.63 s)
+    return drain_to_memory(agg, mode="complete", state_partitions=4)
 
 
 @query(
