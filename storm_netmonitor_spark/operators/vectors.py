@@ -387,7 +387,13 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"k": np.argmax(m @ cmat, axis=1).astype("int32"), "fs": m @ qarr}
         )
 
-    routed = corpus.withColumn("r", route("embedding")).select(
+    # asNondeterministic: the UDF IS deterministic, but without the marker
+    # Catalyst pushes the probe filter through the projection by
+    # SUBSTITUTING the expression — the plan then evaluates route() twice
+    # (once for .k in the filter, once for .fs). The marker pins one pass.
+    routed = corpus.withColumn(
+        "r", route.asNondeterministic()("embedding")
+    ).select(
         "vec_id", "embedding", F.col("r.k").alias("k"), F.col("r.fs").alias("fs")
     )
     short = (
