@@ -318,8 +318,12 @@ def semantic_dedup_summary(
     for _ in range(iters):
         cents = _lloyd_round(spark, corpus, cents)
 
-    assign = _assign_rowlocal(corpus, cents).select(
-        "vec_id", "k"
+    # materialize the (vec_id, k) assignment ONCE: it feeds the pair join
+    # (both sides) and the size census, and each branch would otherwise
+    # re-run the routing UDF over the corpus (plan showed 5 ArrowEvalPython
+    # nodes). O(corpus) rows of two ints — model-adjacent, not data-scale.
+    assign = (
+        _assign_rowlocal(corpus, cents).select("vec_id", "k").localCheckpoint()
     )
     # pairwise WITHIN cluster on the un-exploded arrays: the join carries
     # one row per pair (not 64 per pair) and the dot is a row-local DOUBLE
