@@ -418,9 +418,12 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested with planted near-duplicates."""
     simhash = F.pandas_udf(_simhash_batch, LongType())
     # scatter: the signature UDF is the heavy stage and the single-row-
-    # group scan would run it on one task
+    # group scan would run it on one task; localCheckpoint: both sides of
+    # the band self-join consume sig, which would otherwise re-run the
+    # UDF per branch (plan showed 4 ArrowEvalPython nodes). The frame is
+    # two longs per doc — signature-scale, not text-scale.
     d = scatter(load_table(spark, sf_dir, "documents"))
-    sig = d.select("doc_id", simhash("text").alias("sig"))
+    sig = d.select("doc_id", simhash("text").alias("sig")).localCheckpoint()
     bands = sig.select(
         "doc_id",
         "sig",
