@@ -396,3 +396,29 @@ def test_compaction_reduces_file_count_losslessly(spark):
     comp, n_small, n_comp = _compacted_dir(spark, SF_CORRECT)
     assert n_small == 64 and n_comp == 4, (n_small, n_comp)
     assert spark.read.parquet(comp).count() == 10_000
+
+
+def test_no_repeated_python_eval_anywhere(spark):
+    """Python/Arrow UDF passes are the expensive stages; Catalyst happily
+    duplicates them when a branch (join side, filter pushdown, census)
+    re-derives the same frame. Every batch op must plan AT MOST ONE
+    Python-eval node — heavier derivations get materialized (see the
+    SimHash/SemDeDup/IVF round-4 fixes) rather than recomputed."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if _is_streaming(fn):
+            continue
+        try:
+            p = plan(fn(spark, SF_CORRECT))
+        except Exception as exc:  # pragma: no cover - surface name
+            offenders.append((name, f"explain failed: {exc}"))
+            continue
+        n = (
+            p.count("ArrowEvalPython")
+            + p.count("BatchEvalPython")
+            + p.count("FlatMapGroupsInPandas")
+            + p.count("MapInPandas")
+        )
+        if n > 1:
+            offenders.append((name, f"{n} python-eval nodes"))
+    assert not offenders, offenders
