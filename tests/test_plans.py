@@ -409,7 +409,9 @@ def test_no_repeated_python_eval_anywhere(spark):
         if _is_streaming(fn):
             continue
         try:
-            p = plan(fn(spark, SF_CORRECT))
+            # simple mode: formatted explain renders every node twice
+            # (tree + detail section), which would double the count
+            p = plan(fn(spark, SF_CORRECT), mode="simple")
         except Exception as exc:  # pragma: no cover - surface name
             offenders.append((name, f"explain failed: {exc}"))
             continue
