@@ -365,3 +365,53 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.abs("z") > _Z_THRESHOLD, 1)).alias("n_anomalies"),
         dround(F.max(F.abs("z"))).alias("max_abs_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Counter-reset-aware increase (NM core: SNMP/ifmib counters wrap, agents
+# restart — rate math must not go negative across a reset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_counter_increase",
+    oracle=f"""
+WITH deltas AS (
+  SELECT user_id, value,
+         value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_deltas,
+       COUNT(*) FILTER (WHERE delta < 0) AS n_resets,
+       {dsum_sql('CASE WHEN delta < 0 THEN value ELSE delta END')} AS total_increase
+FROM deltas
+WHERE delta IS NOT NULL
+GROUP BY user_id
+""",
+)
+def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style ``increase()`` with counter-reset detection — the
+    NM-core rate primitive (a monitored counter that DROPS did not go
+    backwards: the device rebooted or the 32-bit counter wrapped, and the
+    post-reset reading is itself the increase since the reset). Per source
+    (user_id), ordered by (ts, event_id — unique tie-break): delta to the
+    previous sample; negative deltas count as resets and contribute the
+    raw post-reset value. ONE keyed exchange: the LAG window and the
+    group-by share the user_id hash partitioning (same single-exchange
+    discipline as ts_resample_ohlc). Subtraction is identical IEEE on
+    identical doubles in both engines; only the final reported sum goes
+    through the decimal-stable path."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = e.select(
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    inc = F.when(F.col("delta") < 0, F.col("value")).otherwise(F.col("delta"))
+    return deltas.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_deltas"),
+        F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
+        dsum(inc).alias("total_increase"),
+    )

@@ -703,3 +703,273 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --- round-4 completions: the last classic queries missing from the suite.
+# Q1/Q5 exist as agg_group_pricing / join_star_multiway (module docstring);
+# q02/q11/q16/q20 derive their part-supplier relation from lineitem because
+# the testdata has no partsupp table, and q12 substitutes l_returnflag for
+# the missing l_shipmode. Each adaptation is noted on the query.
+
+
+_UNIT_COST = "l_extendedprice / l_quantity"
+
+
+@query(
+    "tpch_q02",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         {dround_sql(f'MIN({_UNIT_COST})')} AS supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+), asia AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), costs AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, supplycost,
+         MIN(supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM ps
+  JOIN asia ON ps.l_suppkey = asia.s_suppkey
+  JOIN part ON ps.l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY' AND p_size < 20
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+FROM costs
+WHERE supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (adapted: no partsupp, so the part-supplier
+    relation and its supply cost are DERIVED from lineitem — cost = the
+    minimum observed unit price). The correlated region-min subquery is a
+    window MIN over the already-reduced per-(part, supplier) frame, never
+    raw lineitem; supplier/nation/region and the filtered part dim all
+    broadcast, so the only exchange is the (partkey, suppkey) aggregation.
+    Costs are decimal-rounded BEFORE the min/equality so the tie-set is
+    bit-identical across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 20)
+    )
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        dround(F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
+            "supplycost"
+        )
+    )
+    costs = (
+        ps.join(F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn(
+            "min_cost", F.min("supplycost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        costs.filter(F.col("supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+WITH val AS (
+  SELECT l_partkey AS ps_partkey,
+         {dsum_sql('l_extendedprice')} AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, part_value
+FROM val
+WHERE part_value > (
+  SELECT 0.001 * CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) FROM val
+)
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock (adapted: no partsupp, so a part's "stock value"
+    held by ASIA suppliers = the extended price they shipped of it). The
+    HAVING-over-global-sum threshold is an unpartitioned window over the
+    ALREADY-AGGREGATED per-part frame (O(parts) rows, same rule as q15/
+    mixture weights — legal only because the frame is provably reduced).
+    Part values are decimal-summed so the global total and every boundary
+    comparison are engine- and partition-order-exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    val = (
+        l.join(F.broadcast(asia), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum("l_extendedprice").alias("part_value"))
+    )
+    total = (
+        F.sum(F.col("part_value").cast("decimal(28,6)"))
+        .over(Window.partitionBy())
+        .cast("double")
+    )
+    return (
+        val.withColumn("total", total)
+        .filter(F.col("part_value") > 0.001 * F.col("total"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+SELECT
+  l_returnflag,
+  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-priority split (adapted: no l_shipmode — l_returnflag
+    is the class column; no commit/receipt dates — "late" = shipped >90
+    days after order date). The ship-year filter pushes to the lineitem
+    scan; the lateness predicate rides the orderkey join; the priority
+    split is two conditional counts in ONE grouped pass, never two joins."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship (adapted: the part-supplier relation
+    is the DISTINCT (partkey, suppkey) pairs of lineitem; the excluded
+    "complaint" suppliers — no s_comment column — are those with negative
+    account balance). The NOT IN is an anti join against the tiny excluded
+    set (broadcast); the distinct-pair reduction runs BEFORE the part join
+    so the join input is O(pairs), not O(lineitem)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey,
+         SUM(l_quantity) AS qty_all,
+         COALESCE(SUM(l_quantity) FILTER (
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'), 0.0) AS qty_1997
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty_1997 > 0.2 * qty_all)
+ORDER BY s_name
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion (adapted: no partsupp/ps_availqty, so
+    "excess stock" becomes 1997-shipping concentration — ASIA suppliers
+    whose 1997 PROMO-part quantity exceeds 20% of their all-time PROMO
+    quantity). The nested aggregate subquery reduces lineitem to one row
+    per supplier BEFORE the semi join; the PROMO part keys broadcast into
+    the lineitem scan. Quantities are integral doubles, so the sums and
+    the 0.2× threshold are exact in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    in_1997 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    shipped = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_all"),
+            F.coalesce(
+                F.sum(F.when(in_1997, F.col("l_quantity"))), F.lit(0.0)
+            ).alias("qty_1997"),
+        )
+        .filter(F.col("qty_1997") > 0.2 * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(shipped), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
