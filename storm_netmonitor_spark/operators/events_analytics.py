@@ -415,3 +415,150 @@ def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
         dsum(inc).alias("total_increase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union / uptime islands (NM core: merge overlapping coverage
+# windows into downtime-free islands — the uptime ledger)
+# ---------------------------------------------------------------------------
+
+#: Each sample vouches for 5 minutes of liveness; overlapping vouchers merge.
+_COVER_US = 300_000_000
+
+
+@query(
+    "ts_interval_union",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {_COVER_US} AS e
+  FROM events
+), marked AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), bounds AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS span_us
+  FROM islands
+  GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_islands, CAST(SUM(span_us) AS BIGINT) AS covered_us
+FROM bounds
+GROUP BY user_id
+""",
+)
+def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (NM core: the uptime ledger — each sample vouches for
+    a 5-minute liveness window; overlapping vouchers merge, and what's left
+    between islands is downtime). Classic gaps-and-islands: an island opens
+    where a window's start exceeds the running max of all previous ends,
+    the island id is the running count of openings, and per-island coverage
+    is max(end) − min(start). All arithmetic is integer epoch-µs — no
+    floats anywhere. Both windows and the island aggregate run on the
+    user_id hash partitioning; the only post-window shuffle carries the
+    O(islands) reduced rows (map-side partial agg), not samples. At 100 TB
+    the shape is unchanged: per-source ordered state, bounded output."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVER_US)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_island = F.when(
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+    ).otherwise(0)
+    islands = (
+        e.withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn("island", F.sum(new_island).over(w_run))
+    )
+    bounds = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return bounds.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("span_us").alias("covered_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD robust outlier detection (NM: spike detection that a few wild
+# samples cannot poison — unlike mean/stddev z-scores)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3 * 1.4826  # 3 sigma-equivalents under normality
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE d.adev > {_MAD_K!r} * t.mad) AS n_outliers,
+       {dround_sql('MIN(d.med)')} AS median_value,
+       {dround_sql('MIN(t.mad)')} AS mad
+FROM dev d JOIN mad t ON d.event_type = t.event_type
+GROUP BY d.event_type
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection (NM: a burst of wild samples
+    inflates mean AND stddev, hiding itself from z-scores — median and
+    median-absolute-deviation have a 50% breakdown point). Two exact
+    percentile passes over the type-keyed frame (Spark ``percentile`` ↔
+    DuckDB ``quantile_cont``, the same exact-interpolation equivalence
+    pipeline_corpus_report pins); the 5-row median/MAD frames broadcast
+    back, the deviations and the 3×1.4826 threshold are identical IEEE on
+    identical doubles. At 100 TB swap the exact percentile for
+    ``approx_percentile`` — the plan shape (agg → broadcast back → agg)
+    is unchanged; exact is kept here because the type vocabulary is tiny
+    and the oracle demands bit equality."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("adev") > _MAD_K * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+            dround(F.min("med")).alias("median_value"),
+            dround(F.min("mad")).alias("mad"),
+        )
+    )
