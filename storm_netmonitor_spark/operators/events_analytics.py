@@ -462,10 +462,11 @@ def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a window's start exceeds the running max of all previous ends,
     the island id is the running count of openings, and per-island coverage
     is max(end) − min(start). All arithmetic is integer epoch-µs — no
-    floats anywhere. Both windows and the island aggregate run on the
-    user_id hash partitioning; the only post-window shuffle carries the
-    O(islands) reduced rows (map-side partial agg), not samples. At 100 TB
-    the shape is unchanged: per-source ordered state, bounded output."""
+    floats anywhere. ONE exchange end-to-end (plan-pinned): the user_id
+    hash partitioning laid down for the windows also satisfies the
+    (user_id, island) island aggregate — subset rule — and the final
+    per-source rollup. At 100 TB the shape is unchanged: per-source
+    ordered state, bounded output."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",

@@ -750,9 +750,10 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum observed unit price). The correlated region-min subquery is a
     window MIN over the already-reduced per-(part, supplier) frame, never
     raw lineitem; supplier/nation/region and the filtered part dim all
-    broadcast, so the only exchange is the (partkey, suppkey) aggregation.
-    Costs are decimal-rounded BEFORE the min/equality so the tie-set is
-    bit-identical across engines."""
+    broadcast, so only two keyed exchanges remain — the (partkey, suppkey)
+    aggregation over raw lineitem and the partkey window repartition over
+    the REDUCED frame. Costs are decimal-rounded BEFORE the min/equality
+    so the tie-set is bit-identical across engines."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")

@@ -430,3 +430,32 @@ def test_no_repeated_python_eval_anywhere(spark):
         if n > 1:
             offenders.append((name, f"{n} python-eval nodes"))
     assert not offenders, offenders
+
+
+def test_round4_additions_plan_shapes(spark):
+    """Round-4 §2.S additions: the counter-increase and interval-union
+    ledgers are ONE keyed exchange end-to-end (the user_id window
+    partitioning satisfies every downstream aggregate by the subset rule);
+    the five TPC-H completions broadcast all dim sides and keep keyed
+    exchanges to the reduced frames; MAD keeps its med/MAD lookup frames
+    broadcast. No shape may degenerate into a cartesian."""
+    import re
+
+    for name in ("ts_counter_increase", "ts_interval_union"):
+        p = plan(QUERIES[name](spark, SF_CORRECT))
+        n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n_ex == 1, f"{name}: {n_ex} exchanges\n{p}"
+    for name, max_ex, min_bhj in (
+        ("tpch_q02", 2, 2),
+        ("tpch_q11", 2, 1),
+        ("tpch_q12", 2, 1),
+        ("tpch_q16", 3, 2),
+        ("tpch_q20", 2, 3),
+        ("events_anomaly_mad", 4, 2),
+    ):
+        p = plan(QUERIES[name](spark, SF_CORRECT))
+        n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+        n_bhj = p.count("BroadcastHashJoin")
+        assert n_ex <= max_ex, f"{name}: {n_ex} keyed exchanges\n{p}"
+        assert n_bhj >= min_bhj, f"{name}: {n_bhj} broadcast joins\n{p}"
+        assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
