@@ -373,6 +373,26 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def counter_increase_by_key(samples: DataFrame) -> DataFrame:
+    """Reset-aware increase kernel over a sample frame ``(user_id, ts,
+    event_id, value)`` ordered within each user by (ts, event_id): returns
+    ``(user_id, n_deltas, n_resets, total_increase)``. Factored out of
+    ``ts_counter_increase`` so the property suite can drive it with
+    arbitrary reset patterns against a sequential scalar reference."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = samples.select(
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    inc = F.when(F.col("delta") < 0, F.col("value")).otherwise(F.col("delta"))
+    return deltas.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_deltas"),
+        F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
+        dsum(inc).alias("total_increase"),
+    )
+
+
 @query(
     "ts_counter_increase",
     oracle=f"""
@@ -402,19 +422,10 @@ def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as ts_resample_ohlc). Subtraction is identical IEEE on
     identical doubles in both engines; only the final reported sum goes
     through the decimal-stable path."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    deltas = e.select(
-        "user_id",
-        "value",
-        (F.col("value") - F.lag("value").over(w)).alias("delta"),
-    ).where(F.col("delta").isNotNull())
-    inc = F.when(F.col("delta") < 0, F.col("value")).otherwise(F.col("delta"))
-    return deltas.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_deltas"),
-        F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
-        dsum(inc).alias("total_increase"),
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
     )
+    return counter_increase_by_key(e)
 
 
 # ---------------------------------------------------------------------------
@@ -424,6 +435,38 @@ def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Each sample vouches for 5 minutes of liveness; overlapping vouchers merge.
 _COVER_US = 300_000_000
+
+
+def interval_union_islands(iv: DataFrame) -> DataFrame:
+    """Gaps-and-islands kernel over an interval frame ``(user_id, event_id,
+    s, e)`` (integer sort keys, ``e`` ≥ ``s``): merge overlapping/touching
+    intervals per user and return ``(user_id, n_islands, covered_us)``.
+    Factored out of ``ts_interval_union`` so the property suite can drive
+    it with arbitrary interval sets against a sequential merge reference."""
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_island = F.when(
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+    ).otherwise(0)
+    islands = (
+        iv.withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn("island", F.sum(new_island).over(w_run))
+    )
+    bounds = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return bounds.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("span_us").alias("covered_us"),
+    )
 
 
 @query(
@@ -473,30 +516,7 @@ def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("s"),
         (F.unix_micros("ts") + F.lit(_COVER_US)).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    new_island = F.when(
-        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
-    ).otherwise(0)
-    islands = (
-        e.withColumn("prev_max_e", F.max("e").over(w_prev))
-        .withColumn("island", F.sum(new_island).over(w_run))
-    )
-    bounds = islands.groupBy("user_id", "island").agg(
-        (F.max("e") - F.min("s")).alias("span_us")
-    )
-    return bounds.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_islands"),
-        F.sum("span_us").alias("covered_us"),
-    )
+    return interval_union_islands(e)
 
 
 # ---------------------------------------------------------------------------

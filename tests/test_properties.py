@@ -309,3 +309,109 @@ def test_gap_fn_matches_scalar_reference(start, ts):
             last_v = int(vals[-1])
     assert got == ref
     assert last_v == ref_state
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_interval_union_matches_sequential_merge(data):
+    """Spark gaps-and-islands interval union == sequential sweep-line merge
+    on arbitrary interval sets (random starts, random widths, ties and
+    nested/touching intervals included)."""
+    from storm_netmonitor_spark.operators.events_analytics import (
+        interval_union_islands,
+    )
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),          # user_id
+                st.integers(0, 1000),       # start
+                st.integers(0, 300),        # width (0 = degenerate point)
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    recs = [
+        (uid, i, s, s + wd) for i, (uid, s, wd) in enumerate(rows)
+    ]
+    spark = _spark()
+    df = spark.createDataFrame(
+        recs, "user_id long, event_id long, s long, e long"
+    )
+    got = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in interval_union_islands(df).collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for uid, _i, s, e in recs:
+        by_user.setdefault(uid, []).append((s, e))
+    for uid, ivs in by_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect[uid] = (len(merged), sum(e - s for s, e in merged))
+    assert got == expect
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_counter_increase_matches_scalar_reference(data):
+    """Spark reset-aware increase == a sequential scalar loop over each
+    user's ordered samples (integral values so the reference sum is exact)."""
+    from storm_netmonitor_spark.operators.events_analytics import (
+        counter_increase_by_key,
+    )
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),      # user_id
+                st.integers(0, 100),    # ts (duplicates allowed)
+                st.integers(0, 500),    # counter reading (integral doubles)
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    recs = [
+        (uid, ts, i, float(v)) for i, (uid, ts, v) in enumerate(rows)
+    ]
+    spark = _spark()
+    df = spark.createDataFrame(
+        recs, "user_id long, ts long, event_id long, value double"
+    )
+    got = {
+        r.user_id: (r.n_deltas, r.n_resets, r.total_increase)
+        for r in counter_increase_by_key(df).collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list[tuple[int, int, float]]] = {}
+    for uid, ts, i, v in recs:
+        by_user.setdefault(uid, []).append((ts, i, v))
+    for uid, samples in by_user.items():
+        samples.sort()
+        n_deltas = n_resets = 0
+        total = 0.0
+        for (_, _, prev), (_, _, cur) in zip(samples, samples[1:]):
+            d = cur - prev
+            n_deltas += 1
+            if d < 0:
+                n_resets += 1
+                total += cur
+            else:
+                total += d
+        if n_deltas:
+            expect[uid] = (n_deltas, n_resets, round(total, 2))
+    assert got == expect
