@@ -58,6 +58,12 @@ EXTRA_REPORTED = [
     "vec_batch_knn",  # broadcast query block × row-local decimal dots
     "agg_bitmap_distinct",  # exact distinct via mergeable bitmap partials
     "graph_pagerank_links",  # iterative power-iteration loop (3 rounds, checkpointed)
+    # round-4 §2.S additions
+    "ts_interval_union",  # single-exchange gaps-and-islands uptime ledger
+    "ts_counter_increase",  # reset-aware increase() (LAG + agg, one exchange)
+    "tpch_q02",  # derived-partsupp min-cost supplier (window over reduced frame)
+    "events_anomaly_mad",  # two exact percentile passes + broadcast-back
+    "join_fuzzy_blocked",  # vocabulary-reduced blocked levenshtein pairing
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
