@@ -583,3 +583,175 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.min("mad")).alias("mad"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two metric series (NM: does the error
+# rate FOLLOW the traffic curve, and by how many hours?)
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+_XCORR_A = "click"
+_XCORR_B = "error"
+
+
+@query(
+    "ts_cross_correlation_lag",
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS BIGINT) AS hnum,
+         event_type,
+         {dsum_sql('value')} AS v
+  FROM events
+  WHERE event_type IN ('{_XCORR_A}', '{_XCORR_B}')
+  GROUP BY hnum, event_type
+), a AS (SELECT hnum, v AS x FROM hourly WHERE event_type = '{_XCORR_A}'),
+   b AS (SELECT hnum, v AS y FROM hourly WHERE event_type = '{_XCORR_B}'),
+   lags AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) t(lag)),
+   joined AS (
+     SELECT CAST(l.lag AS BIGINT) AS lag, a.x, b.y
+     FROM a CROSS JOIN lags l
+     JOIN b ON b.hnum = a.hnum + l.lag
+   ),
+   s AS (
+     SELECT lag, COUNT(*) AS n,
+            CAST(SUM(CAST(x AS {_DEC_SQL})) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS {_DEC_SQL})) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * y AS {_DEC_SQL})) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(x * x AS {_DEC_SQL})) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(y * y AS {_DEC_SQL})) AS DOUBLE) AS syy
+     FROM joined GROUP BY lag
+   )
+SELECT lag, CAST(n AS BIGINT) AS n,
+       {dround_sql('(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))', 8)}
+         AS xcorr
+FROM s
+""",
+)
+def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two metric series (NM: does the
+    error rate follow the traffic curve, and by how many hours? — the
+    question behind every cascade diagnosis). Both series reduce to
+    hourly exact-decimal totals FIRST (O(hours) rows), the ±3-hour lag
+    expansion is a row-local array explode on the reduced frame — never a
+    cross join of raw samples — and per-lag Pearson runs on exact decimal
+    moment sums with the identical-IEEE finish (the agg_corr_moments
+    discipline; native corr is shuffle-order-dependent). Hour keys are
+    integer epoch-hours, so the lag join is a plain integer equi-join in
+    both engines. At 100 TB the only full-data pass is the first
+    aggregation; everything after is vocabulary-sized."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_XCORR_A, _XCORR_B)
+    )
+    hourly = (
+        e.groupBy(
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hnum"),
+            "event_type",
+        )
+        .agg(dsum("value").alias("v"))
+    )
+    a = hourly.filter(F.col("event_type") == _XCORR_A).select(
+        "hnum", F.col("v").alias("x")
+    )
+    b = hourly.filter(F.col("event_type") == _XCORR_B).select(
+        F.col("hnum").alias("hb"), F.col("v").alias("y")
+    )
+    lags = F.array(
+        *[F.lit(k) for k in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)]
+    )
+    expanded = a.select("hnum", "x", F.explode(lags).alias("lag_i")).select(
+        "hnum", "x", F.col("lag_i").cast("long").alias("lag")
+    )
+    joined = expanded.join(
+        b, F.col("hb") == F.col("hnum") + F.col("lag")
+    )
+    x, y = F.col("x"), F.col("y")
+    s = joined.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(_DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(_DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(_DEC)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("lag", "n", dround(corr, 8).alias("xcorr"))
+
+
+# ---------------------------------------------------------------------------
+# Alert suppression windows (NM core: page once per incident, not once per
+# sample — a sequential dependency no SQL window frame can express)
+# ---------------------------------------------------------------------------
+
+_SUPPRESS_THRESHOLD = 115.0
+_SUPPRESS_US = 3_600_000_000  # 1 h of silence after each emitted alert
+
+
+@query(
+    "events_alert_suppress",
+    oracle=f"""
+WITH RECURSIVE alerts AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value > {_SUPPRESS_THRESHOLD!r}
+), emit(user_id, rn, emit_t, emitted) AS (
+  SELECT user_id, rn, t, TRUE FROM alerts WHERE rn = 1
+  UNION ALL
+  SELECT a.user_id, a.rn,
+         CASE WHEN a.t >= e.emit_t + {_SUPPRESS_US} THEN a.t ELSE e.emit_t END,
+         a.t >= e.emit_t + {_SUPPRESS_US}
+  FROM alerts a JOIN emit e ON a.user_id = e.user_id AND a.rn = e.rn + 1
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_alerts,
+       COUNT(*) FILTER (WHERE emitted) AS n_emitted,
+       COUNT(*) FILTER (WHERE NOT emitted) AS n_suppressed
+FROM emit GROUP BY user_id
+""",
+)
+def events_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert suppression (NM core: page ONCE per incident — each emitted
+    alert opens a 1-hour silence window; alerts inside it are swallowed,
+    and the first alert past the window pages again). The emitted set
+    depends on which earlier alerts were themselves emitted — a true
+    sequential dependency that no LAG/running-max window frame expresses
+    (the window start is an EMITTED alert, not any alert) — so this is
+    the canonical ``applyInPandas`` use: one Arrow-batched scalar sweep
+    per source, O(1) state, one keyed exchange, per-source groups
+    independent at any scale. The oracle is a recursive CTE stepping
+    alert-by-alert — full hash parity for a non-window computation (the
+    text_dedup_components precedent)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    alerts = e.filter(F.col("value") > _SUPPRESS_THRESHOLD).select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+
+    def _sweep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["t", "event_id"])
+        emitted = 0
+        next_ok = None
+        for t in pdf["t"]:
+            if next_ok is None or t >= next_ok:
+                emitted += 1
+                next_ok = t + _SUPPRESS_US
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_alerts": [n],
+                "n_emitted": [emitted],
+                "n_suppressed": [n - emitted],
+            }
+        )
+
+    return alerts.groupBy("user_id").applyInPandas(
+        _sweep,
+        schema="user_id long, n_alerts long, n_emitted long, n_suppressed long",
+    )
