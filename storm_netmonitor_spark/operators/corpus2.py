@@ -221,3 +221,57 @@ def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-training pair counts (NORTH: the inner loop of tokenizer training —
+# the highest-count adjacent pair is the next merge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT UNNEST(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+  FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM wf, UNNEST(range(1, length(w))) t(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair statistics (NORTH: the merge rule every
+    BPE/WordPiece vocabulary is built from — count adjacent symbol pairs,
+    merge the winner, repeat): the top-20 adjacent character pairs by
+    corpus frequency. The scale trick is the one real tokenizer trainers
+    use: reduce the corpus to its word VOCABULARY with multiplicities
+    FIRST (one token-keyed shuffle), then explode the pair positions of
+    each distinct word exactly once and weight by word frequency — pair
+    work is O(vocab × word-length), independent of corpus row count.
+    Exact integer counts; deterministic (n DESC, pair) ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr(_TOKS)).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

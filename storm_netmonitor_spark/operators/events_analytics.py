@@ -755,3 +755,104 @@ def events_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sweep,
         schema="user_id long, n_alerts long, n_emitted long, n_suppressed long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Step-changepoint detection (NM: WHEN did this counter change regime —
+# deploy, config push, hardware swap?)
+# ---------------------------------------------------------------------------
+
+#: Candidate split points must leave at least a day of signal on each side;
+#: an unguarded argmax always picks a 1-sample edge segment.
+_CP_MIN_SEG = 24
+
+
+@query(
+    "ts_step_changepoint",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS BIGINT) AS hnum,
+         {dsum_sql('value')} AS v
+  FROM events GROUP BY event_type, hnum
+), seq AS (
+  SELECT event_type, hnum, v,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+         CAST(SUM(CAST(v AS {_DEC_SQL})) OVER w AS DOUBLE) AS run_s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot,
+         CAST(SUM(CAST(v AS {_DEC_SQL})) OVER (PARTITION BY event_type) AS DOUBLE) AS s_tot
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hnum ROWS UNBOUNDED PRECEDING)
+), scored AS (
+  SELECT event_type, hnum, rn, n_tot,
+         ABS((s_tot - run_s) / (n_tot - rn) - run_s / rn) AS shift
+  FROM seq
+  WHERE rn >= {_CP_MIN_SEG} AND n_tot - rn >= {_CP_MIN_SEG}
+), best AS (
+  SELECT event_type, hnum, rn, n_tot, shift,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY shift DESC, hnum) AS pick
+  FROM scored
+)
+SELECT event_type, hnum AS change_hour, rn AS n_before, n_tot - rn AS n_after,
+       {dround_sql('shift', 6)} AS mean_shift
+FROM best WHERE pick = 1
+""",
+)
+def ts_step_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-changepoint detection per metric type (NM: WHEN did the counter
+    change regime — the deploy/config-push/hardware-swap question): the
+    split point maximizing |mean(after) − mean(before)|, computed in ONE
+    ordered pass over the hourly-reduced series via prefix sums — O(H),
+    not the O(H²) every-split re-aggregation. Both running and total sums
+    are exact decimals cast to double, so each candidate's shift is
+    identical IEEE in both engines and the (shift DESC, hour) argmax picks
+    the same row. Candidate splits keep ≥ 24 h on each side — an unguarded
+    argmax always grabs a one-sample edge segment. Everything after the
+    first aggregation is vocabulary × hours sized; at 100 TB the only
+    full-data pass is the hourly reduction."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("hnum"),
+    ).agg(dsum("value").alias("v"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("hnum")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    seq = hourly.select(
+        "event_type",
+        "hnum",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hnum"))
+        .cast("long")
+        .alias("rn"),
+        F.sum(F.col("v").cast(_DEC)).over(w_run).cast("double").alias("run_s"),
+        F.count("*").over(w_all).alias("n_tot"),
+        F.sum(F.col("v").cast(_DEC)).over(w_all).cast("double").alias("s_tot"),
+    )
+    scored = seq.filter(
+        (F.col("rn") >= _CP_MIN_SEG) & (F.col("n_tot") - F.col("rn") >= _CP_MIN_SEG)
+    ).withColumn(
+        "shift",
+        F.abs(
+            (F.col("s_tot") - F.col("run_s")) / (F.col("n_tot") - F.col("rn"))
+            - F.col("run_s") / F.col("rn")
+        ),
+    )
+    best = scored.withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("shift"), "hnum")
+        ),
+    ).filter(F.col("pick") == 1)
+    return best.select(
+        "event_type",
+        F.col("hnum").alias("change_hour"),
+        F.col("rn").alias("n_before"),
+        (F.col("n_tot") - F.col("rn")).alias("n_after"),
+        dround(F.col("shift"), 6).alias("mean_shift"),
+    )
