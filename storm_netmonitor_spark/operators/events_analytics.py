@@ -856,3 +856,68 @@ def ts_step_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tot") - F.col("rn")).alias("n_after"),
         dround(F.col("shift"), 6).alias("mean_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of traffic (NM: the inequality scalar behind the
+# pareto-talkers set — how skewed is the load, 0 = uniform, →1 = one host)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_gini_concentration",
+    oracle=f"""
+WITH per_user AS (
+  SELECT event_type, user_id, {dsum_sql('value')} AS x
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type,
+         CAST(CAST(x AS DECIMAL(28,6)) * 100 AS BIGINT) AS x100,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) AS i
+  FROM per_user
+), moments AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(i * x100) AS BIGINT) AS a,
+         CAST(SUM(x100) AS BIGINT) AS b
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n AS n_sources,
+       {dround_sql('CAST(2 * a - (n + 1) * b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE))', 8)}
+         AS gini
+FROM moments
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-source traffic per metric type (NM: the
+    inequality scalar behind agg_pareto_talkers — 0 = every host equal,
+    →1 = one host is all the load; trend it to catch drift toward a
+    hotspot). Exact to the last bit: per-source totals are decimal sums,
+    quantized ONCE to integer cents, and the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) runs entirely in 64-bit integers
+    (Σi·xᵢ ≤ 10⁴·10⁷·10² ≪ 2⁵³) with one final double division —
+    identical IEEE in both engines. The rank window and both aggregates
+    run over the REDUCED per-(type, source) frame; ties get the
+    deterministic user_id tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(dsum("value").alias("x"))
+    ranked = per_user.select(
+        "event_type",
+        (F.col("x").cast(_DEC) * 100).cast("long").alias("x100"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("x", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    moments = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("i") * F.col("x100")).alias("a"),
+        F.sum("x100").alias("b"),
+    )
+    gini = (2 * F.col("a") - (F.col("n") + 1) * F.col("b")).cast("double") / (
+        F.col("n").cast("double") * F.col("b").cast("double")
+    )
+    return moments.select(
+        "event_type",
+        F.col("n").alias("n_sources"),
+        dround(gini, 8).alias("gini"),
+    )

@@ -390,3 +390,125 @@ def source_stream_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory_until(
         agg, lambda off: off.get("i", -1) >= SAMPLES_PER_HOST
     )
+
+
+# ---------------------------------------------------------------------------
+# LIVE alert suppression (NM core: page once per incident, live — the
+# streaming twin of events_alert_suppress)
+# ---------------------------------------------------------------------------
+
+_SUP_THRESHOLD = 115.0  # same alert rule as events_alert_suppress
+_SUP_US = 3_600_000_000
+
+_SUP_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_alerts", LongType()),
+        StructField("n_emitted", LongType()),
+        StructField("n_suppressed", LongType()),
+    ]
+)
+_SUP_STATE = StructType([StructField("next_ok_us", LongType())])
+
+
+def _suppress_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
+    # State = the µs timestamp at which paging re-arms (last emitted alert
+    # + 1 h). Rows within a batch are sorted here; across batches the
+    # staged source delivers chronological slices (same precondition as
+    # _gap_fn — a straggler older than the re-arm point is simply treated
+    # as suppressed, which never double-pages).
+    prev = state.get if state.exists else None  # type: ignore[misc]
+    next_ok = prev[0] if prev is not None else None
+    chunks = [p for p in pdf_iter]
+    n = emitted = 0
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+        n = len(us)
+        for t in us:
+            t = int(t)
+            if next_ok is None or t >= next_ok:
+                emitted += 1
+                next_ok = t + _SUP_US
+    if next_ok is not None:
+        state.update((int(next_ok),))
+    if n:
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_alerts": [n],
+                "n_emitted": [emitted],
+                "n_suppressed": [n - emitted],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            columns=["user_id", "n_alerts", "n_emitted", "n_suppressed"]
+        )
+
+
+@query(
+    "stream_alert_suppress",
+    oracle=f"""
+WITH RECURSIVE alerts AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value > {_SUP_THRESHOLD!r}
+), emit(user_id, rn, emit_t, emitted) AS (
+  SELECT user_id, rn, t, TRUE FROM alerts WHERE rn = 1
+  UNION ALL
+  SELECT a.user_id, a.rn,
+         CASE WHEN a.t >= e.emit_t + {_SUP_US} THEN a.t ELSE e.emit_t END,
+         a.t >= e.emit_t + {_SUP_US}
+  FROM alerts a JOIN emit e ON a.user_id = e.user_id AND a.rn = e.rn + 1
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_alerts,
+       COUNT(*) FILTER (WHERE emitted) AS n_emitted,
+       COUNT(*) FILTER (WHERE NOT emitted) AS n_suppressed
+FROM emit GROUP BY user_id
+""",
+)
+def stream_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incident-grade alert suppression (NM core: page once per
+    incident, AS the samples arrive): per-source streaming state carries
+    one re-arm timestamp (last emitted alert + 1 h); over-threshold
+    samples inside the window are swallowed, the first one past it pages
+    and re-arms. The streaming twin of ``events_alert_suppress``, sharing
+    its recursive-CTE oracle — and the stronger claim the 4-file staged
+    source proves: per-batch emitted/suppressed counts MERGE to exactly
+    the one-shot batch answer because the re-arm state crosses micro-batch
+    boundaries (batch-split invariance, the stream_incremental_rollup
+    discipline). State is ONE timestamp per key — O(hosts), bounded,
+    watermark-free."""
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> str:
+        from .stateful import _read_events_arrow
+
+        t = _read_events_arrow(sf_dir)
+        n_parts = 4
+        step = (t.num_rows + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            f = os.path.join(d, f"p{i}.parquet")
+            pq.write_table(t.slice(i * step, step), f)
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return d
+
+    src = _stage_once("suppress_parts", sf_dir, build)
+    s = _stream_staged(spark, src, one_file_per_batch=True)
+    per_batch = (
+        s.filter(F.col("value") > _SUP_THRESHOLD)
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _suppress_fn, _SUP_OUT, _SUP_STATE, "append", "NoTimeout"
+        )
+    )
+    drained = drain_to_memory(per_batch, mode="append")
+    # merge the per-micro-batch partials — exact because counts add and
+    # the suppression decisions were globally consistent via state
+    return drained.groupBy("user_id").agg(
+        F.sum("n_alerts").alias("n_alerts"),
+        F.sum("n_emitted").alias("n_emitted"),
+        F.sum("n_suppressed").alias("n_suppressed"),
+    )
