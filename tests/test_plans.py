@@ -452,6 +452,16 @@ def test_round4_additions_plan_shapes(spark):
         ("tpch_q16", 3, 2),
         ("tpch_q20", 2, 3),
         ("events_anomaly_mad", 4, 2),
+        # the lag expansion must stay a row-local explode on the reduced
+        # hourly frame + ONE integer equi-join — never a cross join
+        ("ts_cross_correlation_lag", 4, 0),
+        # vocabulary-reduced pair explode: token agg + pair agg only
+        ("text_bpe_pair_counts", 3, 0),
+        # prefix-sum scan over the hourly reduction: hourly agg + one
+        # type-keyed window partitioning (reused by rn/run/tot windows)
+        ("ts_step_changepoint", 3, 0),
+        # rank + both moment aggregates on the reduced per-source frame
+        ("agg_gini_concentration", 3, 0),
     ):
         p = plan(QUERIES[name](spark, SF_CORRECT))
         n_ex = len(re.findall(r"\(\d+\) Exchange", p))
@@ -459,3 +469,9 @@ def test_round4_additions_plan_shapes(spark):
         assert n_ex <= max_ex, f"{name}: {n_ex} keyed exchanges\n{p}"
         assert n_bhj >= min_bhj, f"{name}: {n_bhj} broadcast joins\n{p}"
         assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
+        assert "BroadcastNestedLoopJoin" not in p, f"{name} nested-loop:\n{p}"
+    # the batch suppression sweep is exactly one python-eval stage over one
+    # keyed exchange (the canonical applyInPandas shape)
+    p = plan(QUERIES["events_alert_suppress"](spark, SF_CORRECT))
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
