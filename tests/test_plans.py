@@ -470,8 +470,10 @@ def test_round4_additions_plan_shapes(spark):
         assert n_bhj >= min_bhj, f"{name}: {n_bhj} broadcast joins\n{p}"
         assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
         assert "BroadcastNestedLoopJoin" not in p, f"{name} nested-loop:\n{p}"
-    # the batch suppression sweep is exactly one python-eval stage over one
-    # keyed exchange (the canonical applyInPandas shape)
+    # the batch suppression sweep is exactly one python-eval stage (the
+    # amortized partition-sorted MapInPandas, NOT per-group fan-out) over
+    # one keyed exchange
     p = plan(QUERIES["events_alert_suppress"](spark, SF_CORRECT))
-    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert "FlatMapGroupsInPandas" not in p, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
