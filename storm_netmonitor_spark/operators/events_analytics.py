@@ -784,6 +784,53 @@ def events_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CP_MIN_SEG = 24
 
 
+def step_changepoint_over(hourly: DataFrame, min_seg: int = _CP_MIN_SEG) -> DataFrame:
+    """Changepoint kernel over a reduced series frame ``(event_type, hnum,
+    v)``: the split maximizing |mean(after) − mean(before)| with at least
+    ``min_seg`` points on each side, via exact-decimal prefix sums.
+    Factored out of ``ts_step_changepoint`` so the property suite can
+    drive it with arbitrary series against an O(H²) every-split scan."""
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("hnum")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    seq = hourly.select(
+        "event_type",
+        "hnum",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hnum"))
+        .cast("long")
+        .alias("rn"),
+        F.sum(F.col("v").cast(_DEC)).over(w_run).cast("double").alias("run_s"),
+        F.count("*").over(w_all).alias("n_tot"),
+        F.sum(F.col("v").cast(_DEC)).over(w_all).cast("double").alias("s_tot"),
+    )
+    scored = seq.filter(
+        (F.col("rn") >= min_seg) & (F.col("n_tot") - F.col("rn") >= min_seg)
+    ).withColumn(
+        "shift",
+        F.abs(
+            (F.col("s_tot") - F.col("run_s")) / (F.col("n_tot") - F.col("rn"))
+            - F.col("run_s") / F.col("rn")
+        ),
+    )
+    best = scored.withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("shift"), "hnum")
+        ),
+    ).filter(F.col("pick") == 1)
+    return best.select(
+        "event_type",
+        F.col("hnum").alias("change_hour"),
+        F.col("rn").alias("n_before"),
+        (F.col("n_tot") - F.col("rn")).alias("n_after"),
+        dround(F.col("shift"), 6).alias("mean_shift"),
+    )
+
+
 @query(
     "ts_step_changepoint",
     oracle=f"""
@@ -834,45 +881,7 @@ def ts_step_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hnum"),
     ).agg(dsum("value").alias("v"))
-    w_run = (
-        Window.partitionBy("event_type")
-        .orderBy("hnum")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("event_type")
-    seq = hourly.select(
-        "event_type",
-        "hnum",
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("hnum"))
-        .cast("long")
-        .alias("rn"),
-        F.sum(F.col("v").cast(_DEC)).over(w_run).cast("double").alias("run_s"),
-        F.count("*").over(w_all).alias("n_tot"),
-        F.sum(F.col("v").cast(_DEC)).over(w_all).cast("double").alias("s_tot"),
-    )
-    scored = seq.filter(
-        (F.col("rn") >= _CP_MIN_SEG) & (F.col("n_tot") - F.col("rn") >= _CP_MIN_SEG)
-    ).withColumn(
-        "shift",
-        F.abs(
-            (F.col("s_tot") - F.col("run_s")) / (F.col("n_tot") - F.col("rn"))
-            - F.col("run_s") / F.col("rn")
-        ),
-    )
-    best = scored.withColumn(
-        "pick",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy(F.desc("shift"), "hnum")
-        ),
-    ).filter(F.col("pick") == 1)
-    return best.select(
-        "event_type",
-        F.col("hnum").alias("change_hour"),
-        F.col("rn").alias("n_before"),
-        (F.col("n_tot") - F.col("rn")).alias("n_after"),
-        dround(F.col("shift"), 6).alias("mean_shift"),
-    )
+    return step_changepoint_over(hourly)
 
 
 # ---------------------------------------------------------------------------
@@ -917,6 +926,15 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic user_id tiebreak."""
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("event_type", "user_id").agg(dsum("value").alias("x"))
+    return gini_over(per_user)
+
+
+def gini_over(per_user: DataFrame) -> DataFrame:
+    """Rank-formula Gini kernel over a reduced totals frame ``(event_type,
+    user_id, x)``: returns ``(event_type, n_sources, gini)``. Factored out
+    of ``agg_gini_concentration`` so the property suite can drive it with
+    arbitrary totals against the O(n²) mean-absolute-difference
+    definition G = Σᵢⱼ|xᵢ−xⱼ| / (2n²µ)."""
     ranked = per_user.select(
         "event_type",
         (F.col("x").cast(_DEC) * 100).cast("long").alias("x100"),

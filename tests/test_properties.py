@@ -415,3 +415,68 @@ def test_counter_increase_matches_scalar_reference(data):
         if n_deltas:
             expect[uid] = (n_deltas, n_resets, round(total, 2))
     assert got == expect
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_gini_matches_pairwise_definition(data):
+    """Rank-formula Gini (with distinct integer ranks on ties) == the
+    O(n²) mean-absolute-difference definition G = Σᵢⱼ|xᵢ−xⱼ| / (2n²µ) —
+    they coincide for any multiset, ties included, which pins both the
+    formula and the tie-handling."""
+    from storm_netmonitor_spark.operators.events_analytics import gini_over
+
+    xs = data.draw(
+        st.lists(st.integers(1, 10_000), min_size=2, max_size=20)
+    )
+    spark = _spark()
+    # x carries 2-decimal totals like the production frame (cents / 100)
+    rows = [("t", i, cents / 100.0) for i, cents in enumerate(xs)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, x double")
+    got = gini_over(df).collect()[0]
+    n = len(xs)
+    mu = sum(xs) / n
+    pairwise = sum(abs(a - b) for a in xs for b in xs) / (2 * n * n * mu)
+    assert got.n_sources == n
+    # dround routes through decimal(28,6), so 6 decimals survive
+    assert abs(got.gini - pairwise) < 1e-6
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_changepoint_matches_every_split_scan(data):
+    """Prefix-sum changepoint == the O(H²) every-split scan (recompute
+    both segment means per candidate) on arbitrary series, including the
+    min-segment guard and the earliest-hour tiebreak."""
+    from storm_netmonitor_spark.operators.events_analytics import (
+        step_changepoint_over,
+    )
+
+    min_seg = 3
+    vals = data.draw(
+        st.lists(st.integers(0, 50_000), min_size=2 * min_seg, max_size=24)
+    )
+    spark = _spark()
+    rows = [("t", h, cents / 100.0) for h, cents in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, hnum long, v double")
+    got = step_changepoint_over(df, min_seg=min_seg).collect()
+    assert len(got) == 1
+    got = got[0]
+
+    xs = [cents / 100.0 for cents in vals]
+    n = len(xs)
+    best = None
+    for k in range(min_seg, n - min_seg + 1):
+        before = sum(xs[:k]) / k
+        after = sum(xs[k:]) / (n - k)
+        shift = abs(after - before)
+        if best is None or shift > best[1] + 1e-9:
+            best = (k, shift)
+    k, shift = best
+    assert got.n_before == k and got.n_after == n - k
+    assert got.change_hour == k - 1  # hnum of the last point before the split
+    assert abs(got.mean_shift - shift) < 1e-6
