@@ -259,6 +259,14 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is O(vocab × word-length), independent of corpus row count.
     Exact integer counts; deterministic (n DESC, pair) ordering."""
     docs = load_table(spark, sf_dir, "documents")
+    return bpe_pairs_over(docs).orderBy(F.desc("n"), "pair").limit(20)
+
+
+def bpe_pairs_over(docs: DataFrame) -> DataFrame:
+    """Adjacent-pair count kernel over a ``text``-column frame: returns the
+    UNLIMITED ``(pair, n)`` counts (the query applies the top-20 cut).
+    Factored out of ``text_bpe_pair_counts`` so the property suite can
+    drive it with arbitrary corpora against a Python Counter reference."""
     words = docs.select(
         F.explode(F.expr(_TOKS)).alias("w")
     ).filter(F.length("w") >= 2)
@@ -269,9 +277,4 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
         "freq",
     )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.sum("freq").alias("n"))
-        .orderBy(F.desc("n"), "pair")
-        .limit(20)
-    )
+    return pairs.groupBy("pair").agg(F.sum("freq").alias("n"))

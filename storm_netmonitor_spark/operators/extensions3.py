@@ -1441,14 +1441,26 @@ def vec_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle bit-for-bit). Shapes are the scale-correct ones: centroids
     live in a K×dim frame joined by position — never collected — and the
     assignment is one positional join + keyed aggregate per round."""
-    e = _pos_explode_all(load_table(spark, sf_dir, "embeddings"))
+    # the exploded frame feeds three branches (two assigns + the
+    # re-center) — scatter the one-row-group scan so the K-way dot
+    # expansion parallelizes (io.scatter lever), then materialize it once
+    # instead of re-scanning/re-exploding per branch; same per-round
+    # lineage truncation as the PageRank/CC iterative ops
+    from ..io import scatter
+
+    e = _pos_explode_all(
+        scatter(load_table(spark, sf_dir, "embeddings"))
+    ).localCheckpoint()
     c0 = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx")
     )
 
     def assign(cent: DataFrame) -> DataFrame:
+        # the centroid frame is K×dim rows — broadcast it so the exploded
+        # corpus never shuffles for the positional join (decimal dot sums
+        # are order-independent, so the join strategy cannot move the hash)
         dots = (
-            e.join(cent, "pos")
+            e.join(F.broadcast(cent), "pos")
             .select("vec_id", "cid", (F.col("x") * F.col("cx")).alias("px"))
             .groupBy("vec_id", "cid")
             .agg(F.sum(F.col("px").cast(_KM_DOT_DEC)).cast("double").alias("dot"))

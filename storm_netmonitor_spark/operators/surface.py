@@ -533,6 +533,15 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .withColumn("block", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
     )
+    return fuzzy_pairs_over(names)
+
+
+def fuzzy_pairs_over(names: DataFrame, max_dist: int = _FUZZY_MAX_DIST) -> DataFrame:
+    """Blocked fuzzy-pair kernel over a name-vocabulary frame ``(p_name,
+    n_parts, block)``: distinct name pairs within edit distance
+    ``max_dist`` whose blocking keys match. Factored out of
+    ``join_fuzzy_blocked`` so the property suite can drive it with
+    arbitrary vocabularies against a brute-force all-pairs reference."""
     a = names.select(
         F.col("p_name").alias("name_a"),
         F.col("n_parts").alias("n_a"),
@@ -552,6 +561,6 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
         )
-        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )

@@ -480,3 +480,79 @@ def test_changepoint_matches_every_split_scan(data):
     assert got.n_before == k and got.n_after == n - k
     assert got.change_hour == k - 1  # hnum of the last point before the split
     assert abs(got.mean_shift - shift) < 1e-6
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_fuzzy_pairs_match_bruteforce_within_blocks(data):
+    """Blocked fuzzy pairing == brute-force levenshtein over all ordered
+    pairs sharing a block, on arbitrary small vocabularies."""
+    from storm_netmonitor_spark.operators.surface import fuzzy_pairs_over
+
+    def lev(s1: str, s2: str) -> int:
+        if len(s1) < len(s2):
+            s1, s2 = s2, s1
+        prev = list(range(len(s2) + 1))
+        for i, c1 in enumerate(s1):
+            cur = [i + 1]
+            for j, c2 in enumerate(s2):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
+            prev = cur
+        return prev[-1]
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    block = st.sampled_from(["x", "y"])
+    rows = data.draw(
+        st.lists(st.tuples(word, block), min_size=1, max_size=12, unique=True)
+    )
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(w, i + 1, blk) for i, (w, blk) in enumerate(rows)],
+        "p_name string, n_parts long, block string",
+    )
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_pairs_over(df, max_dist=2).collect()
+    }
+    expect = {
+        (a, b, lev(a, b))
+        for (a, ba), (b, bb) in (
+            (p, q) for p in rows for q in rows
+        )
+        if ba == bb and a < b and lev(a, b) <= 2
+    }
+    assert got == expect
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_bpe_pairs_match_counter_reference(data):
+    """Vocabulary-reduced pair counting == a plain Python Counter over
+    every token occurrence (the two orders of reduction must agree)."""
+    from collections import Counter
+
+    from storm_netmonitor_spark.operators.corpus2 import bpe_pairs_over
+
+    word = st.text(alphabet="abz", min_size=1, max_size=6)
+    texts = data.draw(
+        st.lists(
+            st.lists(word, min_size=0, max_size=6).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    spark = _spark()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r.pair: r.n for r in bpe_pairs_over(df).collect()}
+
+    ref: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    ref[w[i : i + 2]] += 1
+    assert got == dict(ref)
