@@ -478,14 +478,14 @@ WITH iv AS (
          epoch_us(CAST(ts AS TIMESTAMP)) + {_COVER_US} AS e
   FROM events
 ), marked AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
   FROM iv
 ), islands AS (
   SELECT user_id, s, e,
          SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY s, e
+           OVER (PARTITION BY user_id ORDER BY s, event_id
                  ROWS UNBOUNDED PRECEDING) AS island
   FROM marked
 ), bounds AS (
