@@ -956,3 +956,114 @@ def gini_over(per_user: DataFrame) -> DataFrame:
         F.col("n").alias("n_sources"),
         dround(gini, 8).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear exponential smoothing (NM: capacity forecasting — where is
+# this counter heading in the next few intervals?)
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.5  # level smoothing (exact binary double)
+_HW_BETA = 0.3
+_HW_BUCKET_US = 21_600_000_000  # 6-hour intervals: ~120 recursion steps
+
+
+@query(
+    "ts_holt_forecast",
+    oracle=f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_HW_BUCKET_US} AS BIGINT) AS hnum,
+         {dsum_sql('value')} AS v
+  FROM events GROUP BY event_type, hnum
+), seq AS (
+  SELECT event_type, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hnum) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot
+  FROM hourly
+), hw(event_type, rn, n_tot, l, b) AS (
+  SELECT event_type, rn, n_tot, CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.n_tot,
+         {_HW_ALPHA!r} * s.v + {1.0 - _HW_ALPHA!r} * (h.l + h.b),
+         {_HW_BETA!r} * (({_HW_ALPHA!r} * s.v + {1.0 - _HW_ALPHA!r} * (h.l + h.b)) - h.l)
+           + {1.0 - _HW_BETA!r} * h.b
+  FROM seq s JOIN hw h ON s.event_type = h.event_type AND s.rn = h.rn + 1
+)
+SELECT event_type, n_tot AS n_buckets,
+       {dround_sql('l', 6)} AS level,
+       {dround_sql('b', 6)} AS trend,
+       {dround_sql('l + 3 * b', 6)} AS forecast_3
+FROM hw WHERE rn = n_tot
+""",
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear exponential smoothing per metric type (NM: capacity
+    forecasting — level + trend state folded over the 6-hour series, then
+    a 3-interval-ahead projection). A sequential numeric recursion (each
+    state depends on the previous EMITTED state), run as the lever-7
+    partition-sorted ``mapInPandas`` sweep over the bucket-reduced series
+    — per-step arithmetic is written with IDENTICAL expression shapes in
+    the Python sweep and the recursive-CTE oracle, so ~120 folds of IEEE
+    doubles land bit-equal in both engines and the hash matches (the
+    events_alert_suppress precedent extended from integer state to float
+    state). Only the first aggregation touches raw data; the recursion is
+    vocabulary × buckets sized."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(_HW_BUCKET_US)).cast("long").alias("hnum"),
+    ).agg(dsum("value").alias("v"))
+
+    a, be = _HW_ALPHA, _HW_BETA
+
+    def _fold(pdf_iter):
+        out = {
+            "event_type": [], "n_buckets": [], "level": [], "trend": [],
+            "forecast_3": [],
+        }
+        cur = None
+        n = 0
+        lvl = tr = 0.0
+
+        def flush():
+            if cur is not None:
+                out["event_type"].append(cur)
+                out["n_buckets"].append(n)
+                out["level"].append(lvl)
+                out["trend"].append(tr)
+                out["forecast_3"].append(lvl + 3 * tr)
+
+        for pdf in pdf_iter:
+            for t, v in zip(pdf["event_type"].values, pdf["v"].values):
+                v = float(v)
+                if t != cur:
+                    flush()
+                    cur, n, lvl, tr = t, 1, v, 0.0
+                else:
+                    n += 1
+                    new_l = a * v + (1.0 - a) * (lvl + tr)
+                    tr = be * (new_l - lvl) + (1.0 - be) * tr
+                    lvl = new_l
+        flush()
+        yield pd.DataFrame(out)
+
+    folded = (
+        hourly.repartition("event_type")
+        .sortWithinPartitions("event_type", "hnum")
+        .mapInPandas(
+            _fold,
+            schema="event_type string, n_buckets long, level double, "
+            "trend double, forecast_3 double",
+        )
+    )
+    return folded.select(
+        "event_type",
+        "n_buckets",
+        dround("level", 6).alias("level"),
+        dround("trend", 6).alias("trend"),
+        dround("forecast_3", 6).alias("forecast_3"),
+    )
