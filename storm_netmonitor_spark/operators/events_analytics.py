@@ -565,9 +565,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
+    # dev feeds BOTH the MAD percentile and the final grouped count —
+    # materialize it once so the events scan + med join run a single time
+    # (the multiply-consumed-frame rule, same as the kmeans explode)
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
-    )
+    ).localCheckpoint()
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     )
@@ -607,7 +610,7 @@ WITH hourly AS (
   GROUP BY hnum, event_type
 ), a AS (SELECT hnum, v AS x FROM hourly WHERE event_type = '{_XCORR_A}'),
    b AS (SELECT hnum, v AS y FROM hourly WHERE event_type = '{_XCORR_B}'),
-   lags AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) t(lag)),
+   lags AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1))}) t(lag)),
    joined AS (
      SELECT CAST(l.lag AS BIGINT) AS lag, a.x, b.y
      FROM a CROSS JOIN lags l
@@ -623,7 +626,7 @@ WITH hourly AS (
      FROM joined GROUP BY lag
    )
 SELECT lag, CAST(n AS BIGINT) AS n,
-       {dround_sql('(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))', 8)}
+       {dround_sql('(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))', 6)}
          AS xcorr
 FROM s
 """,
@@ -681,7 +684,7 @@ def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    return s.select("lag", "n", dround(corr, 8).alias("xcorr"))
+    return s.select("lag", "n", dround(corr, 6).alias("xcorr"))
 
 
 # ---------------------------------------------------------------------------
@@ -692,10 +695,9 @@ def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUPPRESS_THRESHOLD = 115.0
 _SUPPRESS_US = 3_600_000_000  # 1 h of silence after each emitted alert
 
-
-@query(
-    "events_alert_suppress",
-    oracle=f"""
+#: Shared with the live twin ``streaming.alerts.stream_alert_suppress`` —
+#: ONE oracle string so the batch/live alert rule cannot drift.
+SUPPRESS_ORACLE = f"""
 WITH RECURSIVE alerts AS (
   SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -712,8 +714,10 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_alerts,
        COUNT(*) FILTER (WHERE emitted) AS n_emitted,
        COUNT(*) FILTER (WHERE NOT emitted) AS n_suppressed
 FROM emit GROUP BY user_id
-""",
-)
+"""
+
+
+@query("events_alert_suppress", oracle=SUPPRESS_ORACLE)
 def events_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alert suppression (NM core: page ONCE per incident — each emitted
     alert opens a 1-hour silence window; alerts inside it are swallowed,
@@ -908,7 +912,7 @@ WITH per_user AS (
   FROM ranked GROUP BY event_type
 )
 SELECT event_type, n AS n_sources,
-       {dround_sql('CAST(2 * a - (n + 1) * b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE))', 8)}
+       {dround_sql('CAST(2 * a - (n + 1) * b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE))', 6)}
          AS gini
 FROM moments
 """,
@@ -954,7 +958,7 @@ def gini_over(per_user: DataFrame) -> DataFrame:
     return moments.select(
         "event_type",
         F.col("n").alias("n_sources"),
-        dround(gini, 8).alias("gini"),
+        dround(gini, 6).alias("gini"),
     )
 
 
@@ -1015,7 +1019,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type",
-        (F.unix_micros("ts") / F.lit(_HW_BUCKET_US)).cast("long").alias("hnum"),
+        F.expr(f"unix_micros(ts) div {_HW_BUCKET_US}").alias("hnum"),
     ).agg(dsum("value").alias("v"))
 
     a, be = _HW_ALPHA, _HW_BETA

@@ -397,8 +397,13 @@ def source_stream_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming twin of events_alert_suppress)
 # ---------------------------------------------------------------------------
 
-_SUP_THRESHOLD = 115.0  # same alert rule as events_alert_suppress
-_SUP_US = 3_600_000_000
+# the SAME alert rule and oracle as the batch twin — imported, not copied,
+# so the batch/live invariant cannot drift (review finding, round 4)
+from ..operators.events_analytics import (  # noqa: E402
+    _SUPPRESS_THRESHOLD as _SUP_THRESHOLD,
+    _SUPPRESS_US as _SUP_US,
+    SUPPRESS_ORACLE as _SUP_ORACLE,
+)
 
 _SUP_OUT = StructType(
     [
@@ -447,27 +452,7 @@ def _suppress_fn(key, pdf_iter: Iterable[pd.DataFrame], state):
         )
 
 
-@query(
-    "stream_alert_suppress",
-    oracle=f"""
-WITH RECURSIVE alerts AS (
-  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE value > {_SUP_THRESHOLD!r}
-), emit(user_id, rn, emit_t, emitted) AS (
-  SELECT user_id, rn, t, TRUE FROM alerts WHERE rn = 1
-  UNION ALL
-  SELECT a.user_id, a.rn,
-         CASE WHEN a.t >= e.emit_t + {_SUP_US} THEN a.t ELSE e.emit_t END,
-         a.t >= e.emit_t + {_SUP_US}
-  FROM alerts a JOIN emit e ON a.user_id = e.user_id AND a.rn = e.rn + 1
-)
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_alerts,
-       COUNT(*) FILTER (WHERE emitted) AS n_emitted,
-       COUNT(*) FILTER (WHERE NOT emitted) AS n_suppressed
-FROM emit GROUP BY user_id
-""",
-)
+@query("stream_alert_suppress", oracle=_SUP_ORACLE)
 def stream_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE incident-grade alert suppression (NM core: page once per
     incident, AS the samples arrive): per-source streaming state carries
