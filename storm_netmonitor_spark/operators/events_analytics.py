@@ -1014,15 +1014,23 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_alert_suppress precedent extended from integer state to float
     state). Only the first aggregation touches raw data; the recursion is
     vocabulary × buckets sized."""
-    import pandas as pd
-
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type",
         F.expr(f"unix_micros(ts) div {_HW_BUCKET_US}").alias("hnum"),
     ).agg(dsum("value").alias("v"))
+    return holt_fold_over(hourly)
 
-    a, be = _HW_ALPHA, _HW_BETA
+
+def holt_fold_over(
+    hourly: DataFrame, a: float = _HW_ALPHA, be: float = _HW_BETA
+) -> DataFrame:
+    """Holt fold kernel over a reduced series frame ``(event_type, hnum,
+    v)``: partition-sorted ``mapInPandas`` level/trend recursion, returns
+    ``(event_type, n_buckets, level, trend, forecast_3)``. Factored out of
+    ``ts_holt_forecast`` so the property suite can drive it with arbitrary
+    series against a straight-line Python reference."""
+    import pandas as pd
 
     def _fold(pdf_iter):
         out = {

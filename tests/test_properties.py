@@ -556,3 +556,45 @@ def test_bpe_pairs_match_counter_reference(data):
                 for i in range(len(w) - 1):
                     ref[w[i : i + 2]] += 1
     assert got == dict(ref)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_holt_fold_matches_scalar_reference(data):
+    """The distributed Holt fold == a straight-line Python recursion over
+    each series in bucket order, bit-for-bit (same expression shapes),
+    for arbitrary series and multiple interleaved types."""
+    from storm_netmonitor_spark.operators.events_analytics import holt_fold_over
+
+    series = data.draw(
+        st.dictionaries(
+            st.sampled_from(["p", "q"]),
+            st.lists(st.integers(0, 100_000), min_size=1, max_size=15),
+            min_size=1,
+            max_size=2,
+        )
+    )
+    rows = [
+        (t, h, cents / 100.0)
+        for t, vals in series.items()
+        for h, cents in enumerate(vals)
+    ]
+    spark = _spark()
+    df = spark.createDataFrame(rows, "event_type string, hnum long, v double")
+    got = {r.event_type: r for r in holt_fold_over(df).collect()}
+
+    a, be = 0.5, 0.3
+    for t, vals in series.items():
+        xs = [c / 100.0 for c in vals]
+        lvl, tr = xs[0], 0.0
+        for v in xs[1:]:
+            new_l = a * v + (1.0 - a) * (lvl + tr)
+            tr = be * (new_l - lvl) + (1.0 - be) * tr
+            lvl = new_l
+        r = got[t]
+        assert r.n_buckets == len(xs)
+        assert abs(r.level - lvl) < 1e-6
+        assert abs(r.trend - tr) < 1e-6
+        assert abs(r.forecast_3 - (lvl + 3 * tr)) < 1e-6
