@@ -648,8 +648,7 @@ def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = (
         e.groupBy(
-            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
-            .cast("long")
+            F.expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000")
             .alias("hnum"),
             "event_type",
         )
@@ -881,8 +880,7 @@ def ts_step_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type",
-        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
-        .cast("long")
+        F.expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000")
         .alias("hnum"),
     ).agg(dsum("value").alias("v"))
     return step_changepoint_over(hourly)
