@@ -518,3 +518,55 @@ def test_gram_builders_tolerate_short_documents(spark):
         ["now three", "three words", "words here"],
         ["now three words", "three words here"],
     )
+
+
+def test_suppress_fn_rearm_boundary_and_stragglers():
+    """Direct sweep-function semantics (no Spark): the re-arm boundary is
+    inclusive (t == next_ok pages), stragglers older than the re-arm
+    point are suppressed and never double-page, and state persists the
+    re-arm time across batches."""
+    import pandas as pd
+
+    from storm_netmonitor_spark.streaming.alerts import _SUP_US, _suppress_fn
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    def run(ts_us, state):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t * 1000 for t in ts_us]),  # ns
+                "event_id": range(len(ts_us)),
+            }
+        )
+        [out] = list(_suppress_fn((7,), iter([pdf]), state))
+        return out
+
+    # fresh state: first alert pages, in-window suppressed, re-arm pages
+    st = FakeState()
+    out = run([0, 10, _SUP_US], st)
+    assert (out.n_alerts[0], out.n_emitted[0], out.n_suppressed[0]) == (3, 2, 1)
+    assert st.get == (_SUP_US + _SUP_US,)
+
+    # boundary: t exactly at the re-arm point pages (>= semantics)
+    st = FakeState((100,))
+    out = run([100], st)
+    assert out.n_emitted[0] == 1 and st.get == (100 + _SUP_US,)
+
+    # straggler older than the carried re-arm point: suppressed, state kept
+    st = FakeState((5_000_000_000,))
+    out = run([10], st)
+    assert (out.n_emitted[0], out.n_suppressed[0]) == (0, 1)
+    assert st.get == (5_000_000_000,)
