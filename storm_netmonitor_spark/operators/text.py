@@ -541,9 +541,14 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat_ws(' ', slice(tk, i, 3)))"
         " ELSE CAST(array() AS array<string>) END"
     )
+    # the distinct gram frame feeds the DF census AND the filtered join;
+    # the filtered frame then feeds sizes and BOTH pair-join sides —
+    # materialize each once (multiply-consumed-frame rule) instead of
+    # re-running the explode+distinct lineage up to five times
     all_grams = (
         t.select("doc_id", "lang", "source", F.explode(grams_expr).alias("gram"))
         .distinct()
+        .localCheckpoint()
     )
     rare = (
         all_grams.groupBy("lang", "source", "gram")
@@ -551,7 +556,7 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gram_df") <= NGRAM_DF_CAP)
         .select("lang", "source", "gram")
     )
-    grams = all_grams.join(rare, ["lang", "source", "gram"])
+    grams = all_grams.join(rare, ["lang", "source", "gram"]).localCheckpoint()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(
         F.col("doc_id").alias("doc_a"), "lang", "source", "gram"
