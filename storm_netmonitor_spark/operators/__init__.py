@@ -30,6 +30,7 @@ _MODULES = (
     "events_analytics",
     "incremental",
     "extensions3",
+    "extensions4",
 )
 
 

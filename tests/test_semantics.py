@@ -570,3 +570,114 @@ def test_suppress_fn_rearm_boundary_and_stragglers():
     out = run([10], st)
     assert (out.n_emitted[0], out.n_suppressed[0]) == (0, 1)
     assert st.get == (5_000_000_000,)
+
+
+def test_dwell_assigns_gap_to_entered_state(spark):
+    """Dwell kernel: each gap belongs to the event that OPENED it (the
+    state the source entered), equal-ts ties order by event_id, and the
+    final event per source contributes nothing."""
+    import datetime as dt
+
+    from storm_netmonitor_spark.operators.extensions4 import dwell_by_type
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: A(0) -> B(10) -> A(25): dwell A=10, B=15; last A dropped
+        (1, ts(0), 1, "A"),
+        (1, ts(10), 2, "B"),
+        (1, ts(25), 3, "A"),
+        # user 2: two events at the SAME ts — event_id orders them:
+        # C(id=4) -> C(id=5) dwell 0, then C(id=5) -> B(100) dwell 100
+        (2, ts(0), 4, "C"),
+        (2, ts(0), 5, "C"),
+        (2, ts(100), 6, "B"),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["event_type"]: (r["n_dwell"], r["total_dwell_us"], r["avg_dwell_s"])
+        for r in dwell_by_type(e).collect()
+    }
+    assert got["A"] == (1, 10_000_000, 10.0)
+    assert got["B"] == (1, 15_000_000, 15.0)
+    assert got["C"] == (2, 100_000_000, 50.0)
+
+
+def test_path_trigrams_count_and_tiebreak(spark):
+    """Trigram kernel: sliding (not tumbling) windows per source, no
+    cross-source paths, deterministic (count DESC, path ASC) cut."""
+    import datetime as dt
+
+    from storm_netmonitor_spark.operators.extensions4 import path_trigrams_over
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: A B A B -> paths "A > B > A", "B > A > B"
+    for i, et in enumerate(["A", "B", "A", "B"]):
+        rows.append((1, t0 + dt.timedelta(seconds=i), i, et))
+    # user 2: only two events -> no trigram, and no path bridging users
+    rows += [(2, t0, 100, "B"), (2, t0 + dt.timedelta(seconds=1), 101, "A")]
+    e = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = [(r["path"], r["n_paths"]) for r in path_trigrams_over(e, k=1).collect()]
+    # both paths have count 1 -> path ASC breaks the tie
+    assert got == [("A > B > A", 1)]
+
+
+def test_burn_rate_range_frame_and_page_logic(spark):
+    """Burn-rate kernel: the slow window is a RANGE frame over hour
+    NUMBERS (a 10-hour gap leaves the old bucket outside the trailing-6
+    frame), and paging requires BOTH thresholds."""
+    import datetime as dt
+
+    from storm_netmonitor_spark.operators.extensions4 import burn_rate_over
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def hour(h, n_err, n_ok):
+        for i in range(n_err):
+            rows.append((t0 + dt.timedelta(hours=h, seconds=i), "error"))
+        for i in range(n_ok):
+            rows.append((t0 + dt.timedelta(hours=h, minutes=30, seconds=i), "view"))
+
+    hour(0, 4, 0)    # all errors — fast 1.0
+    hour(12, 0, 10)  # clean bucket 12 hours later — slow frame excludes hour 0
+    hour(13, 5, 5)   # fast 0.5 >= .35; slow = 5/20 = 0.25 >= .25 -> page
+    e = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["hour_num"] % 24: r for r in burn_rate_over(e).collect()}
+    assert out[0]["page"] is True          # 4/4 on both windows
+    assert out[12]["fast_ratio"] == 0.0
+    assert out[12]["page"] is False        # gap evicted hour 0 from the frame
+    assert out[13]["page"] is True
+    assert out[13]["slow_ratio"] == 0.25   # only hours 12+13 in the frame
+
+
+def test_rolling_actives_window_and_observed_days(spark):
+    """Rolling-actives kernel: WAU spans exactly 7 trailing days, a user
+    active twice in one window counts once, and windows ending on days
+    with no activity do not report."""
+    import datetime as dt
+
+    from storm_netmonitor_spark.operators.extensions4 import rolling_actives_over
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d0, 1),
+        (d0, 2),
+        (d0 + dt.timedelta(days=2), 1),                  # u1 again in-window
+        (d0 + dt.timedelta(days=9), 3),                  # beyond day0+6
+    ]
+    du = spark.createDataFrame(rows, "d date, user_id long")
+    got = {r["day"]: (r["dau"], r["wau_7d"]) for r in rolling_actives_over(du).collect()}
+    # only the 3 OBSERVED activity days report (no synthesized grid days)
+    assert set(got) == {"2024-01-01", "2024-01-03", "2024-01-10"}
+    assert got["2024-01-01"] == (2, 2)
+    assert got["2024-01-03"] == (1, 2)   # u1 deduped across its two days
+    assert got["2024-01-10"] == (1, 1)   # day-0/2 users aged out of the window
