@@ -18,7 +18,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.stable import dround, dround_sql
+from ..functions.stable import (
+    davg,
+    davg_sql,
+    dround,
+    dround_sql,
+    ts_str,
+    ts_str_sql,
+)
 from ..io import load_table
 from ..registry import query
 
@@ -295,3 +302,254 @@ def events_active_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
     return rolling_actives_over(du)
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension health (NORTH: per-dimension distribution stats —
+# collapsed or exploding dimensions are the first sign of a broken encoder)
+# ---------------------------------------------------------------------------
+
+_DIM_ZERO_EPS = 0.01
+
+
+@query(
+    "vec_dim_stats",
+    oracle=f"""
+WITH x AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT dim,
+       COUNT(*) AS n,
+       {davg_sql('v')} AS mean_v,
+       CAST(MIN(v) AS DOUBLE) AS min_v,
+       CAST(MAX(v) AS DOUBLE) AS max_v,
+       {dround_sql(f'CAST(COUNT(*) FILTER (WHERE ABS(v) < {_DIM_ZERO_EPS}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+         AS near_zero_frac
+FROM x
+GROUP BY dim
+""",
+)
+def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution audit (mean / min / max /
+    near-zero share): a dimension that is ~always zero carries no signal
+    (wasted model capacity, broken encoder head) and one with runaway
+    magnitude dominates every dot product. The QA gate to run before any
+    ANN index build.
+
+    Shape: ``posexplode`` fans each row out ×dim, then ONE keyed
+    aggregate whose map-side partials collapse the stream to (dims ×
+    tasks) rows before the shuffle — the exchange carries O(64) rows per
+    task regardless of corpus size. Float32 cells widen to double BEFORE
+    any decimal cast (the functions/stable.py float-shortest-string
+    hazard); min/max of a float widen exactly, so the doubles are
+    bit-identical in both engines."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        em.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(v).alias("mean_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            dround(
+                F.count(F.when(F.abs(v) < _DIM_ZERO_EPS, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("near_zero_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus interleave (NORTH: the deterministic sampler that turns
+# per-source mixture weights into one reproducible training stream)
+# ---------------------------------------------------------------------------
+
+#: weight = (source index mod 4) + 1 — deterministic, spans 1..4.
+_ILV_WEIGHT_MOD = 4
+#: LCM(1..4): virtual positions stay exact integers (rank * LCM / w).
+_ILV_LCM = 12
+_ILV_TAKE = 100
+
+
+@query(
+    "pipeline_interleave_sources",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         (CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % {_ILV_WEIGHT_MOD}) + 1 AS w,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+),
+taken AS (
+  SELECT source, doc_id, w, rk * ({_ILV_LCM} // w) AS vpos
+  FROM ranked
+  ORDER BY vpos, source, doc_id
+  LIMIT {_ILV_TAKE}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY vpos, source, doc_id) AS global_pos,
+       source, doc_id, w, vpos
+FROM taken
+""",
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave — the SAMPLER half of the
+    mixture pipeline (``pipeline_mixture_weights`` decides how much of
+    each source; this op decides the ORDER the trainer actually reads).
+    Each source's k-th document gets virtual position k/weight, so a
+    weight-4 source appears 4× as often as a weight-1 source in any
+    prefix of the stream; integer positions (rank × LCM/w) make every
+    comparison exact, and (vpos, source, doc_id) is a total order →
+    the same stream on every run, engine, and partitioning.
+
+    Shape: per-source ranks share ONE keyed window exchange; the stream
+    prefix is orderBy+limit = TakeOrderedAndProject (per-partition top-N
+    + driver merge — no global sort); the global position is a window
+    over the already-reduced {_ILV_TAKE}-row frame."""
+    d = load_table(spark, sf_dir, "documents")
+    w_col = (
+        F.regexp_extract("source", r"(\d+)", 1).cast("int") % _ILV_WEIGHT_MOD + 1
+    ).alias("w")
+    rk = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select("source", "doc_id", w_col).withColumn(
+        "rk", F.row_number().over(rk)
+    )
+    taken = (
+        ranked.select(
+            "source",
+            "doc_id",
+            "w",
+            (F.col("rk") * F.expr(f"{_ILV_LCM} div w")).alias("vpos"),
+        )
+        .orderBy("vpos", "source", "doc_id")
+        .limit(_ILV_TAKE)
+    )
+    gw = Window.orderBy("vpos", "source", "doc_id")
+    return taken.select(
+        F.row_number().over(gw).cast("long").alias("global_pos"),
+        "source",
+        "doc_id",
+        "w",
+        "vpos",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (NM core: maximum simultaneously-active sessions — the
+# capacity number; sweep-line prefix sum done as a distributed two-level scan)
+# ---------------------------------------------------------------------------
+
+#: Each event opens a 5-minute activity interval [ts, ts + 300 s).
+_CONC_ACTIVE_US = 300_000_000
+_CONC_BUCKET_US = 3_600_000_000  # hour-level carry buckets
+_CONC_DAY_US = 86_400_000_000
+
+
+def concurrency_over(deltas: DataFrame) -> DataFrame:
+    """Two-level distributed prefix sum over a sweep-line delta frame
+    ``(t_us, delta, event_id)``: within-bucket running sums under a
+    per-bucket window + cross-bucket carry offsets from the tiny bucket
+    aggregate. Returns the frame with an exact global running ``conc``."""
+    deltas = deltas.withColumn(
+        "bucket", F.expr(f"t_us div {_CONC_BUCKET_US}")
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("run_local", F.sum("delta").over(win))
+    # carry: running sum of FULL-bucket totals over the O(buckets) frame
+    # (unpartitioned window on the reduced frame — tpch_q11 discipline).
+    carry_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        deltas.groupBy("bucket")
+        .agg(F.sum("delta").alias("bucket_total"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_total").over(carry_w), F.lit(0)).alias(
+                "offset"
+            ),
+        )
+    )
+    return local.join(F.broadcast(offsets), "bucket").withColumn(
+        "conc", F.col("offset") + F.col("run_local")
+    )
+
+
+@query(
+    "events_concurrency_peak",
+    oracle=f"""
+WITH deltas AS (
+  SELECT epoch_us(ts) AS t_us, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + {_CONC_ACTIVE_US} AS t_us, -1 AS delta, event_id FROM events
+),
+r AS (
+  SELECT t_us, event_id,
+         SUM(delta) OVER (ORDER BY t_us, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM deltas
+),
+days AS (
+  SELECT t_us // {_CONC_DAY_US} AS day_num, CAST(MAX(conc) AS BIGINT) AS peak
+  FROM r GROUP BY 1
+)
+SELECT days.day_num, days.peak,
+       {ts_str_sql(f'make_timestamp(CAST(MIN(r.t_us) AS BIGINT))')} AS peak_at
+FROM days
+JOIN r ON r.t_us // {_CONC_DAY_US} = days.day_num AND r.conc = days.peak
+GROUP BY days.day_num, days.peak
+""",
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PEAK CONCURRENCY (NM core: how many sources were active at
+    once — the number capacity is provisioned against). Each sample opens
+    a 5-minute activity interval; starts are +1 and half-open ends are −1
+    (at equal instants the −1 sorts first, so ends release before starts
+    acquire), and the peak is the max of the running sum at the day's
+    sweep instants.
+
+    A global running sum is the textbook single-reducer trap. This is the
+    scale-correct TWO-LEVEL SCAN: within-hour running sums under an
+    hour-keyed window, plus per-hour carry offsets from a running sum
+    over the O(buckets) aggregate (8,760 rows/year — broadcast back).
+    The result is bit-equal to the oracle's one-window global scan at
+    any partitioning. Day peaks then reduce with map-side partial max;
+    the earliest instant attaining each peak comes from one broadcast
+    join against the tiny day-peak frame."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("s_us"), "event_id"
+    )
+    starts = e.select(
+        F.col("s_us").alias("t_us"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = e.select(
+        (F.col("s_us") + _CONC_ACTIVE_US).alias("t_us"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    r = concurrency_over(starts.unionAll(ends)).select(
+        "t_us", F.expr(f"t_us div {_CONC_DAY_US}").alias("day_num"), "conc"
+    )
+    r = r.localCheckpoint()  # two consumers: day peaks + the argmin join
+    days = (
+        r.groupBy("day_num")
+        .agg(F.max("conc").alias("peak"))
+        .select(F.col("day_num").alias("peak_day"), "peak")
+    )
+    return (
+        r.join(
+            F.broadcast(days),
+            (F.col("day_num") == F.col("peak_day"))
+            & (F.col("conc") == F.col("peak")),
+        )
+        .groupBy(F.col("peak_day").alias("day_num"), F.col("peak"))
+        .agg(ts_str(F.expr("timestamp_micros(min(t_us))")).alias("peak_at"))
+    )

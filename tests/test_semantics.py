@@ -681,3 +681,57 @@ def test_rolling_actives_window_and_observed_days(spark):
     assert got["2024-01-01"] == (2, 2)
     assert got["2024-01-03"] == (1, 2)   # u1 deduped across its two days
     assert got["2024-01-10"] == (1, 1)   # day-0/2 users aged out of the window
+
+
+def test_concurrency_two_level_scan_matches_scalar_sweep(spark):
+    """The distributed two-level prefix sum (within-bucket window +
+    cross-bucket carry) must equal a scalar one-pass sweep, including
+    end-before-start ordering at equal instants and carry across empty
+    and multi-bucket spans."""
+    from storm_netmonitor_spark.operators.extensions4 import (
+        _CONC_BUCKET_US,
+        concurrency_over,
+    )
+
+    B = _CONC_BUCKET_US
+    # (t_us, delta, event_id): bucket 0 holds two overlapping intervals,
+    # an equal-instant end/start pair sits at t=100, bucket 2 (bucket 1
+    # empty) inherits a +1 carry.
+    deltas = [
+        (10, 1, 1),
+        (50, 1, 2),
+        (100, -1, 1),   # end of id=1 at the same instant as...
+        (100, 1, 3),    # ...start of id=3: -1 sorts first (no phantom 3-peak)
+        (2 * B + 10, -1, 2),
+        (2 * B + 20, -1, 3),
+    ]
+    df = spark.createDataFrame(deltas, "t_us long, delta int, event_id long")
+    got = {
+        (r["t_us"], r["event_id"]): r["conc"]
+        for r in concurrency_over(df).collect()
+    }
+    # scalar sweep over the same (t, delta, id) order
+    running, want = 0, {}
+    for t, d, i in sorted(deltas, key=lambda x: (x[0], x[1], x[2])):
+        running += d
+        want[(t, i)] = running
+    assert got == want
+    assert want[(100, 1)] == 1 and want[(100, 3)] == 2  # never 3 concurrent
+
+
+def test_interleave_respects_weights_and_determinism(spark):
+    """A weight-4 source must appear 4× as often as a weight-1 source in
+    the stream prefix, and the stream must be identical across runs."""
+    import __spark_entry__ as m
+
+    q = m.queries()["pipeline_interleave_sources"]
+    rows = q(spark, SF_CORRECT).collect()
+    assert [r["global_pos"] for r in rows] == list(range(1, len(rows) + 1))
+    by_w = {}
+    for r in rows:
+        by_w[r["w"]] = by_w.get(r["w"], 0) + 1
+    # src indices 0..19 -> 5 sources per weight class 1..4; in any prefix
+    # the per-class share scales with the weight (allow boundary slack).
+    assert by_w[4] > by_w[2] > by_w[1]
+    again = q(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
