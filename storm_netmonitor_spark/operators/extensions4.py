@@ -553,3 +553,166 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("peak_day").alias("day_num"), F.col("peak"))
         .agg(ts_str(F.expr("timestamp_micros(min(t_us))")).alias("peak_at"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (NM core: render a 720-point counter series as the 30
+# points that preserve its SHAPE — what every monitoring dashboard draws)
+# ---------------------------------------------------------------------------
+
+_LTTB_M = 30  # output points per series (first + 28 middle buckets + last)
+_LTTB_BUCKET_US = 3_600_000_000
+
+
+def _lttb_select(xs: list[int], ys: list[int], m: int = _LTTB_M) -> list[int]:
+    """Exact-integer LTTB point selection over one (x, y) series sorted by
+    x: returns the selected indices, first/last always included, each
+    middle bucket contributing the point maximizing the triangle area
+    against the PREVIOUS SELECTED point and the NEXT bucket's mean.
+
+    All arithmetic is int64-range integers — the area comparison is
+    scaled by the next bucket's count (argmax-invariant), so there is no
+    float anywhere and the DuckDB recursive-CTE oracle lands on the same
+    points bit-for-bit. Tie-break: larger area first, then smaller x."""
+    n = len(xs)
+    if n <= m:
+        return list(range(n))
+    bucket = [0] * n
+    for i in range(1, n - 1):
+        bucket[i] = 1 + ((i - 1) * (m - 2)) // (n - 2)
+    bucket[n - 1] = m - 1
+    members: dict[int, list[int]] = {}
+    cnt: dict[int, int] = {}
+    sx: dict[int, int] = {}
+    sy: dict[int, int] = {}
+    for i, b in enumerate(bucket):
+        members.setdefault(b, []).append(i)
+        cnt[b] = cnt.get(b, 0) + 1
+        sx[b] = sx.get(b, 0) + xs[i]
+        sy[b] = sy.get(b, 0) + ys[i]
+    sel = [0]
+    for k in range(1, m):
+        cands = members[k]
+        if len(cands) == 1:
+            sel.append(cands[0])
+            continue
+        p = sel[-1]
+        n2, bsx, bsy = cnt[k + 1], sx[k + 1], sy[k + 1]
+        best, best_a = None, -1
+        for c in cands:
+            a = abs(
+                (n2 * xs[p] - bsx) * (ys[c] - ys[p])
+                - (xs[p] - xs[c]) * (bsy - n2 * ys[p])
+            )
+            if a > best_a or (a == best_a and xs[c] < xs[best]):
+                best, best_a = c, a
+        sel.append(best)
+    return sel
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle=f"""
+WITH RECURSIVE
+hourly AS (
+  SELECT event_type AS g,
+         epoch_us(ts) // {_LTTB_BUCKET_US} AS x,
+         CAST(ROUND(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,6))), 2) * 100
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+rnk AS (
+  SELECT g, x, y,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM hourly
+),
+bkt AS (
+  SELECT g, x, y,
+         CASE
+           WHEN n <= {_LTTB_M} THEN rn
+           WHEN rn = 0 THEN 0
+           WHEN rn = n - 1 THEN {_LTTB_M - 1}
+           ELSE 1 + ((rn - 1) * {_LTTB_M - 2}) // (n - 2)
+         END AS b
+  FROM rnk
+),
+nxt AS (
+  SELECT g, b, CAST(COUNT(*) AS BIGINT) AS n2,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM bkt GROUP BY g, b
+),
+sel AS (
+  SELECT g, 0 AS b, x, y FROM bkt WHERE b = 0
+  UNION ALL
+  SELECT s.g, s.b + 1, c.x, c.y
+  FROM sel s
+  JOIN bkt c ON c.g = s.g AND c.b = s.b + 1
+  LEFT JOIN nxt nx ON nx.g = s.g AND nx.b = s.b + 2
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bkt c2
+    WHERE c2.g = s.g AND c2.b = s.b + 1
+      AND (ABS((nx.n2 * s.x - nx.sx) * (c2.y - s.y)
+               - (s.x - c2.x) * (nx.sy - nx.n2 * s.y))
+             > ABS((nx.n2 * s.x - nx.sx) * (c.y - s.y)
+                   - (s.x - c.x) * (nx.sy - nx.n2 * s.y))
+           OR (ABS((nx.n2 * s.x - nx.sx) * (c2.y - s.y)
+                   - (s.x - c2.x) * (nx.sy - nx.n2 * s.y))
+                 = ABS((nx.n2 * s.x - nx.sx) * (c.y - s.y)
+                       - (s.x - c.x) * (nx.sy - nx.n2 * s.y))
+               AND c2.x < c.x))
+  )
+)
+SELECT g AS event_type, CAST(b AS BIGINT) AS pos, x AS hour_num,
+       CAST(y AS DOUBLE) / 100.0 AS v
+FROM sel
+""",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per metric type — the
+    published dashboard-rendering algorithm (Steinarsson 2013): keep the
+    {_LTTB_M} points that best preserve the series' visual shape (spikes
+    and inflections survive; uniform decimation would erase them).
+
+    LTTB is TRULY SEQUENTIAL — each bucket's pick depends on the
+    previous PICK, not just previous rows, so no window frame expresses
+    it. Spark side: the series reduces to O(hours) rows (exact-decimal
+    cent quantization), then one ``applyInPandas`` per metric type runs
+    the integer kernel over its own bounded series (a year is 8,760
+    points — driver-independent, executor-local). Oracle: a recursive
+    CTE stepping bucket-by-bucket with a NOT-EXISTS argmax. Both sides
+    compute areas in EXACT int64 (cent-quantized y, epoch-hour x, area
+    scaled by the next bucket's count — argmax-invariant), so the
+    selected points match bit-for-bit."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"),
+        F.expr(f"unix_micros(ts) div {_LTTB_BUCKET_US}").alias("hour_num"),
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast("double").cast("decimal(28,6)")), 2)
+            * 100
+        )
+        .cast("long")
+        .alias("y_cents")
+    )
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour_num").reset_index(drop=True)
+        xs = [int(v) for v in pdf["hour_num"]]
+        ys = [int(v) for v in pdf["y_cents"]]
+        sel = _lttb_select(xs, ys)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[:1].repeat(len(sel)).values,
+                "pos": range(len(sel)),
+                "hour_num": [xs[i] for i in sel],
+                "v": [float(ys[i]) / 100.0 for i in sel],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        _fold, "event_type string, pos long, hour_num long, v double"
+    )

@@ -735,3 +735,32 @@ def test_interleave_respects_weights_and_determinism(spark):
     assert by_w[4] > by_w[2] > by_w[1]
     again = q(spark, SF_CORRECT).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_lttb_kernel_preserves_spikes_and_endpoints():
+    """LTTB selection: endpoints always kept, a lone spike survives (the
+    whole point vs uniform decimation), degenerate short series pass
+    through, and equal-area ties break to the smaller x."""
+    from storm_netmonitor_spark.operators.extensions4 import _lttb_select
+
+    # short series: identity
+    assert _lttb_select(list(range(5)), [1, 2, 3, 4, 5], m=30) == list(range(5))
+
+    # flat 100-point series with one huge spike at i=57
+    xs = list(range(100))
+    ys = [10] * 100
+    ys[57] = 10_000
+    sel = _lttb_select(xs, ys, m=10)
+    assert len(sel) == 10
+    assert sel[0] == 0 and sel[-1] == 99
+    assert 57 in sel, "spike dropped by downsampler"
+    assert sel == sorted(sel)
+
+    # all-flat: every area 0 -> first (smallest-x) point of each bucket
+    flat = _lttb_select(xs, [7] * 100, m=10)
+    assert flat[0] == 0 and flat[-1] == 99
+    buckets = [1 + ((i - 1) * 8) // 98 for i in range(1, 99)]
+    first_of = {}
+    for i, b in zip(range(1, 99), buckets):
+        first_of.setdefault(b, i)
+    assert flat[1:-1] == [first_of[b] for b in range(1, 9)]
