@@ -64,6 +64,10 @@ EXTRA_REPORTED = [
     "tpch_q02",  # derived-partsupp min-cost supplier (window over reduced frame)
     "events_anomaly_mad",  # two exact percentile passes + broadcast-back
     "join_fuzzy_blocked",  # vocabulary-reduced blocked levenshtein pairing
+    # round-4 §2.T additions (extra-session batch)
+    "events_concurrency_peak",  # two-level distributed prefix-sum sweep line
+    "events_active_rolling",  # DAU/WAU distinct fan-out on the reduced frame
+    "ts_downsample_lttb",  # sequential integer LTTB via applyInPandas
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
