@@ -477,3 +477,40 @@ def test_round4_additions_plan_shapes(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
     assert "FlatMapGroupsInPandas" not in p, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_extensions4_plan_shapes(spark):
+    """§2.T additions: sequence ops keep ONE keyed window exchange plus a
+    tiny rollup; the dim audit is a single keyed aggregate; the interleave
+    rank + prefix is one exchange with TakeOrderedAndProject (no global
+    sort); rolling actives bound the fan-out on the reduced distinct frame
+    with the day grid broadcast; the concurrency sweep carries its offsets
+    via broadcast; LTTB is exactly one grouped-pandas stage on the hourly
+    reduction. Nothing degenerates into a cartesian."""
+    import re
+
+    shapes = {
+        "events_dwell_time": dict(max_ex=2),
+        "events_path_ngrams": dict(max_ex=2, take=True),
+        "ts_sla_burn_rate": dict(max_ex=2),
+        "vec_dim_stats": dict(max_ex=1),
+        "pipeline_interleave_sources": dict(max_ex=1, take=True),
+        "events_active_rolling": dict(max_ex=4, min_bhj=1),
+        "events_concurrency_peak": dict(max_ex=2, min_bhj=1),
+    }
+    for name, want in shapes.items():
+        p = plan(QUERIES[name](spark, SF_CORRECT))
+        n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n_ex <= want["max_ex"], f"{name}: {n_ex} exchanges\n{p}"
+        if want.get("min_bhj"):
+            assert p.count("BroadcastHashJoin") >= want["min_bhj"], f"{name}:\n{p}"
+        if want.get("take"):
+            assert "TakeOrderedAndProject" in p, f"{name} global-sorts:\n{p}"
+        assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
+        assert "BroadcastNestedLoopJoin" not in p, f"{name} nested-loop:\n{p}"
+    # LTTB: the ONLY python stage is the one per-type grouped kernel over
+    # the already-reduced hourly frame (never over raw events)
+    p = plan(QUERIES["ts_downsample_lttb"](spark, SF_CORRECT))
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert "HashAggregate" in p, p  # hourly reduction below the kernel
