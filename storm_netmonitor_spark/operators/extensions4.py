@@ -166,18 +166,11 @@ _BURN_SLOW_T = 0.25  # trailing-6-bucket confirmation threshold
 _BURN_BUCKET_S = 3600
 
 
-def burn_rate_over(samples: DataFrame) -> DataFrame:
-    """Burn-rate kernel over ``(ts, event_type)``: hourly error ratio
-    (fast window) + trailing-6-hour ratio (slow window) on the hourly
-    reduced frame; a bucket pages when BOTH exceed their thresholds."""
-    hour = F.expr(f"unix_micros(ts) div {_BURN_BUCKET_S * 1_000_000}")
-    hourly = (
-        samples.groupBy(hour.alias("hour_num"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
-        )
-    )
+def burn_windows_over(hourly: DataFrame) -> DataFrame:
+    """Window stage of the burn-rate computation, over an ALREADY-REDUCED
+    hourly frame ``(hour_num, n_events, n_errors)`` — factored out so the
+    streaming twin can merge per-micro-batch hourly partials and land on
+    the identical report."""
     # RANGE frame over the integer hour key: missing buckets contribute
     # nothing in BOTH engines (no phantom zero rows needed).
     w = Window.orderBy("hour_num").rangeBetween(-5, Window.currentRow)
@@ -193,6 +186,18 @@ def burn_rate_over(samples: DataFrame) -> DataFrame:
         dround(slow).alias("slow_ratio"),
         ((fast >= _BURN_FAST_T) & (slow >= _BURN_SLOW_T)).alias("page"),
     )
+
+
+def burn_rate_over(samples: DataFrame) -> DataFrame:
+    """Burn-rate kernel over ``(ts, event_type)``: hourly error ratio
+    (fast window) + trailing-6-hour ratio (slow window) on the hourly
+    reduced frame; a bucket pages when BOTH exceed their thresholds."""
+    hour = F.expr(f"unix_micros(ts) div {_BURN_BUCKET_S * 1_000_000}")
+    hourly = samples.groupBy(hour.alias("hour_num")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    return burn_windows_over(hourly)
 
 
 @query(
@@ -715,4 +720,233 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hourly.groupBy("event_type").applyInPandas(
         _fold, "event_type string, pos long, hour_num long, v double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day movers (NM: which source CHANGED behavior — the triage list
+# after any fleet-wide regression)
+# ---------------------------------------------------------------------------
+
+_MOVERS_TOPK = 15
+
+
+@query(
+    "events_top_movers",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT user_id, d, n,
+         LAG(n) OVER w AS prev_n,
+         LAG(d) OVER w AS prev_d
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       prev_n, n, n - prev_n AS delta
+FROM lagged
+WHERE prev_d = d - 1
+ORDER BY ABS(n - prev_n) DESC, user_id, d
+LIMIT {_MOVERS_TOPK}
+""",
+)
+def events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top day-over-day traffic movers: the sources whose daily sample
+    count changed most against the PREVIOUS CALENDAR day (a LAG row that
+    skips a silent day is not a day-over-day comparison and is excluded).
+    The triage list an operator opens after a fleet-wide regression.
+
+    Shape: the event stream reduces to the per-(source, day) frame
+    first (ONE keyed aggregate with map-side partials); the LAG window
+    shares that user_id partitioning, and the top-k is
+    TakeOrderedAndProject on |delta| — no global sort. Deterministic
+    cut: (|delta| DESC, user_id, day) is a total order."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = daily.select(
+        "user_id",
+        "d",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lag("d").over(w).alias("prev_d"),
+    )
+    return (
+        lagged.where(F.col("prev_d") == F.date_sub("d", 1))
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "prev_n",
+            "n",
+            (F.col("n") - F.col("prev_n")).alias("delta"),
+        )
+        .orderBy(
+            F.abs(F.col("delta")).desc(), "user_id", "day"
+        )
+        .limit(_MOVERS_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flap detection (NM core: an interface bouncing A->B->A inside minutes is
+# a flap, not two clean transitions — route dampening starts here)
+# ---------------------------------------------------------------------------
+
+#: The A->B->A round trip must fit in this window to count as a flap.
+#: Sized to the corpus' sampling cadence (testdata sources report every
+#: ~11 h on average, so 12 h ≈ one revisit interval); a production
+#: per-second collector would use minutes — the shape is cadence-free.
+_FLAP_WINDOW_US = 12 * 3_600 * 1_000_000
+
+
+def flaps_by_source(samples: DataFrame) -> DataFrame:
+    """Flap kernel over ``(user_id, ts, event_id, event_type)``: row i
+    flaps when type(i) == type(i-2) != type(i-1) and the round trip fit
+    inside the flap window. Returns per-source flap counts (flapping
+    sources only)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    t = samples.select(
+        "user_id",
+        F.col("event_type").alias("t0"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        (us - F.lag(us, 2).over(w)).alias("span_us"),
+    )
+    flap = (
+        (F.col("t0") == F.col("t2"))
+        & (F.col("t0") != F.col("t1"))
+        & (F.col("span_us") <= _FLAP_WINDOW_US)
+    )
+    return (
+        t.groupBy("user_id")
+        .agg(F.count(F.when(flap, 1)).alias("n_flaps"))
+        .where(F.col("n_flaps") > 0)
+    )
+
+
+@query(
+    "events_flap_detect",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id,
+         event_type AS t0,
+         LAG(event_type, 1) OVER w AS t1,
+         LAG(event_type, 2) OVER w AS t2,
+         epoch_us(ts) - LAG(epoch_us(ts), 2) OVER w AS span_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       COUNT(*) FILTER (WHERE t0 = t2 AND t0 <> t1
+                          AND span_us <= {_FLAP_WINDOW_US}) AS n_flaps
+FROM t
+GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE t0 = t2 AND t0 <> t1
+                          AND span_us <= {_FLAP_WINDOW_US}) > 0
+""",
+)
+def events_flap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source FLAP counts: an A→B→A alternation completing inside one
+    flap window is one flap (the bouncing-interface signature — two clean
+    transitions far apart are not). Dampening/suppression policy is
+    driven off this count.
+
+    Shape: both LAGs and the per-source rollup share ONE user_id
+    exchange (window partitioning satisfies the groupBy by the subset
+    rule); the flap predicate is row-local on integer µs spans."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return flaps_by_source(e)
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve (NORTH: is new data actually NEW? The share of a
+# document's shingles never seen in any earlier document)
+# ---------------------------------------------------------------------------
+
+_NOVEL_NGRAM = 3
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - {_NOVEL_NGRAM - 1}),
+             i -> array_to_string(toks[i : i + {_NOVEL_NGRAM - 1}], ' ')))) AS gram
+  FROM t
+), firsts AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM g
+), per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE doc_id = first_doc) AS n_novel
+  FROM firsts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       {dround_sql('COALESCE(CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 0.0)')}
+         AS novelty_share
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the share of its distinct word 3-grams whose
+    FIRST corpus occurrence (by doc_id ingest order) is this document.
+    The curve every data-buying decision reads — when marginal novelty
+    flattens, more of the same source adds nothing to the pretraining
+    mix (the text_decontaminate/boilerplate complement: not "is it
+    clean", but "is it NEW").
+
+    Shape: per-doc DISTINCT grams bound the explode (same discipline as
+    text_boilerplate_share); first-occurrence is a MIN window on the
+    gram-keyed exchange — no join back, the window row carries its own
+    doc_id; the per-doc rollup is one further keyed aggregate. No
+    broadcast, no self-join, nothing quadratic."""
+    from ..io import scatter
+
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    n = F.size("tk")
+    grams = F.when(
+        n >= _NOVEL_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (_NOVEL_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, _NOVEL_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", F.explode(grams).alias("gram"))
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
+    per_doc = (
+        g.select("doc_id", (F.col("doc_id") == first).alias("novel"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("novel"), 1)).alias("n_novel"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        dround(
+            F.coalesce(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("novelty_share"),
     )

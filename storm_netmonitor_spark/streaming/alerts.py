@@ -22,7 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..functions.stable import dsum_sql, ts_str_sql
+from ..functions.stable import dround_sql, dsum_sql, ts_str_sql
+from ..operators.extensions4 import _BURN_BUCKET_S, _BURN_FAST_T, _BURN_SLOW_T
 from ..registry import query
 from .core import (
     ckpt_dir,
@@ -497,3 +498,96 @@ def stream_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_emitted").alias("n_emitted"),
         F.sum("n_suppressed").alias("n_suppressed"),
     )
+
+
+@query(
+    "stream_burn_rate",
+    oracle=f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {_BURN_BUCKET_S * 1_000_000} AS hour_num,
+         COUNT(*) AS n_events,
+         COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+  FROM events
+  GROUP BY 1
+)
+SELECT hour_num, n_events, n_errors,
+       {dround_sql('CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)')} AS fast_ratio,
+       {dround_sql('CAST(SUM(n_errors) OVER w AS DOUBLE) / CAST(SUM(n_events) OVER w AS DOUBLE)')}
+         AS slow_ratio,
+       (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) >= {_BURN_FAST_T}
+        AND CAST(SUM(n_errors) OVER w AS DOUBLE) / CAST(SUM(n_events) OVER w AS DOUBLE)
+            >= {_BURN_SLOW_T}) AS page
+FROM hourly
+WINDOW w AS (ORDER BY hour_num RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+""",
+)
+def stream_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE error-budget burn-rate paging — the streaming twin of
+    ``ts_sla_burn_rate``. Each micro-batch contributes HOURLY PARTIALS
+    (hour bucket × integer event/error counts) via foreachBatch; the
+    published report merges partials by hour (integer sums — exact in
+    any arrival order, so unlike the chronological-file folds this twin
+    needs NO ordering precondition: an hour split across micro-batches
+    merges to the same counts) and runs the identical trailing-window
+    stage as the batch op on the merged O(hours) frame. Four staged
+    micro-batches prove batch-split invariance; the oracle is the batch
+    twin's oracle verbatim."""
+    import pyarrow.parquet as pq
+
+    from ..operators.extensions4 import _BURN_BUCKET_S as BUCKET_S
+    from ..operators.extensions4 import burn_windows_over
+
+    def build(d: str) -> str:
+        from .stateful import _read_events_arrow
+
+        t = _read_events_arrow(sf_dir)
+        n_parts = 4
+        step = (t.num_rows + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            f = os.path.join(d, f"p{i}.parquet")
+            pq.write_table(t.slice(i * step, step), f)
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return d
+
+    src = _stage_once("rollup_parts", sf_dir, build)
+    s = _stream_staged(spark, src, one_file_per_batch=True)
+
+    partials_dir = tempfile.mkdtemp(prefix="nm_burn_partials_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # this batch's hourly partials only — never a recompute of history
+        (
+            batch_df.groupBy(
+                F.expr(f"unix_micros(ts) div {BUCKET_S * 1_000_000}").alias(
+                    "hour_num"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                    "n_errors"
+                ),
+            )
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        s.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir())
+        .trigger(availableNow=True)
+    )
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "append"):
+        q = writer.start()
+        q.awaitTermination()
+
+    hourly = (
+        spark.read.parquet(partials_dir)
+        .groupBy("hour_num")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+        )
+    )
+    return burn_windows_over(hourly)

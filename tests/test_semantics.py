@@ -764,3 +764,37 @@ def test_lttb_kernel_preserves_spikes_and_endpoints():
     for i, b in zip(range(1, 99), buckets):
         first_of.setdefault(b, i)
     assert flat[1:-1] == [first_of[b] for b in range(1, 9)]
+
+
+def test_flap_kernel_window_and_pattern(spark):
+    """Flap kernel: A->B->A inside the window counts, the same pattern
+    exceeding the window does not, A->A->A (no alternation) does not,
+    and patterns never bridge sources."""
+    import datetime as dt
+
+    from storm_netmonitor_spark.operators.extensions4 import (
+        _FLAP_WINDOW_US,
+        flaps_by_source,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    win_s = _FLAP_WINDOW_US // 1_000_000
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: two quick flaps A>B>A>B (rows 3 and 4 each complete one)
+        (1, ts(0), 1, "A"), (1, ts(10), 2, "B"),
+        (1, ts(20), 3, "A"), (1, ts(30), 4, "B"),
+        # user 2: A>B>A but the round trip exceeds the window -> no flap
+        (2, ts(0), 5, "A"), (2, ts(10), 6, "B"),
+        (2, ts(win_s + 60), 7, "A"),
+        # user 3: A>A>A -> no alternation, no flap
+        (3, ts(0), 8, "A"), (3, ts(10), 9, "A"), (3, ts(20), 10, "A"),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {r["user_id"]: r["n_flaps"] for r in flaps_by_source(e).collect()}
+    assert got == {1: 2}
