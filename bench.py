@@ -68,6 +68,7 @@ EXTRA_REPORTED = [
     "events_concurrency_peak",  # two-level distributed prefix-sum sweep line
     "events_active_rolling",  # DAU/WAU distinct fan-out on the reduced frame
     "ts_downsample_lttb",  # sequential integer LTTB via applyInPandas
+    "text_ngram_novelty",  # gram-keyed first-occurrence window + doc rollup
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain

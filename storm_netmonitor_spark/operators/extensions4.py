@@ -950,3 +950,48 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("novelty_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fleet growth curve (NM: how many NEW sources appeared each day, and how
+# big the known fleet is — the denominator behind every coverage metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_new_sources_curve",
+    oracle="""
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_d, COUNT(*) AS n_new FROM first GROUP BY first_d
+)
+SELECT strftime(first_d, '%Y-%m-%d') AS day,
+       n_new,
+       CAST(SUM(n_new) OVER (ORDER BY first_d
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS fleet_cum
+FROM per_day
+""",
+)
+def events_new_sources_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day NEW sources (first ever sample) + cumulative fleet size —
+    the onboarding curve, and the denominator `events_active_rolling`'s
+    coverage share divides by.
+
+    Shape: one user_id-keyed MIN aggregate (map-side partials) reduces
+    the stream to one row per source; the day rollup and the cumulative
+    window then run on O(days) rows (unpartitioned window on the reduced
+    frame — tpch_q11 discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_d"))
+    per_day = first.groupBy("first_d").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("first_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.date_format("first_d", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("fleet_cum"),
+    )

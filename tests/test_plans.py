@@ -514,3 +514,26 @@ def test_extensions4_plan_shapes(spark):
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
     assert "HashAggregate" in p, p  # hourly reduction below the kernel
+
+
+def test_extensions4_batch3_plan_shapes(spark):
+    """Later §2.T additions: movers = daily reduce + shared-key LAG window
+    + TakeOrderedAndProject; flaps = ONE user_id exchange end-to-end
+    (window partitioning satisfies the rollup by the subset rule);
+    novelty = gram-window + doc rollup + one join back to the doc list;
+    the fleet curve reduces per-source before its O(days) windows."""
+    import re
+
+    for name, max_ex, take in (
+        ("events_top_movers", 2, True),
+        ("events_flap_detect", 1, False),
+        ("text_ngram_novelty", 4, False),
+        ("events_new_sources_curve", 3, False),
+    ):
+        p = plan(QUERIES[name](spark, SF_CORRECT))
+        n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n_ex <= max_ex, f"{name}: {n_ex} exchanges\n{p}"
+        if take:
+            assert "TakeOrderedAndProject" in p, f"{name} global-sorts:\n{p}"
+        assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
+        assert "BroadcastNestedLoopJoin" not in p, f"{name} nested-loop:\n{p}"
