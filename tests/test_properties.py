@@ -598,3 +598,162 @@ def test_holt_fold_matches_scalar_reference(data):
         assert abs(r.level - lvl) < 1e-6
         assert abs(r.trend - tr) < 1e-6
         assert abs(r.forecast_3 - (lvl + 3 * tr)) < 1e-6
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_concurrency_scan_matches_scalar_sweep(data):
+    """The two-level prefix sum (within-bucket window + cross-bucket
+    carry) equals a scalar one-pass sweep for ARBITRARY interval sets —
+    including duplicate instants, equal start/end collisions, and
+    intervals spanning many (possibly empty) buckets."""
+    from storm_netmonitor_spark.operators.extensions4 import (
+        _CONC_BUCKET_US,
+        concurrency_over,
+    )
+
+    B = _CONC_BUCKET_US
+    n = data.draw(st.integers(min_value=1, max_value=25))
+    starts = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=5 * B),
+            min_size=n, max_size=n,
+        )
+    )
+    durs = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=3 * B),
+            min_size=n, max_size=n,
+        )
+    )
+    deltas = []
+    for i, (s, d) in enumerate(zip(starts, durs)):
+        deltas.append((s, 1, i))
+        deltas.append((s + d, -1, i))
+    df = _spark().createDataFrame(
+        deltas, "t_us long, delta int, event_id long"
+    )
+    got = {
+        (r["t_us"], r["delta"], r["event_id"]): r["conc"]
+        for r in concurrency_over(df).select(
+            "t_us", "delta", "event_id", "conc"
+        ).collect()
+    }
+    running, want = 0, {}
+    for t, d, i in sorted(deltas, key=lambda x: (x[0], x[1], x[2])):
+        running += d
+        want[(t, d, i)] = running
+    assert got == want
+    assert running == 0  # every interval closed
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_lttb_matches_rational_reference(data):
+    """The count-scaled integer LTTB kernel selects the same points as an
+    independent straight-from-the-paper implementation using TRUE bucket
+    means and unscaled triangle areas in exact rational arithmetic — the
+    scaling is area-order preserving (including on exact ties), not an
+    approximation."""
+    from fractions import Fraction
+
+    from storm_netmonitor_spark.operators.extensions4 import _lttb_select
+
+    n = data.draw(st.integers(min_value=3, max_value=120))
+    m = data.draw(st.integers(min_value=3, max_value=20))
+    # small magnitudes -> every float product below is exact in f64
+    xs = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=5000),
+                min_size=n, max_size=n, unique=True,
+            )
+        )
+    )
+    ys = data.draw(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=n, max_size=n,
+        )
+    )
+
+    def rational_ref():
+        if n <= m:
+            return list(range(n))
+        bucket = [0] + [
+            1 + ((i - 1) * (m - 2)) // (n - 2) for i in range(1, n - 1)
+        ] + [m - 1]
+        members: dict[int, list[int]] = {}
+        for i, b in enumerate(bucket):
+            members.setdefault(b, []).append(i)
+        sel = [0]
+        for k in range(1, m):
+            cands = members[k]
+            if len(cands) == 1:
+                sel.append(cands[0])
+                continue
+            p = sel[-1]
+            nxt = members[k + 1]
+            ax = Fraction(sum(xs[j] for j in nxt), len(nxt))
+            ay = Fraction(sum(ys[j] for j in nxt), len(nxt))
+            best, best_a = None, Fraction(-1)
+            for c in cands:  # x order; strict > keeps the smaller x on ties
+                a = abs(
+                    (xs[p] - ax) * (ys[c] - ys[p])
+                    - (xs[p] - xs[c]) * (ay - ys[p])
+                )
+                if a > best_a:
+                    best, best_a = c, a
+            sel.append(best)
+        return sel
+
+    assert _lttb_select(xs, ys, m=m) == rational_ref()
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_dwell_matches_scalar_reference(data):
+    """Per-type dwell totals equal a scalar per-source walk for arbitrary
+    interleaved sequences (including equal timestamps resolved by
+    event_id)."""
+    import datetime as dt
+
+    from storm_netmonitor_spark.operators.extensions4 import dwell_by_type
+
+    t0 = dt.datetime(2024, 1, 1)
+    n = data.draw(st.integers(min_value=2, max_value=30))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                data.draw(st.integers(min_value=1, max_value=3)),  # user
+                t0
+                + dt.timedelta(
+                    seconds=data.draw(st.integers(min_value=0, max_value=10_000))
+                ),
+                i,
+                data.draw(st.sampled_from(["A", "B", "C"])),
+            )
+        )
+    df = _spark().createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["event_type"]: (r["n_dwell"], r["total_dwell_us"])
+        for r in dwell_by_type(df).collect()
+    }
+    want: dict[str, list[int]] = {}
+    by_user: dict[int, list] = {}
+    for u, ts, eid, et in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    for seq in by_user.values():
+        seq.sort()
+        for (ts1, _, et), (ts2, _, _) in zip(seq, seq[1:]):
+            w = want.setdefault(et, [0, 0])
+            w[0] += 1
+            w[1] += int((ts2 - ts1).total_seconds() * 1_000_000)
+    assert got == {k: tuple(v) for k, v in want.items()}
