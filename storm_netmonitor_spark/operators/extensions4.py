@@ -911,10 +911,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean", but "is it NEW").
 
     Shape: per-doc DISTINCT grams bound the explode (same discipline as
-    text_boilerplate_share); first-occurrence is a MIN window on the
-    gram-keyed exchange — no join back, the window row carries its own
-    doc_id; the per-doc rollup is one further keyed aggregate. No
-    broadcast, no self-join, nothing quadratic."""
+    text_boilerplate_share). n_grams is the SIZE of the per-doc distinct
+    array — row-local, zero shuffle. The gram stream itself feeds exactly
+    one HASH aggregate (min doc_id per gram — a window here would sort
+    every gram; min is the hash-partial form), and each gram then awards
+    its +1 to one doc via a second tiny keyed count: the per-doc frames
+    that meet in the final join are O(docs), never O(grams). No
+    broadcast of corpus-sized state, no self-join, nothing quadratic."""
     from ..io import scatter
 
     d = scatter(load_table(spark, sf_dir, "documents"))
@@ -929,19 +932,27 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = t.select("doc_id", F.explode(grams).alias("gram"))
-    first = F.min("doc_id").over(Window.partitionBy("gram"))
-    per_doc = (
-        g.select("doc_id", (F.col("doc_id") == first).alias("novel"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("novel"), 1)).alias("n_novel"),
-        )
-    )
-    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+    # ONE pass builds each doc's gram array, then size + explode_outer in
+    # the same stage (explode_outer keeps 0-gram docs alive for the final
+    # frame — no second scan, no materialization of the gram arrays).
+    g = t.select("doc_id", grams.alias("grams")).select(
         "doc_id",
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.size("grams").cast("long").alias("ng"),
+        F.explode_outer("grams").alias("gram"),
+    )
+    n_grams_df = g.groupBy("doc_id").agg(F.first("ng").alias("n_grams"))
+    novel = (
+        g.where(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return n_grams_df.join(
+        novel, n_grams_df["doc_id"] == novel["first_doc"], "left"
+    ).select(
+        "doc_id",
+        "n_grams",
         F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         dround(
             F.coalesce(
