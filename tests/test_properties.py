@@ -757,3 +757,76 @@ def test_dwell_matches_scalar_reference(data):
             w[0] += 1
             w[1] += int((ts2 - ts1).total_seconds() * 1_000_000)
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_burn_windows_match_scalar_trailing_ratio(data):
+    """The trailing-6 RANGE frame over integer hour keys equals a scalar
+    'hours within [h-5, h]' computation for arbitrary sparse hour sets —
+    missing buckets contribute nothing (never zero-filled rows)."""
+    from storm_netmonitor_spark.operators.extensions4 import burn_windows_over
+
+    hours = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=40),
+            min_size=1, max_size=15, unique=True,
+        )
+    )
+    rows = []
+    for h in hours:
+        n = data.draw(st.integers(min_value=1, max_value=20))
+        e = data.draw(st.integers(min_value=0, max_value=n))
+        rows.append((h, n, e))
+    df = _spark().createDataFrame(rows, "hour_num long, n_events long, n_errors long")
+    got = {
+        r["hour_num"]: (r["n_events"], r["n_errors"], r["slow_ratio"])
+        for r in burn_windows_over(df).collect()
+    }
+    for h, n, e in rows:
+        win = [(n2, e2) for h2, n2, e2 in rows if h - 5 <= h2 <= h]
+        sn, se = sum(n2 for n2, _ in win), sum(e2 for _, e2 in win)
+        want = round(float(se) / float(sn), 6)
+        assert got[h][0] == n and got[h][1] == e
+        assert abs(got[h][2] - want) < 1e-9, (h, got[h], want)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_rolling_actives_match_scalar_reference(data):
+    """DAU/WAU over arbitrary sparse (day, user) activity equals the
+    scalar 'distinct users in [d-6, d]' definition on every OBSERVED day,
+    and no unobserved day reports."""
+    import datetime as dt
+
+    from storm_netmonitor_spark.operators.extensions4 import rolling_actives_over
+
+    d0 = dt.date(2024, 1, 1)
+    pairs = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),
+                st.integers(min_value=1, max_value=6),
+            ),
+            min_size=1, max_size=40, unique=True,
+        )
+    )
+    du = _spark().createDataFrame(
+        [(d0 + dt.timedelta(days=d), u) for d, u in pairs], "d date, user_id long"
+    )
+    got = {
+        r["day"]: (r["dau"], r["wau_7d"])
+        for r in rolling_actives_over(du).collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    assert set(got) == {
+        (d0 + dt.timedelta(days=d)).strftime("%Y-%m-%d") for d in days
+    }
+    for d in days:
+        dau = len({u for dd, u in pairs if dd == d})
+        wau = len({u for dd, u in pairs if d - 6 <= dd <= d})
+        assert got[(d0 + dt.timedelta(days=d)).strftime("%Y-%m-%d")] == (dau, wau)

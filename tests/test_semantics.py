@@ -798,3 +798,27 @@ def test_flap_kernel_window_and_pattern(spark):
     )
     got = {r["user_id"]: r["n_flaps"] for r in flaps_by_source(e).collect()}
     assert got == {1: 2}
+
+
+def test_stream_burn_rate_equals_batch_twin(spark):
+    """The live burn-rate drain must land on EXACTLY the batch twin's
+    frame — and the staged 4-file source genuinely splits hour buckets
+    across micro-batches (else the partial-merge claim tests nothing)."""
+    from storm_netmonitor_spark.operators.extensions4 import _BURN_BUCKET_S
+    from storm_netmonitor_spark.streaming.stateful import _read_events_arrow
+
+    t = _read_events_arrow(SF_CORRECT)
+    n_parts, step = 4, (t.num_rows + 3) // 4
+    boundary_hours = set()
+    col = t.column("ts").to_pylist()
+    for i in range(1, n_parts):
+        a, b = col[i * step - 1], col[i * step]
+        ha = int(a.timestamp()) // _BURN_BUCKET_S
+        hb = int(b.timestamp()) // _BURN_BUCKET_S
+        if ha == hb:
+            boundary_hours.add(ha)
+    assert boundary_hours, "no hour bucket spans a batch boundary"
+
+    live = sorted(map(tuple, QUERIES["stream_burn_rate"](spark, SF_CORRECT).collect()))
+    batch = sorted(map(tuple, QUERIES["ts_sla_burn_rate"](spark, SF_CORRECT).collect()))
+    assert live == batch
