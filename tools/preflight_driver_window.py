@@ -8,7 +8,8 @@ Usage:
     python tools/preflight_driver_window.py [START END] [SF_DIR]
 
 Defaults: the driver's round window (0 50) at sf0.01. The end-of-round-4
-state: window 50/50 green in 48 s, overflow (50 68) 18/18 green in 14 s.
+state after the §2.T extension batch: window (0 50) 50/50 green in 53 s,
+round-5 backlog (50 97) 47/47 green in 42 s.
 """
 from __future__ import annotations
 
