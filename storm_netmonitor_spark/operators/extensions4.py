@@ -526,9 +526,10 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-keyed window, plus per-hour carry offsets from a running sum
     over the O(buckets) aggregate (8,760 rows/year — broadcast back).
     The result is bit-equal to the oracle's one-window global scan at
-    any partitioning. Day peaks then reduce with map-side partial max;
-    the earliest instant attaining each peak comes from one broadcast
-    join against the tiny day-peak frame."""
+    any partitioning. Day peaks and the earliest instant attaining them
+    reduce in ONE further keyed aggregate — max over (conc, −t) structs
+    compares lexicographically, so the argmax needs no join-back and no
+    materialization of the delta stream."""
     e = load_table(spark, sf_dir, "events").select(
         F.unix_micros("ts").alias("s_us"), "event_id"
     )
@@ -543,20 +544,18 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = concurrency_over(starts.unionAll(ends)).select(
         "t_us", F.expr(f"t_us div {_CONC_DAY_US}").alias("day_num"), "conc"
     )
-    r = r.localCheckpoint()  # two consumers: day peaks + the argmin join
-    days = (
-        r.groupBy("day_num")
-        .agg(F.max("conc").alias("peak"))
-        .select(F.col("day_num").alias("peak_day"), "peak")
-    )
+    # deterministic argmax in ONE keyed aggregate: structs compare
+    # lexicographically, so max(struct(conc, -t)) is (peak, -earliest
+    # instant attaining it) — no second consumer, no join-back.
+    m = F.max(F.struct(F.col("conc"), (-F.col("t_us")).alias("neg_t")))
     return (
-        r.join(
-            F.broadcast(days),
-            (F.col("day_num") == F.col("peak_day"))
-            & (F.col("conc") == F.col("peak")),
+        r.groupBy("day_num")
+        .agg(m.alias("m"))
+        .select(
+            "day_num",
+            F.col("m.conc").alias("peak"),
+            ts_str(F.expr("timestamp_micros(-m.neg_t)")).alias("peak_at"),
         )
-        .groupBy(F.col("peak_day").alias("day_num"), F.col("peak"))
-        .agg(ts_str(F.expr("timestamp_micros(min(t_us))")).alias("peak_at"))
     )
 
 

@@ -496,7 +496,10 @@ def test_extensions4_plan_shapes(spark):
         "vec_dim_stats": dict(max_ex=1),
         "pipeline_interleave_sources": dict(max_ex=1, take=True),
         "events_active_rolling": dict(max_ex=4, min_bhj=1),
-        "events_concurrency_peak": dict(max_ex=2, min_bhj=1),
+        # whole two-level scan visible (no checkpoint): bucket window +
+        # bucket-total agg + O(buckets) carry window + day argmax agg;
+        # the offsets come back via broadcast
+        "events_concurrency_peak": dict(max_ex=4, min_bhj=1),
     }
     for name, want in shapes.items():
         p = plan(QUERIES[name](spark, SF_CORRECT))
@@ -527,7 +530,10 @@ def test_extensions4_batch3_plan_shapes(spark):
     for name, max_ex, take in (
         ("events_top_movers", 2, True),
         ("events_flap_detect", 1, False),
-        ("text_ngram_novelty", 4, False),
+        # hash-agg form: doc count agg + gram min agg + first-doc count
+        # agg + both sides of the O(docs) sort-merge join — every
+        # exchange carries reduced frames, none sorts the gram stream
+        ("text_ngram_novelty", 5, False),
         ("events_new_sources_curve", 3, False),
     ):
         p = plan(QUERIES[name](spark, SF_CORRECT))
