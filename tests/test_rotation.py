@@ -69,8 +69,13 @@ def test_driver_verified_has_no_phantom_ids():
 
 
 def test_window_contains_no_already_green_id():
-    window = list(entrymod.queries())[:WINDOW]
-    stale = [n for n in window if n in _driver_passed_ids() and n not in registry.RECHECK_FIRST]
+    # Only the first min(WINDOW, #unverified) slots can be fresh; once the
+    # backlog drops below the window size the tail slots NECESSARILY hold
+    # already-green ids (driver_ordered still pushes them last).
+    passed = _driver_passed_ids()
+    unverified_total = len([n for n in registry.QUERIES if n not in passed])
+    window = list(entrymod.queries())[: min(WINDOW, unverified_total)]
+    stale = [n for n in window if n in passed and n not in registry.RECHECK_FIRST]
     assert not stale, f"already-green ids wasting window slots: {stale}"
 
 
