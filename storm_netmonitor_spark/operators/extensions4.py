@@ -249,29 +249,32 @@ _WAU_DAYS = 7
 def rolling_actives_over(du: DataFrame) -> DataFrame:
     """Rolling-actives kernel over the DISTINCT ``(d, user_id)`` activity
     frame: each active day contributes its user to the 7 window-days it
-    covers; conditional distinct counts split DAU (offset 0) from WAU."""
+    covers. DAU is a PLAIN count per day (the frame is already distinct
+    pairs) and WAU a single distinct count over the fan-out — no
+    conditional dual-distinct, so Catalyst never Expands the ×7 frame;
+    the two O(days) result frames meet in one tiny join."""
     days = du.select(F.col("d").alias("win_d")).distinct()
+    dau = du.groupBy(F.col("d").alias("win_d")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
     contrib = du.select(
         "user_id",
-        "d",
-        F.explode(F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))).alias("off"),
-    ).withColumn("win_d", F.date_add("d", F.col("off")))
+        F.explode(
+            F.sequence(F.col("d"), F.date_add("d", _WAU_DAYS - 1))
+        ).alias("win_d"),
+    )
     # Windows ending on days with no activity at all don't report (the
-    # day grid is observed, not synthesized) — broadcast semi join.
-    observed = contrib.join(F.broadcast(days), "win_d", "semi")
-    return (
-        observed.groupBy("win_d")
-        .agg(
-            F.countDistinct(
-                F.when(F.col("off") == 0, F.col("user_id"))
-            ).alias("dau"),
-            F.countDistinct("user_id").alias("wau_7d"),
-        )
-        .select(
-            F.date_format("win_d", "yyyy-MM-dd").alias("day"),
-            "dau",
-            "wau_7d",
-        )
+    # day grid is observed, not synthesized) — broadcast semi join. The
+    # WAU day set therefore equals the DAU day set exactly.
+    wau = (
+        contrib.join(F.broadcast(days), "win_d", "semi")
+        .groupBy("win_d")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    return dau.join(wau, "win_d").select(
+        F.date_format("win_d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau_7d",
     )
 
 

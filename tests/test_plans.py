@@ -495,7 +495,11 @@ def test_extensions4_plan_shapes(spark):
         "ts_sla_burn_rate": dict(max_ex=2),
         "vec_dim_stats": dict(max_ex=1),
         "pipeline_interleave_sources": dict(max_ex=1, take=True),
-        "events_active_rolling": dict(max_ex=4, min_bhj=1),
+        # no Expand: DAU is a plain count on the distinct frame and WAU a
+        # single distinct over the x7 fan-out — half the shuffled bytes of
+        # the dual-conditional-distinct form; the extra exchanges carry
+        # O(days) frames only
+        "events_active_rolling": dict(max_ex=6, min_bhj=1, no_expand=True),
         # whole two-level scan visible (no checkpoint): bucket window +
         # bucket-total agg + O(buckets) carry window + day argmax agg;
         # the offsets come back via broadcast
@@ -509,6 +513,8 @@ def test_extensions4_plan_shapes(spark):
             assert p.count("BroadcastHashJoin") >= want["min_bhj"], f"{name}:\n{p}"
         if want.get("take"):
             assert "TakeOrderedAndProject" in p, f"{name} global-sorts:\n{p}"
+        if want.get("no_expand"):
+            assert "Expand" not in p, f"{name} re-grew an Expand:\n{p}"
         assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
         assert "BroadcastNestedLoopJoin" not in p, f"{name} nested-loop:\n{p}"
     # LTTB: the ONLY python stage is the one per-type grouped kernel over
