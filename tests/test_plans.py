@@ -549,3 +549,32 @@ def test_extensions4_batch3_plan_shapes(spark):
             assert "TakeOrderedAndProject" in p, f"{name} global-sorts:\n{p}"
         assert "CartesianProduct" not in p, f"{name} went cartesian:\n{p}"
         assert "BroadcastNestedLoopJoin" not in p, f"{name} nested-loop:\n{p}"
+
+
+#: Ops whose plan MAY contain a rangepartitioning exchange (global sort):
+#: `sort_multicol` IS the §2.F global-sort contract; the other two order
+#: an already-reduced presentation frame (a K-row cluster summary, q20's
+#: per-supplier result) — the range exchange partitions O(rows-after-
+#: aggregation), not the data. Everything else must use keyed exchanges
+#: or TakeOrderedAndProject.
+_GLOBAL_SORT_OK = frozenset({"sort_multicol", "vec_semantic_dedup", "tpch_q20"})
+
+
+def test_no_accidental_global_sort_anywhere(spark):
+    """Blanket 100 TB guard: a rangepartitioning Exchange funnels data
+    through a sampled global sort — the single-reducer-adjacent shape
+    that every top-k in this engine avoids via TakeOrderedAndProject and
+    every scan avoids via the two-level prefix sum. No batch operator
+    may plan one outside the explicit allowlist."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in _GLOBAL_SORT_OK or _is_streaming(fn):
+            continue
+        try:
+            p = plan(fn(spark, SF_CORRECT), mode="simple")
+        except Exception as exc:  # pragma: no cover - surface name
+            offenders.append((name, f"explain failed: {exc}"))
+            continue
+        if "rangepartitioning" in p:
+            offenders.append((name, "rangepartitioning exchange"))
+    assert not offenders, offenders
