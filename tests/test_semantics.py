@@ -822,3 +822,98 @@ def test_stream_burn_rate_equals_batch_twin(spark):
     live = sorted(map(tuple, QUERIES["stream_burn_rate"](spark, SF_CORRECT).collect()))
     batch = sorted(map(tuple, QUERIES["ts_sla_burn_rate"](spark, SF_CORRECT).collect()))
     assert live == batch
+
+
+def test_extensions4_ops_match_python_references(spark):
+    """Third-implementation cross-check at sf0.001: the Spark results for
+    the §2.T sequence/corpus rollups must equal plain-Python references
+    computed from the same loaded tables — independent of both Spark and
+    the DuckDB oracles."""
+    from collections import Counter, defaultdict
+
+    from storm_netmonitor_spark.io import load_table
+
+    SF = "/root/testdata/sf0.001"
+    ev = sorted(
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+
+    # events_path_ngrams
+    paths = Counter()
+    for seq in by_user.values():
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            paths[f"{a.event_type} > {b.event_type} > {c.event_type}"] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [
+        (r.path, r.n_paths)
+        for r in QUERIES["events_path_ngrams"](spark, SF).collect()
+    ]
+    assert got == want
+
+    # events_new_sources_curve
+    first_day = {}
+    for u, seq in by_user.items():
+        first_day[u] = min(r.ts.date() for r in seq)
+    per_day = Counter(first_day.values())
+    cum, want_curve = 0, {}
+    for d in sorted(per_day):
+        cum += per_day[d]
+        want_curve[d.strftime("%Y-%m-%d")] = (per_day[d], cum)
+    got_curve = {
+        r.day: (r.n_new, r.fleet_cum)
+        for r in QUERIES["events_new_sources_curve"](spark, SF).collect()
+    }
+    assert got_curve == want_curve
+
+    # events_top_movers
+    daily = Counter((r.user_id, r.ts.date()) for r in ev)
+    movers = []
+    for (u, d), n in daily.items():
+        import datetime as dt
+
+        prev = daily.get((u, d - dt.timedelta(days=1)))
+        if prev is not None:
+            movers.append((u, d.strftime("%Y-%m-%d"), prev, n, n - prev))
+    movers.sort(key=lambda m: (-abs(m[4]), m[0], m[1]))
+    want_m = movers[:15]
+    got_m = [
+        (r.user_id, r.day, r.prev_n, r.n, r.delta)
+        for r in QUERIES["events_top_movers"](spark, SF).collect()
+    ]
+    assert got_m == want_m
+
+    # text_ngram_novelty
+    docs = sorted(
+        load_table(spark, SF, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    first_seen: dict[str, int] = {}
+    want_nov = {}
+    for r in docs:
+        toks = r.text.lower().split(" ")
+        grams = list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )) if len(toks) >= 3 else []
+        novel = 0
+        for gm in grams:
+            if gm not in first_seen:
+                first_seen[gm] = r.doc_id
+        # second pass AFTER the full corpus below
+        want_nov[r.doc_id] = grams
+    ref = {}
+    for r in docs:
+        grams = want_nov[r.doc_id]
+        n_novel = sum(1 for gm in grams if first_seen[gm] == r.doc_id)
+        share = round(n_novel / len(grams), 6) if grams else 0.0
+        ref[r.doc_id] = (len(grams), n_novel, share)
+    got_nov = {
+        r.doc_id: (r.n_grams, r.n_novel, round(r.novelty_share, 6))
+        for r in QUERIES["text_ngram_novelty"](spark, SF).collect()
+    }
+    assert got_nov == ref
