@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.stable import davg_sql, dround, dround_sql, dsum_sql, ts_str, ts_str_sql
+from ..functions.stable import davg_sql, dsum_sql, ts_str, ts_str_sql
 from ..io import load_table
 from ..registry import query
 

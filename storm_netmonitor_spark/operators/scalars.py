@@ -323,7 +323,7 @@ def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattened projection — struct round-tripping must be lossless."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    from ..functions.stable import DEC, dsum
+    from ..functions.stable import dsum
 
     agg = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
