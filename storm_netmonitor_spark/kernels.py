@@ -1,0 +1,72 @@
+"""Public kernel facade — the engine's reusable building blocks.
+
+The registry queries (``__spark_entry__.queries()``) bind these kernels to
+the testdata tables for the correctness harness; THIS module is the
+library surface for using them on your own DataFrames. Every kernel takes
+a DataFrame with a documented column contract and returns a DataFrame
+(except ``lttb_select``, a pure-Python list kernel), is deterministic,
+and carries its scale shape in its docstring. All are covered by the
+parity/property/plan suites.
+
+Sequence analytics (input: ``user_id, ts, event_id, ...`` sample frames):
+
+- ``counter_increase_by_key`` — reset-aware Prometheus ``increase()``
+- ``interval_union_islands`` — gaps-and-islands uptime ledger
+- ``dwell_by_type`` — per-state dwell-time accounting
+- ``path_trigrams_over`` — ordered event-path mining
+- ``flaps_by_source`` — A→B→A flap counting
+- ``step_changepoint_over`` — regime-change argmax over an hourly series
+- ``holt_fold_over`` — Holt level/trend forecasting fold
+- ``gini_over`` — traffic-concentration scoring
+
+Scans / rollups:
+
+- ``concurrency_over`` — distributed two-level prefix sum over a
+  sweep-line delta frame (the global-running-total idiom)
+- ``burn_rate_over`` / ``burn_windows_over`` — SRE multiwindow burn rate
+- ``rolling_actives_over`` — DAU / rolling 7-day distinct actives
+- ``lttb_select`` — exact-integer LTTB downsampling point selection
+
+Corpus / dedup:
+
+- ``connected_components`` — iterative min-label propagation (duplicate
+  cluster resolution)
+"""
+
+from __future__ import annotations
+
+from .operators.corpus import connected_components
+from .operators.events_analytics import (
+    counter_increase_by_key,
+    gini_over,
+    holt_fold_over,
+    interval_union_islands,
+    step_changepoint_over,
+)
+from .operators.extensions4 import (
+    _lttb_select as lttb_select,
+    burn_rate_over,
+    burn_windows_over,
+    concurrency_over,
+    dwell_by_type,
+    flaps_by_source,
+    path_trigrams_over,
+    rolling_actives_over,
+)
+
+__all__ = [
+    "burn_rate_over",
+    "burn_windows_over",
+    "concurrency_over",
+    "connected_components",
+    "counter_increase_by_key",
+    "dwell_by_type",
+    "flaps_by_source",
+    "gini_over",
+    "holt_fold_over",
+    "interval_union_islands",
+    "lttb_select",
+    "path_trigrams_over",
+    "rolling_actives_over",
+    "step_changepoint_over",
+]

@@ -917,3 +917,24 @@ def test_extensions4_ops_match_python_references(spark):
         for r in QUERIES["text_ngram_novelty"](spark, SF).collect()
     }
     assert got_nov == ref
+
+
+def test_kernels_facade_is_complete_and_callable(spark):
+    """The library facade must export every documented kernel, and a
+    facade-imported kernel must behave identically to its home module."""
+    from storm_netmonitor_spark import kernels
+
+    assert sorted(kernels.__all__) == kernels.__all__  # keep it ordered
+    for n in kernels.__all__:
+        assert callable(getattr(kernels, n)), n
+    # drive one DataFrame kernel and the pure-Python kernel via the facade
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [(1, t0, 1, "A"), (1, t0 + dt.timedelta(seconds=5), 2, "B")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = kernels.dwell_by_type(e).collect()
+    assert len(got) == 1 and got[0]["event_type"] == "A"
+    assert kernels.lttb_select([1, 2, 3], [5, 9, 1], m=30) == [0, 1, 2]
