@@ -27,8 +27,12 @@ Scans / rollups:
 - ``rolling_actives_over`` — DAU / rolling 7-day distinct actives
 - ``lttb_select`` — exact-integer LTTB downsampling point selection
 
-Corpus / dedup:
+Corpus / dedup (input: ``doc_id, text`` document frames):
 
+- ``exact_dedup_by_hash`` — SHA-256 exact dedup with deterministic keeper
+- ``near_dup_minhash_pairs`` — MinHash-LSH verified near-dup pairs
+- ``near_dup_simhash_pairs`` — SimHash banded near-dup pairs
+- ``minhash_signatures`` — the signature stage alone
 - ``connected_components`` — iterative min-label propagation (duplicate
   cluster resolution)
 """
@@ -36,6 +40,12 @@ Corpus / dedup:
 from __future__ import annotations
 
 from .operators.corpus import connected_components
+from .operators.text import (
+    exact_dedup_by_hash,
+    minhash_signatures,
+    near_dup_minhash_pairs,
+    near_dup_simhash_pairs,
+)
 from .operators.events_analytics import (
     counter_increase_by_key,
     gini_over,
@@ -61,11 +71,15 @@ __all__ = [
     "connected_components",
     "counter_increase_by_key",
     "dwell_by_type",
+    "exact_dedup_by_hash",
     "flaps_by_source",
     "gini_over",
     "holt_fold_over",
     "interval_union_islands",
     "lttb_select",
+    "minhash_signatures",
+    "near_dup_minhash_pairs",
+    "near_dup_simhash_pairs",
     "path_trigrams_over",
     "rolling_actives_over",
     "step_changepoint_over",

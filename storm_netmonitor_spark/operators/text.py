@@ -50,8 +50,14 @@ GROUP BY sha256(text)
 def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by SHA-256 content hash. Group-by (not dropDuplicates)
     so the kept representative is deterministic: min(doc_id)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+    return exact_dedup_by_hash(load_table(spark, sf_dir, "documents"))
+
+
+def exact_dedup_by_hash(docs: DataFrame) -> DataFrame:
+    """Exact-dedup kernel over a ``(doc_id, text)`` frame: one keyed
+    aggregate on the map-side-computed digest — blobs/texts never shuffle
+    twice, and min(doc_id) makes the keeper deterministic."""
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
@@ -320,7 +326,14 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join complexity is bounded per LSH bucket; at 100 TB the bucket join is
     the only quadratic term and buckets stay small by construction.
     """
-    d = scatter(load_table(spark, sf_dir, "documents"))
+    return near_dup_minhash_pairs(scatter(load_table(spark, sf_dir, "documents")))
+
+
+def near_dup_minhash_pairs(d: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup kernel over a ``(doc_id, text)`` frame:
+    returns verified ``(doc_a, doc_b, jaccard)`` pairs with shingle
+    Jaccard ≥ 0.5. Banded signatures bound the candidate join per LSH
+    bucket — the only pairwise term at any scale."""
     sig = minhash_signatures(d)
     rows_per_band = len(MINHASH_SEEDS) // MINHASH_BANDS
     band_cols = [
@@ -416,13 +429,18 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures; candidates bucket on 16-bit bands; pairs kept when hamming
     distance ≤ 6. Rows-only (no DuckDB xxhash/simhash); semantics unit-
     tested with planted near-duplicates."""
+    return near_dup_simhash_pairs(scatter(load_table(spark, sf_dir, "documents")))
+
+
+def near_dup_simhash_pairs(d: DataFrame) -> DataFrame:
+    """SimHash near-dup kernel over a ``(doc_id, text)`` frame: returns
+    ``(doc_a, doc_b, hamming)`` pairs with hamming ≤ 6 over 64-bit
+    signatures, candidates bucketed on 16-bit bands."""
     simhash = F.pandas_udf(_simhash_batch, LongType())
-    # scatter: the signature UDF is the heavy stage and the single-row-
-    # group scan would run it on one task; localCheckpoint: both sides of
-    # the band self-join consume sig, which would otherwise re-run the
-    # UDF per branch (plan showed 4 ArrowEvalPython nodes). The frame is
-    # two longs per doc — signature-scale, not text-scale.
-    d = scatter(load_table(spark, sf_dir, "documents"))
+    # localCheckpoint: both sides of the band self-join consume sig, which
+    # would otherwise re-run the UDF per branch (plan showed 4
+    # ArrowEvalPython nodes). The frame is two longs per doc —
+    # signature-scale, not text-scale.
     sig = d.select("doc_id", simhash("text").alias("sig")).localCheckpoint()
     bands = sig.select(
         "doc_id",
