@@ -35,11 +35,19 @@ Corpus / dedup (input: ``doc_id, text`` document frames):
 - ``minhash_signatures`` — the signature stage alone
 - ``connected_components`` — iterative min-label propagation (duplicate
   cluster resolution)
+
+Vectors (input: ``vec_id, embedding[, label]`` frames):
+
+- ``knn_cosine`` — exact top-k by decimal-stable cosine
+- ``near_dup_cosine_pairs`` — blocked cosine near-dup pairs (sim ≥ 0.8)
+- ``semantic_dedup_summary`` — SemDeDup k-means-blocked duplicate counts
+  (signature: ``(spark, emb, ...)`` — it trains the cluster model)
 """
 
 from __future__ import annotations
 
-from .operators.corpus import connected_components
+from .operators.corpus import connected_components, semantic_dedup_summary
+from .operators.vectors import knn_cosine, near_dup_cosine_pairs
 from .operators.text import (
     exact_dedup_by_hash,
     minhash_signatures,
@@ -76,11 +84,14 @@ __all__ = [
     "gini_over",
     "holt_fold_over",
     "interval_union_islands",
+    "knn_cosine",
     "lttb_select",
     "minhash_signatures",
+    "near_dup_cosine_pairs",
     "near_dup_minhash_pairs",
     "near_dup_simhash_pairs",
     "path_trigrams_over",
     "rolling_actives_over",
+    "semantic_dedup_summary",
     "step_changepoint_over",
 ]

@@ -123,18 +123,24 @@ LIMIT 10
 def vec_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP — exact top-10 nearest neighbors to the vec_id=0 query
     vector (brute-force cosine = the ANN ground-truth baseline)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = _pos_explode(e.filter(F.col("vec_id") == 0), "vec_id").select(
+    return knn_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+def knn_cosine(e: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact top-k kernel over a ``(vec_id, embedding)`` frame: broadcast
+    the query vector, row-local decimal dot, TakeOrderedAndProject cut
+    with the (cos_sim DESC, vec_id) total order."""
+    q = _pos_explode(e.filter(F.col("vec_id") == query_id), "vec_id").select(
         "pos", F.col("x").alias("qx")
     )
-    cand = _pos_explode(e.filter(F.col("vec_id") != 0), "vec_id")
+    cand = _pos_explode(e.filter(F.col("vec_id") != query_id), "vec_id")
     dots = (
         cand.join(F.broadcast(q), "pos")
         .select("vec_id", (F.col("x") * F.col("qx")).alias("px"))
         .groupBy("vec_id")
         .agg(F.round(F.sum(F.col("px").cast(_DOT_DEC)), 6).cast("double").alias("cos_sim"))
     )
-    return dots.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+    return dots.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
 @query(
@@ -433,7 +439,13 @@ def vec_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip between them. Blocks over PAIRWISE_BLOCK_CAP are excluded from
     this exact path (see vec_pairwise_topk) — route them through
     ``text_near_dedup_simhash``-style banding or ``vec_ann_*``."""
-    e = _cap_blocks(load_table(spark, sf_dir, "embeddings"))
+    return near_dup_cosine_pairs(_cap_blocks(load_table(spark, sf_dir, "embeddings")))
+
+
+def near_dup_cosine_pairs(e: DataFrame) -> DataFrame:
+    """Blocked cosine near-dup kernel over a ``(vec_id, embedding,
+    label)`` frame: pairs within a block with decimal-exact sim ≥ 0.8;
+    the float prefilter at 0.79 keeps the exact rescore off all-pairs."""
     a = e.select(
         "label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
     )
