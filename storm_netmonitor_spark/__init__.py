@@ -16,6 +16,8 @@ Layout:
     operators/    batch relational operators (SURVEY §2.A–2.H, §2.J)
     streaming/    Structured Streaming operators (SURVEY §2.I)
     functions/    shared helpers (oracle-stable numerics, text, vectors)
+    kernels.py    public library facade — the reusable building blocks
+                  behind the registry queries, for arbitrary DataFrames
 """
 
 __version__ = "0.1.0"
