@@ -938,3 +938,29 @@ def test_kernels_facade_is_complete_and_callable(spark):
     got = kernels.dwell_by_type(e).collect()
     assert len(got) == 1 and got[0]["event_type"] == "A"
     assert kernels.lttb_select([1, 2, 3], [5, 9, 1], m=30) == [0, 1, 2]
+
+
+def test_knn_kernel_generalizes_query_and_k(spark):
+    """knn_cosine must honor arbitrary query_id/k — verified against a
+    numpy brute force over the real embeddings (cosine == dot on the
+    L2-normalized corpus; decimal rounding at 6 digits)."""
+    import numpy as np
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.kernels import knn_cosine
+
+    SF = "/root/testdata/sf0.001"
+    e = load_table(spark, SF, "embeddings")
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    qid, k = 7, 3
+    got = [(r.vec_id, r.cos_sim) for r in knn_cosine(e, query_id=qid, k=k).collect()]
+    q = rows[qid]
+    sims = sorted(
+        ((round(float(np.dot(v, q)), 6), -vid) for vid, v in rows.items() if vid != qid),
+        reverse=True,
+    )[:k]
+    want_ids = [-negid for _, negid in sims]
+    assert [vid for vid, _ in got] == want_ids
+    for (_, sim), (want_sim, _) in zip(got, sims):
+        assert abs(sim - want_sim) < 1e-5
