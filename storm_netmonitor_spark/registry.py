@@ -48,14 +48,73 @@ def load_all() -> None:
     streaming.load()
 
 
-#: Names the driver already verified (hash-green, or rows-only by design for
-#: oracle-less approximate ops) in CORRECTNESS_r01.json + CORRECTNESS_r02.json.
-#: The driver evaluates only the FIRST ~50 entries of ``queries()`` each
-#: round, so ``driver_ordered`` pushes these to the back until every operator
-#: has a driver verdict; they remain covered by the local parity suite every
-#: round. Update per round as verdicts accumulate (pinned by
-#: tests/test_rotation.py against the CORRECTNESS_r*.json files themselves).
-DRIVER_VERIFIED: frozenset[str] = frozenset(
+def _load_driver_verdicts() -> tuple[frozenset[str], tuple[str, ...]]:
+    """Derive the rotation state from the committed ``CORRECTNESS_r*.json``
+    files themselves — (passed ids, latest-red ids).
+
+    Rounds 2 AND 3 both opened with a stale hand-maintained verified set
+    (the top item of two consecutive verdicts): the driver writes its
+    verdicts AFTER the builder's last commit, so a static frozenset is
+    stale by construction at the start of every round. Deriving it at
+    import time removes the failure mode — the first session of round
+    N+1 automatically rotates round N's greens to the back and puts any
+    red rows FIRST for re-verification. Latest verdict wins per id.
+    ``tests/test_rotation.py`` keeps an INDEPENDENT implementation of the
+    same parse as a cross-check.
+
+    A passing verdict is rows+schema+hash all true, or a rows-only run
+    (``err == 'no_oracle'`` with a recorded row count) for the
+    approximate/stubbed ops that declare no SQL oracle by design.
+    """
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    rounds = []
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rounds.append(json.loads(p.read_text()))
+        except (OSError, ValueError):  # unreadable round file: skip it
+            continue
+    return _fold_verdicts(rounds)
+
+
+def _verdict_passes(rec: dict) -> bool:
+    """One driver record passes iff rows+schema+hash are all true, or it
+    is a rows-only-by-design run that actually executed."""
+    return bool(
+        rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
+    ) or (
+        rec.get("err") == "no_oracle"
+        and "spark_rows" in rec
+        and rec["spark_rows"] >= 0
+    )
+
+
+def _fold_verdicts(rounds: list[dict]) -> tuple[frozenset[str], tuple[str, ...]]:
+    """Fold per-round verdict dicts (oldest → newest) into (passed ids,
+    latest-red ids); a later round's verdict overrides an earlier one's."""
+    passed: set[str] = set()
+    failed: set[str] = set()
+    for data in rounds:
+        for name, rec in data.items():
+            if _verdict_passes(rec):
+                passed.add(name)
+                failed.discard(name)
+            else:
+                failed.add(name)
+                passed.discard(name)
+    return frozenset(passed), tuple(sorted(failed))
+
+
+#: Names the driver already verified (hash-green, or rows-only by design
+#: for oracle-less approximate ops) — DERIVED from the CORRECTNESS files at
+#: import time (see _load_driver_verdicts). The driver evaluates only the
+#: FIRST ~50 entries of ``queries()`` each round, so ``driver_ordered``
+#: pushes verified ids to the back until every operator has a verdict;
+#: they remain covered by the local parity suite every round. The static
+#: snapshot below (rounds 1–3) is the fallback if no verdict files exist.
+_DRIVER_VERIFIED_SNAPSHOT_R1_R3: frozenset[str] = frozenset(
     {
         # --- round 1 ---
         "scan_parquet", "scan_pruned", "scan_filtered",
@@ -114,10 +173,16 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
-#: Red/crashed rows from the last driver round, fixed this round — they go
-#: FIRST so the fix is re-verified before anything else. (Round 2 had zero
-#: failures; all three round-1 re-checks are green, so this is empty.)
-RECHECK_FIRST: tuple[str, ...] = ()
+_derived_passed, _derived_red = _load_driver_verdicts()
+
+DRIVER_VERIFIED: frozenset[str] = (
+    _derived_passed if _derived_passed else _DRIVER_VERIFIED_SNAPSHOT_R1_R3
+)
+
+#: Ids whose LATEST driver verdict is red/crashed — they go FIRST so the
+#: fix is re-verified before anything else. Derived alongside
+#: DRIVER_VERIFIED (all rounds so far: zero failures → empty).
+RECHECK_FIRST: tuple[str, ...] = _derived_red
 
 #: Round-4 window priority among the 67 still-unverified operators
 #: (VERDICT r3 action #2). 67 > the driver's 50-query cap, so the builder

@@ -44,6 +44,11 @@ def _driver_passed_ids() -> set[str]:
                 # 'driver actually ran it' guard: a crashed no-oracle row has
                 # no spark_rows key and must stay in rotation (ADVICE r3).
                 passed.add(name)
+            else:
+                # latest verdict wins: a row that REGRESSED in a later round
+                # is red again and must re-enter the window (mirrors
+                # registry._fold_verdicts, implemented independently).
+                passed.discard(name)
     return passed
 
 
@@ -133,3 +138,41 @@ def test_driver_ordered_is_a_permutation():
 def test_priority_first_ids_exist():
     unknown = [n for n in registry.PRIORITY_FIRST if n not in registry.QUERIES]
     assert not unknown, f"PRIORITY_FIRST names unregistered ids: {unknown}"
+
+
+def test_fold_verdicts_latest_wins_and_classifies_records():
+    """The derived rotation state: green and rows-only records pass,
+    crashed/mismatched records are red, and the LATEST round's verdict
+    overrides earlier ones in both directions."""
+    from storm_netmonitor_spark.registry import _fold_verdicts, _verdict_passes
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 10, "oracle_rows": None, "err": "no_oracle"}
+    mismatch = {"rows_match": True, "schema_match": True, "hash_match": False,
+                "spark_rows": 5, "oracle_rows": 5, "err": None}
+    crashed = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "oracle_rows": None, "err": "boom"}
+    assert _verdict_passes(green) and _verdict_passes(rows_only)
+    assert not _verdict_passes(mismatch) and not _verdict_passes(crashed)
+
+    r1 = {"a": green, "b": mismatch, "c": green, "d": rows_only}
+    r2 = {"b": green, "c": crashed}
+    passed, red = _fold_verdicts([r1, r2])
+    assert passed == {"a", "b", "d"}   # b healed in r2
+    assert red == ("c",)               # c regressed in r2 -> recheck first
+
+
+def test_derived_state_matches_r1_r3_snapshot():
+    """On the committed round-1..3 verdict files the derived set must
+    equal the hand-maintained snapshot it replaced — the migration is a
+    pure refactor until round 4's file lands."""
+    from storm_netmonitor_spark.registry import (
+        _DRIVER_VERIFIED_SNAPSHOT_R1_R3,
+        DRIVER_VERIFIED,
+        RECHECK_FIRST,
+    )
+
+    assert DRIVER_VERIFIED == _DRIVER_VERIFIED_SNAPSHOT_R1_R3
+    assert RECHECK_FIRST == ()
