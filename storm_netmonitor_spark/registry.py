@@ -82,12 +82,15 @@ def _load_driver_verdicts() -> tuple[frozenset[str], tuple[str, ...]]:
 def _verdict_passes(rec: dict) -> bool:
     """One driver record passes iff rows+schema+hash are all true, or it
     is a rows-only-by-design run that actually executed."""
+    rows = rec.get("spark_rows")
     return bool(
         rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
     ) or (
         rec.get("err") == "no_oracle"
-        and "spark_rows" in rec
-        and rec["spark_rows"] >= 0
+        # crashed rows record spark_rows: None (not a missing key) in the
+        # real driver format — classify them red, never raise at import.
+        and isinstance(rows, int)
+        and rows >= 0
     )
 
 

@@ -38,11 +38,11 @@ def _driver_passed_ids() -> set[str]:
                 passed.add(name)
             elif (
                 rec.get("err") == "no_oracle"
-                and "spark_rows" in rec
+                and isinstance(rec.get("spark_rows"), int)
                 and rec["spark_rows"] >= 0
             ):
-                # 'driver actually ran it' guard: a crashed no-oracle row has
-                # no spark_rows key and must stay in rotation (ADVICE r3).
+                # 'driver actually ran it' guard: a crashed no-oracle row
+                # records spark_rows: None and must stay in rotation.
                 passed.add(name)
             else:
                 # latest verdict wins: a row that REGRESSED in a later round
@@ -165,14 +165,29 @@ def test_fold_verdicts_latest_wins_and_classifies_records():
 
 
 def test_derived_state_matches_r1_r3_snapshot():
-    """On the committed round-1..3 verdict files the derived set must
-    equal the hand-maintained snapshot it replaced — the migration is a
-    pure refactor until round 4's file lands."""
+    """Folding EXACTLY the round-1..3 verdict files reproduces the
+    hand-maintained snapshot the derivation replaced — pinned against the
+    frozen historical files, so later rounds' verdicts can land without
+    re-breaking this test (ADVICE r4)."""
     from storm_netmonitor_spark.registry import (
         _DRIVER_VERIFIED_SNAPSHOT_R1_R3,
-        DRIVER_VERIFIED,
-        RECHECK_FIRST,
+        _fold_verdicts,
     )
 
-    assert DRIVER_VERIFIED == _DRIVER_VERIFIED_SNAPSHOT_R1_R3
-    assert RECHECK_FIRST == ()
+    rounds = [
+        json.loads((REPO / f"CORRECTNESS_r0{n}.json").read_text())
+        for n in (1, 2, 3)
+    ]
+    passed, red = _fold_verdicts(rounds)
+    assert passed == _DRIVER_VERIFIED_SNAPSHOT_R1_R3
+    assert red == ()
+
+
+def test_verdict_passes_tolerates_null_spark_rows():
+    """A crashed no-oracle record in the real driver format carries
+    spark_rows: None — it must classify red, not raise (ADVICE r4)."""
+    from storm_netmonitor_spark.registry import _verdict_passes
+
+    crashed = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": "no_oracle"}
+    assert not _verdict_passes(crashed)
