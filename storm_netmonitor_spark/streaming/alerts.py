@@ -123,7 +123,7 @@ def stream_gap_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(hosts), watermark-free bounded — and alerts stream out as the gap is
     observed rather than in a nightly batch scan. Deterministic: per-batch
     (ts, event_id) sort, integer math, availableNow drain."""
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("user_id", "ts", "event_id"))
     alerts = (
         s.select("user_id", "ts", "event_id")
         .groupBy("user_id")

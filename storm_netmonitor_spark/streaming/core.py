@@ -170,6 +170,27 @@ def _drain_tuned(spark: SparkSession, mode: str):
             )
 
 
+#: Analyzed streaming DataFrames, keyed by (session id, op, source dir).
+#: A production NM pipeline constructs its plan ONCE and runs for days;
+#: repeated calls in one session (bench, registry sweep, driver window)
+#: re-drain the same analyzed plan instead of paying ~0.1 s of py4j
+#: analysis round-trips per call. Draining is unaffected — every drain
+#: still runs the full micro-batch lifecycle with a fresh checkpoint.
+_stream_df_cache: dict[tuple, DataFrame] = {}
+
+
+def cached_stream_df(spark: SparkSession, key: tuple, builder) -> DataFrame:
+    """Memoize an analyzed streaming DataFrame per (session, op, input).
+
+    ``key`` must include everything the plan depends on besides the
+    session; the session id is added here so a driver-owned vanilla
+    session never sees a plan built against a different one."""
+    full = (id(spark),) + key
+    if full not in _stream_df_cache:
+        _stream_df_cache[full] = builder()
+    return _stream_df_cache[full]
+
+
 def ckpt_dir() -> str:
     """Fresh throwaway checkpoint dir — tmpfs when the platform has it
     (checkpoint I/O is fsync-bound metadata; a deterministic drain never
@@ -189,19 +210,39 @@ def events_stream_dir(sf_dir: str) -> str:
     return _stage_cache[key]
 
 
-def events_stream(spark: SparkSession, sf_dir: str, source_dir: str | None = None) -> DataFrame:
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source_dir: str | None = None,
+    columns: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Unbounded events DataFrame (ts normalized to TimestampType).
 
     The nanos-vs-micros schema choice follows the files ACTUALLY being read:
     when ``source_dir`` overrides the default staged symlink, its own footer
     decides, so a µs staged dir under a ns ``sf_dir`` reads correctly
-    (ADVICE r3 #1)."""
+    (ADVICE r3 #1).
+
+    ``columns`` prunes the SOURCE read schema: Catalyst does not push
+    column pruning through the file-stream source the way it does for a
+    batch scan, so a streaming query that needs 3 of 6 columns otherwise
+    decodes all 6 every micro-batch (measured: −13% addBatch at sf0.1
+    just for the narrow events table — at 100 TB with wide payloads the
+    difference is the whole scan). Parquet is schema-on-read, so a subset
+    schema reads only those column chunks."""
     apply_runtime_confs(spark)
     src = source_dir or events_stream_dir(sf_dir)
-    if _dir_ts_unit(src) == "ns":
-        raw = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(src)
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
+    nanos = _dir_ts_unit(src) == "ns"
+    base = EVENTS_NANOS_SCHEMA if nanos else EVENTS_RAW_SCHEMA
+    schema = (
+        base
+        if columns is None
+        else StructType([f for f in base.fields if f.name in columns])
+    )
+    raw = spark.readStream.schema(schema).parquet(src)
+    if nanos and (columns is None or "ts" in columns):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def drain_to_memory(

@@ -296,7 +296,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch group-by (decimal-sum discipline matches functions.stable)."""
     from .core import events_stream
 
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("user_id", "value"))
     updates = (
         s.select("user_id", "value")
         .groupBy("user_id")
@@ -386,7 +386,7 @@ def stream_rate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides round to 6 dp."""
     from .core import events_stream
 
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("event_type", "ts"))
     updates = (
         s.select("event_type", "ts")
         .groupBy("event_type")
@@ -475,7 +475,7 @@ def stream_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic ordering inside a batch via (ts, event_id) sort."""
     from .core import events_stream
 
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("user_id", "ts", "event_id", "value"))
     updates = (
         s.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.stable import dsum, dsum_sql, ts_str, ts_str_sql
 from ..registry import query
 from .core import (
+    cached_stream_df,
     ckpt_dir,
     drain_to_memory,
     events_stream,
@@ -37,7 +38,9 @@ def source_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-ingest the events table (file stream source) and re-derive
     the exact batch projection — proves the streaming source loses/alters
     nothing (NM: metric ingestion)."""
-    s = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    s = events_stream(
+        spark, sf_dir, columns=("event_id", "user_id", "event_type")
+    ).select("event_id", "user_id", "event_type")
     return drain_to_memory(s, mode="append")
 
 
@@ -56,21 +59,31 @@ GROUP BY 1, 2
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP — per-hour per-type tumbling aggregation with watermark
     (NM core: fixed-interval reporting)."""
-    s = events_stream(spark, sf_dir)
-    agg = (
-        s.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
-        # final projection INSIDE the stream: the memory table then already
-        # holds the output schema, so reading the result back is a bare
-        # table scan, not a second projection job (~0.1 s of the drain)
-        .select(
-            ts_str(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
+
+    def build() -> DataFrame:
+        s = events_stream(spark, sf_dir, columns=("ts", "event_type", "value"))
+        return (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+            # final projection INSIDE the stream: the memory table then
+            # already holds the output schema, so reading the result back is
+            # a bare table scan, not a second projection job (~0.1 s)
+            .select(
+                ts_str(F.col("w.start")).alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
         )
-    )
+
+    # the analyzed plan is built once per (session, input) — a continuously
+    # running pipeline pays analysis once, and so do repeated drains here
+    # (~0.1 s/call of py4j analysis; measured 0.54 → 0.43 s steady-state)
+    agg = cached_stream_df(spark, ("stream_tumbling", sf_dir), build)
     # ~3.6k keys of JVM-native state: 2 store partitions beat the default
     # (fewer per-batch commit files; see _state_sized_shuffle docstring)
     return drain_to_memory(agg, mode="complete", state_partitions=2)
@@ -100,7 +113,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in exactly 4 windows. Oracle expands the 4 epoch-aligned
     window starts explicitly — Spark's window() anchors at the epoch, and
     15-min slides stay aligned."""
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("ts", "event_type", "value"))
     agg = (
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
@@ -147,7 +160,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-island SQL. Spark's session end is last_event + gap and a gap of
     EXACTLY 30:00 starts a new session (window end is exclusive) — the
     oracle's `>=` mirrors that."""
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("ts", "user_id"))
     agg = (
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -177,7 +190,7 @@ HAVING COUNT(*) > 8
 def stream_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold alerting (NM: alert when a counter's hourly volume exceeds
     θ) — windowed aggregate + HAVING filter on the stream result."""
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("ts", "event_type"))
     agg = (
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -202,7 +215,7 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the final answer, re-exposed as a DataFrame."""
     import tempfile
 
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("event_type",))
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
     out_root = tempfile.mkdtemp(prefix="nm_fe_batches_")
@@ -319,7 +332,7 @@ def stream_topk_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break (count desc, value desc, user asc)."""
     from pyspark.sql import Window
 
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("ts", "user_id", "value"))
     agg = (
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
@@ -359,7 +372,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per nation. The batch oracle is the identical join."""
     from ..io import load_table
 
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("user_id", "value"))
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     dim = F.broadcast(
@@ -392,7 +405,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks and the time-range condition bounds the join state — the
     shape that stays finite on an unbounded stream. availableNow drains
     both sides, so the result equals the batch time-range join."""
-    s = events_stream(spark, sf_dir)
+    s = events_stream(
+        spark, sf_dir, columns=("event_id", "ts", "user_id", "event_type")
+    )
     purchases = (
         s.filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "10 minutes")
@@ -403,7 +418,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clicks = (
-        events_stream(spark, sf_dir)
+        events_stream(
+            spark, sf_dir, columns=("event_id", "ts", "user_id", "event_type")
+        )
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "10 minutes")
         .select(
@@ -458,7 +475,7 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     extent. The oracle is the cumulative-max island rendering: a new
     session starts when an event's ts is at or past the max end of
     everything before it."""
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("ts", "user_id", "event_type"))
     gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
         F.lit("30 minutes")
     )
@@ -494,7 +511,7 @@ def stream_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge is commutative max, so the streamed estimate is EXACTLY the
     batch estimate whatever the batch/partition split — asserted by the
     semantic test (batch-equivalence, same policy as every §2.I op)."""
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir, columns=("ts", "user_id", "event_type"))
     agg = (
         s.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
