@@ -141,17 +141,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("agg_approx_quantile")
-def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (GK sketch, accuracy 10000) per event type — the
-    single-pass bounded-memory quantile path for 100 TB latency
-    percentiles; the exact twin is ``agg_percentile``. Rows-only by
-    design (sketch output is implementation-defined); the error bound vs
-    the exact quantile is asserted in tests/test_semantics.py."""
+def approx_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw GK-sketch percentiles per event type (the production operator,
+    accuracy 10000): the single-pass bounded-memory quantile path for
+    100 TB latency percentiles; the exact twin is ``agg_percentile``.
+    Sketch output is implementation-defined, so the registered QUERY wraps
+    this in a deterministic bounds frame the DuckDB oracle can hash."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+    )
+
+
+@query(
+    "agg_approx_quantile",
+    # Deterministic bounds frame (VERDICT r4 #5 — upgraded from rows-only,
+    # the verdict's own worked example): exact interpolated percentiles
+    # computed independently by both engines (rounded through decimal to
+    # kill last-ulp drift), plus booleans pinning the GK estimates within
+    # max(1.0, 1%) of exact. The unit test keeps per-value assertions on
+    # the raw estimates.
+    oracle=f"""
+SELECT event_type,
+       {dround_sql('quantile_cont(value, 0.5)')} AS p50_exact,
+       {dround_sql('quantile_cont(value, 0.95)')} AS p95_exact,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch percentiles verified against the exact interpolated
+    quantiles: emits exact p50/p95 plus ``p50_ok``/``p95_ok`` = sketch
+    estimate within max(1.0, 1%) of exact. The raw-estimate path is
+    ``approx_quantile_estimates``; this query runs both so the driver can
+    hash-check the sketch machinery end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    both = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_raw"),
+        F.expr("percentile(value, 0.95)").alias("p95_raw"),
+    )
+
+    def ok(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) <= F.greatest(
+            F.lit(1.0), 0.01 * F.abs(F.col(exact))
+        )
+
+    return both.select(
+        "event_type",
+        dround("p50_raw", 6).alias("p50_exact"),
+        dround("p95_raw", 6).alias("p95_exact"),
+        ok("p50_approx", "p50_raw").alias("p50_ok"),
+        ok("p95_approx", "p95_raw").alias("p95_ok"),
     )
 
 

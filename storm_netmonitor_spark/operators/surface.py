@@ -343,17 +343,13 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("agg_sketch_hll")  # estimates are implementation-defined → rows-only
-def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (Apache DataSketches HLL via
-    Spark's ``hll_sketch_agg`` / ``hll_union_agg``): build one sketch per
-    event-day, then UNION the per-day sketches into a global estimate —
-    without touching raw rows again. This is the 100 TB pattern the exact
-    ``agg_count_distinct`` cannot follow: pre-aggregated daily sketches
-    (bytes each) roll up to arbitrary ranges with no re-scan. No SQL
-    oracle (DuckDB's approx_count_distinct is a different sketch); the
-    semantic test asserts <5% error vs exact and merge-vs-direct
-    consistency. Output: per-day estimates plus the merged total."""
+def hll_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw DataSketches-HLL rollup (the production operator): one sketch
+    per event-day via ``hll_sketch_agg``, per-day estimates, plus a
+    ``__ALL__`` row whose estimate comes from ``hll_union_agg`` over the
+    daily sketches — no raw-row re-scan. Estimates are implementation-
+    defined, so the registered QUERY wraps this in a deterministic bounds
+    frame the DuckDB oracle can hash."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("event_date")).agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
@@ -375,6 +371,53 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_users_est",
     )
     return per_day.unionByName(merged)
+
+
+@query(
+    "agg_sketch_hll",
+    # Deterministic bounds frame (VERDICT r4 #5 — upgraded from rows-only):
+    # exact per-day + global distincts computed independently by both
+    # engines; the boolean pins every DataSketches estimate (including the
+    # union-merged __ALL__ row — the mergeability that is the entire
+    # 100 TB point) within max(2, 5%) of exact. The semantic unit test
+    # keeps the stricter merged-equals-direct assertion.
+    oracle="""
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE)::VARCHAR AS event_date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS est_ok
+FROM events
+GROUP BY 1
+UNION ALL
+SELECT '__ALL__', COUNT(*), COUNT(DISTINCT user_id), TRUE FROM events
+""",
+)
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's ``hll_sketch_agg`` / ``hll_union_agg``), verified against the
+    exact counts: per-day rows plus the union-merged ``__ALL__`` row, each
+    with the exact distinct and ``est_ok`` = estimate within max(2, 5%).
+    The raw-estimate path (what production runs — pre-aggregated daily
+    sketches roll up to arbitrary ranges with no re-scan, which exact
+    ``agg_count_distinct`` cannot do) is ``hll_sketch_estimates``; this
+    query joins it to the exact twin so the driver hash-checks the sketch
+    machinery end-to-end."""
+    est = hll_sketch_estimates(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    exact_day = e.groupBy(F.to_date("ts").cast("string").alias("event_date")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    exact_all = e.agg(F.countDistinct("user_id").alias("n_users")).select(
+        F.lit("__ALL__").alias("event_date"), "n_users"
+    )
+    exact = exact_day.unionByName(exact_all)
+    ok = F.abs(F.col("distinct_users_est") - F.col("n_users")) <= F.greatest(
+        F.lit(2.0), 0.05 * F.col("n_users")
+    )
+    return (
+        est.join(F.broadcast(exact), "event_date")
+        .select("event_date", "n_events", "n_users", ok.alias("est_ok"))
+    )
 
 
 # ---------------------------------------------------------------------------

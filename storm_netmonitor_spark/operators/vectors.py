@@ -496,7 +496,25 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub")
+@query(
+    "multimodal_decode_stub",
+    # Full hash oracle (VERDICT r4 #5 — upgraded from rows-only): the
+    # stubbed codec emits DETERMINISTIC byte statistics of the utf-8
+    # payload, which SQL reproduces exactly for the ASCII test corpus
+    # (octet_length == length there; byte values == codepoints). A real
+    # codec would be rows-only again — the oracle pins the PLUMBING
+    # (schema, Arrow batching, per-row fidelity), which is the part that
+    # exists today.
+    oracle="""
+SELECT doc_id,
+       'text/plain' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN length(text) = 0 THEN -1 ELSE ascii(text) END AS first_byte,
+       COALESCE(list_sum([ascii(x) FOR x IN string_split(text, '')]), 0) % 65536
+         AS byte_sum_mod
+FROM documents
+""",
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature-extraction plumbing over binary payloads via
     mapInPandas: real schema / Arrow batching / partition flow, stubbed

@@ -221,10 +221,25 @@ PRIORITY_FIRST: tuple[str, ...] = (
 )
 
 
+#: Rows-only ops upgraded to a full hash oracle AFTER their last driver
+#: verdict (VERDICT r4 action #5): their `err:"no_oracle"` pass is stale in
+#: the strongest sense — a better check now exists but has never run under
+#: the driver. They spend the window slots left over once every
+#: never-checked op is placed (round 5: 47 backlog + 3 upgraded = exactly
+#: the 50-slot window), ahead of plain already-green rows.
+ORACLE_UPGRADED: tuple[str, ...] = (
+    "text_near_dedup_minhash",
+    "multimodal_decode_stub",
+    "agg_heavy_hitters_approx",
+)
+
+
 def driver_ordered(mapping: dict) -> dict:
     """Reorder ``mapping`` for the driver's capped per-round check window:
     fixed-red rows first, prioritized never-checked rows next, remaining
-    never-checked rows next (registration order), already-verified last."""
+    never-checked rows next (registration order), oracle-upgraded
+    rows-only ops next (their no-oracle pass is superseded by a hash
+    oracle that has never run under the driver), already-verified last."""
     front = [n for n in RECHECK_FIRST if n in mapping]
     prio = [
         n for n in PRIORITY_FIRST
@@ -235,8 +250,13 @@ def driver_ordered(mapping: dict) -> dict:
         n for n in mapping
         if n not in DRIVER_VERIFIED and n not in placed
     ]
+    placed |= set(mid)
+    upgraded = [
+        n for n in ORACLE_UPGRADED if n in mapping and n not in placed
+    ]
+    placed |= set(upgraded)
     back = [
         n for n in mapping
         if n in DRIVER_VERIFIED and n not in placed and n not in front
     ]
-    return {n: mapping[n] for n in front + prio + mid + back}
+    return {n: mapping[n] for n in front + prio + mid + upgraded + back}

@@ -500,17 +500,12 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DISTINCT_RSD = 0.02
 
 
-@query("stream_distinct_approx")  # sketch estimate — no DuckDB twin;
-# semantic test asserts stream == batch estimate exactly (mergeable state)
-def stream_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct talkers per hourly window, LIVE (NM core:
-    'how many unique sources reported this interval' without keeping the
-    full user set in state): ``approx_count_distinct`` keeps one HLL++
-    sketch per (window × type) — kilobytes of state per key regardless of
-    cardinality, the only shape that survives a 100 TB keyspace. Register
-    merge is commutative max, so the streamed estimate is EXACTLY the
-    batch estimate whatever the batch/partition split — asserted by the
-    semantic test (batch-equivalence, same policy as every §2.I op)."""
+def stream_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw streamed HLL++ distinct-talker estimates per hourly window (the
+    production operator): one sketch per (window × type) — kilobytes of
+    state per key regardless of cardinality, the only shape that survives
+    a 100 TB keyspace. Estimates are implementation-defined, so the
+    registered QUERY wraps this in a deterministic bounds frame."""
     s = events_stream(spark, sf_dir, columns=("ts", "user_id", "event_type"))
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -530,3 +525,45 @@ def stream_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ~3.6k JVM-native sketch keys: sized like stream_tumbling
     return drain_to_memory(final, mode="complete", state_partitions=2)
+
+
+@query(
+    "stream_distinct_approx",
+    # Deterministic bounds frame (VERDICT r4 #5 — upgraded from rows-only):
+    # exact per-window counts computed independently by both engines; the
+    # boolean pins the STREAMED sketch estimate within max(2, 5%) of exact
+    # per window. The semantic test keeps the stronger assertion that the
+    # streamed estimate EQUALS the batch estimate (register-merge
+    # commutativity).
+    oracle=f"""
+SELECT
+  {ts_str_sql("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  TRUE AS approx_ok
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed approximate distinct talkers per hourly window (NM core:
+    'how many unique sources reported this interval' without keeping the
+    full user set in state), verified against the exact batch count:
+    emits per-window exact users plus ``approx_ok`` = streamed estimate
+    within max(2, 5%) of exact. The raw streamed path is
+    ``stream_distinct_estimates``; the exact side is a batch twin joined
+    AFTER the drain, so the sketch state machinery still runs live."""
+    from ..io import load_table
+
+    streamed = stream_distinct_estimates(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    exact = e.groupBy(
+        ts_str(F.date_trunc("hour", "ts")).alias("window_start"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    ok = F.abs(F.col("approx_users") - F.col("n_users")) <= F.greatest(
+        F.lit(2.0), 0.05 * F.col("n_users")
+    )
+    return streamed.join(exact, ["window_start", "event_type"]).select(
+        "window_start", "event_type", "n_events", "n_users", ok.alias("approx_ok")
+    )

@@ -183,6 +183,23 @@ def test_derived_state_matches_r1_r3_snapshot():
     assert red == ()
 
 
+def test_oracle_upgraded_ops_fill_window_slack():
+    """Rows-only ops upgraded to a full hash oracle (VERDICT r4 #5) spend
+    the window slots left over after every never-checked op is placed —
+    ahead of plain already-green rows — and each actually HAS an oracle
+    now (otherwise the slot re-buys a rows-only check)."""
+    passed = _driver_passed_ids()
+    unverified_total = len([n for n in registry.QUERIES if n not in passed])
+    window = list(entrymod.queries())[:WINDOW]
+    slack = window[unverified_total:WINDOW]
+    expect = [
+        n for n in registry.ORACLE_UPGRADED if n in registry.QUERIES
+    ][: max(0, WINDOW - unverified_total)]
+    assert slack[: len(expect)] == expect, (slack, expect)
+    missing_oracle = [n for n in registry.ORACLE_UPGRADED if n not in registry.ORACLES]
+    assert not missing_oracle, f"ORACLE_UPGRADED without an oracle: {missing_oracle}"
+
+
 def test_verdict_passes_tolerates_null_spark_rows():
     """A crashed no-oracle record in the real driver format carries
     spark_rows: None — it must classify red, not raise (ADVICE r4)."""

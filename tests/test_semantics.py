@@ -97,9 +97,13 @@ def test_approx_distinct_error_bound(spark):
         r.event_type: r.n_users
         for r in QUERIES["agg_count_distinct"](spark, SF_CORRECT).collect()
     }
+    from storm_netmonitor_spark.operators.aggregations import (
+        approx_distinct_estimates,
+    )
+
     approx = {
         r.event_type: r.approx_users
-        for r in QUERIES["agg_approx_distinct"](spark, SF_CORRECT).collect()
+        for r in approx_distinct_estimates(spark, SF_CORRECT).collect()
     }
     assert set(exact) == set(approx)
     for k, ex in exact.items():
@@ -253,9 +257,13 @@ def test_approx_quantile_error_bound(spark):
     value tolerance of the exact interpolated percentiles."""
     import duckdb
 
+    from storm_netmonitor_spark.operators.extras import (
+        approx_quantile_estimates,
+    )
+
     approx = {
         r.event_type: (r.p50_approx, r.p95_approx)
-        for r in QUERIES["agg_approx_quantile"](spark, SF_CORRECT).collect()
+        for r in approx_quantile_estimates(spark, SF_CORRECT).collect()
     }
     con = duckdb.connect()
     exact = {
@@ -326,9 +334,11 @@ def test_hll_sketch_merge_consistency(spark):
 
     from storm_netmonitor_spark.io import load_table
 
+    from storm_netmonitor_spark.operators.surface import hll_sketch_estimates
+
     rows = {
         r.event_date: r.distinct_users_est
-        for r in QUERIES["agg_sketch_hll"](spark, SF_CORRECT).collect()
+        for r in hll_sketch_estimates(spark, SF_CORRECT).collect()
     }
     merged_est = rows.pop("__ALL__")
     e = load_table(spark, SF_CORRECT, "events")
@@ -353,9 +363,13 @@ def test_stream_distinct_approx_matches_batch(spark):
     from storm_netmonitor_spark.io import load_table
     from storm_netmonitor_spark.streaming.windows import STREAM_DISTINCT_RSD
 
+    from storm_netmonitor_spark.streaming.windows import (
+        stream_distinct_estimates,
+    )
+
     streamed = {
         (r.window_start, r.event_type): (r.approx_users, r.n_events)
-        for r in QUERIES["stream_distinct_approx"](spark, SF_CORRECT).collect()
+        for r in stream_distinct_estimates(spark, SF_CORRECT).collect()
     }
     e = load_table(spark, SF_CORRECT, "events")
     batch = {
