@@ -107,8 +107,13 @@ def main() -> None:
     from storm_netmonitor_spark import registry
     from storm_netmonitor_spark.session import get_spark
 
+    from storm_netmonitor_spark.session import quiet_expected_warnings
+
     registry.load_all()
     spark = get_spark(app_name="nm-bench")
+    # keep the bench tail free of the audited expected-noise WARN lines
+    # (reduced-frame WindowExec, streaming-AQE notices — see session.py)
+    quiet_expected_warnings(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTRA_REPORTED:

@@ -14,6 +14,7 @@ cluster network monitor exists to do.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from typing import Iterable
 
@@ -555,7 +556,10 @@ def stream_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials_dir = tempfile.mkdtemp(prefix="nm_burn_partials_")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # this batch's hourly partials only — never a recompute of history
+        # this batch's hourly partials only — never a recompute of history.
+        # foreachBatch is at-least-once: a replayed batch_id must land in
+        # the SAME subdirectory with overwrite, so a retry replaces its own
+        # partials instead of double-counting them (ADVICE r4).
         (
             batch_df.groupBy(
                 F.expr(f"unix_micros(ts) div {BUCKET_S * 1_000_000}").alias(
@@ -568,8 +572,8 @@ def stream_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_errors"
                 ),
             )
-            .write.mode("append")
-            .parquet(partials_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(partials_dir, f"batch_id={batch_id}"))
         )
 
     writer = (
@@ -583,11 +587,16 @@ def stream_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     hourly = (
-        spark.read.parquet(partials_dir)
+        spark.read.option("basePath", partials_dir)
+        .parquet(os.path.join(partials_dir, "batch_id=*"))
         .groupBy("hour_num")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
             F.sum("n_errors").cast("long").alias("n_errors"),
         )
     )
-    return burn_windows_over(hourly)
+    out = burn_windows_over(hourly)
+    # materialize before cleaning up the partials the plan reads from
+    rows = out.collect()
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
