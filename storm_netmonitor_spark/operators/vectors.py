@@ -587,7 +587,58 @@ def _lsh_sig_udf(dim: int):
     return lsh_sig
 
 
-@query("vec_ann_lsh")
+def _lsh_oracle() -> str:
+    """Full SQL twin of the LSH probe (VERDICT r4 #5 — upgraded from
+    rows-only): the hyperplanes are fixed CONSTANTS (seeded at build, no
+    query-time RNG), so the whole pipeline — sign-bit signatures, hamming-
+    ≤-3 probe, exact decimal rescore, top-10 — is reproducible in SQL with
+    the 8×64 plane matrix embedded as literals (repr() round-trips each
+    double exactly). Sign bits are float sums, but the smallest |dot| in
+    the corpus is ~7e-5 against ~1e-13 accumulation error — nine orders
+    of margin, so both engines agree on every bit. Assumes the testdata's
+    dim=64 (stable across all rounds); the operator itself stays
+    parametric in dim."""
+    planes = _lsh_hyperplanes(64)
+    vals = ", ".join(
+        "(%d, %d, %s)" % (p, i + 1, repr(float(planes[p, i])))
+        for p in range(LSH_PLANES)
+        for i in range(64)
+    )
+    return f"""
+WITH pl(plane, pos, w) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), pd AS (
+  SELECT e.vec_id, pl.plane, SUM(e.x * pl.w) AS d
+  FROM e JOIN pl USING (pos) GROUP BY 1, 2
+), sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+  FROM pd GROUP BY 1
+), qsig AS (
+  SELECT sig AS qs FROM sig WHERE vec_id = 0
+), cand AS (
+  SELECT s.vec_id FROM sig s, qsig
+  WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, qsig.qs)) <= {LSH_PROBE_HAMMING}
+), q AS (
+  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS qx
+  FROM embeddings WHERE vec_id = 0
+), dots AS (
+  SELECT vec_id, {_DOT_SUM_SQL} AS cos_sim
+  FROM (SELECT e.vec_id, CAST(e.x AS DOUBLE) * CAST(q.qx AS DOUBLE) AS px
+        FROM e JOIN q USING (pos)
+        WHERE e.vec_id IN (SELECT vec_id FROM cand))
+  GROUP BY vec_id
+)
+SELECT vec_id, cos_sim FROM dots
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("vec_ann_lsh", oracle=_lsh_oracle())
 def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbor — the second ANN scale
     path next to ``vec_ann_ivf``: random-hyperplane sign bits bucket the
@@ -596,8 +647,9 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-rescores only those candidates. Signature computation is one
     Arrow-vectorized pass; the probe set is a tiny IN-list semi-join on
     the signature — no pairwise term outside the probed buckets.
-    Rows-only oracle (approximate); recall vs the exact top-10 asserted in
-    tests/test_semantics.py."""
+    Hash oracle (r5): the fixed-constant planes make the whole probe
+    SQL-reproducible (see ``_lsh_oracle``); recall vs the exact top-10 is
+    additionally asserted in tests/test_semantics.py."""
     from itertools import combinations
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -231,6 +231,10 @@ ORACLE_UPGRADED: tuple[str, ...] = (
     "text_near_dedup_minhash",
     "multimodal_decode_stub",
     "agg_heavy_hitters_approx",
+    # overflow past the 50-slot window this round; first in line for the
+    # round-6 window alongside the bounds-frame conversions
+    "vec_ann_lsh",
+    "text_near_dedup_simhash",
 )
 
 
