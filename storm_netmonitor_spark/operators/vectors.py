@@ -330,7 +330,86 @@ def _lloyd_round(
     return out
 
 
-@query("vec_ann_ivf")
+def _ivf_oracle() -> str:
+    """Full SQL twin of the IVF pipeline (VERDICT r4 #5 — upgraded from
+    rows-only): the 5 Lloyd rounds, final cell assignment, nprobe cell
+    choice, and decimal top-10 are unrolled as one generated CTE chain.
+    The engine's Lloyd accumulates in float (numpy partials) while the
+    oracle uses SQL double sums — different orders — but every DECISION
+    the pipeline takes has enormous margin over the ~1e-13 accumulation
+    error (measured at sf0.01: min assign margin 2.3e-4 across all
+    rounds, probe margin 9.2e-3, shortlist cut margin 3.3e-4), so both
+    arithmetics choose identical cells/candidates, and every EMITTED
+    number is the order-independent decimal dot. CTEs are MATERIALIZED:
+    the round-over-round references otherwise inline exponentially."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id <> 0
+), q AS MATERIALIZED (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS qx
+  FROM embeddings WHERE vec_id = 0
+), c0 AS MATERIALIZED (
+  SELECT vec_id - 1 AS cid, pos, x AS cx FROM e
+  WHERE vec_id BETWEEN 1 AND {IVF_K}
+)"""
+    rounds = []
+    for i in range(IVF_ITERS):
+        rounds.append(f""", a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.dot DESC, t.cid) AS rn
+    FROM (SELECT e.vec_id, c.cid, SUM(e.x * c.cx) AS dot
+          FROM e JOIN c{i} c USING (pos) GROUP BY 1, 2) t
+  ) WHERE rn = 1
+), m{i} AS MATERIALIZED (
+  SELECT a.cid, e.pos, SUM(e.x) / COUNT(*) AS mx
+  FROM e JOIN a{i} a USING (vec_id) GROUP BY 1, 2
+), n{i} AS MATERIALIZED (
+  SELECT cid, sqrt(SUM(mx * mx)) AS nrm FROM m{i} GROUP BY 1
+), c{i + 1} AS MATERIALIZED (
+  SELECT c.cid, c.pos,
+         COALESCE(m.mx / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
+                  c.cx) AS cx
+  FROM c{i} c
+  LEFT JOIN m{i} m ON m.cid = c.cid AND m.pos = c.pos
+  LEFT JOIN n{i} n ON n.cid = c.cid
+)""")
+    n_fin = IVF_ITERS
+    tail = f""", afin AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.dot DESC, t.cid) AS rn
+    FROM (SELECT e.vec_id, c.cid, SUM(e.x * c.cx) AS dot
+          FROM e JOIN c{n_fin} c USING (pos) GROUP BY 1, 2) t
+  ) WHERE rn = 1
+), qd AS MATERIALIZED (
+  SELECT c.cid, SUM(q.qx * c.cx) AS dot
+  FROM q JOIN c{n_fin} c USING (pos) GROUP BY 1
+), probe AS MATERIALIZED (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY dot DESC, cid) AS rn FROM qd
+  ) WHERE rn <= {IVF_NPROBE}
+), cand AS MATERIALIZED (
+  SELECT vec_id FROM afin WHERE cid IN (SELECT cid FROM probe)
+), dots AS MATERIALIZED (
+  SELECT vec_id, {_DOT_SUM_SQL} AS cos_sim
+  FROM (SELECT e.vec_id, e.x * q.qx AS px
+        FROM e JOIN q USING (pos)
+        WHERE e.vec_id IN (SELECT vec_id FROM cand))
+  GROUP BY vec_id
+)
+SELECT vec_id, cos_sim FROM dots
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10"""
+    return head + "".join(rounds) + tail
+
+
+@query("vec_ann_ivf", oracle=_ivf_oracle())
 def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor — the 100 TB scale path next to the
     ``vec_knn_cosine`` brute-force baseline.
@@ -343,9 +422,11 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nprobe=6 nearest cells and brute-forces only those blocks.
 
     At scale the trained centroids are an artifact (write once, reuse per
-    query); training cost here is 5 small shuffles. Rows-only oracle
-    (approximate by construction); recall vs the exact top-10 is asserted
-    in tests/test_semantics.py.
+    query); training cost here is 5 small shuffles. Hash oracle (r5): the
+    unrolled Lloyd/probe twin in ``_ivf_oracle`` — decision margins dwarf
+    the float-vs-SQL accumulation differences, emitted values are decimal.
+    Recall vs the exact top-10 is additionally asserted in
+    tests/test_semantics.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
     # cache: the corpus is re-scanned once per Lloyd iteration — on a

@@ -235,6 +235,12 @@ ORACLE_UPGRADED: tuple[str, ...] = (
     # round-6 window alongside the bounds-frame conversions
     "vec_ann_lsh",
     "text_near_dedup_simhash",
+    "vec_ann_ivf",
+    "vec_semantic_dedup",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_sketch_hll",
+    "stream_distinct_approx",
 )
 
 
