@@ -591,8 +591,8 @@ SELECT doc_id,
        'text/plain' AS mime,
        octet_length(encode(text)) AS n_bytes,
        CASE WHEN length(text) = 0 THEN -1 ELSE ascii(text) END AS first_byte,
-       COALESCE(list_sum([ascii(x) FOR x IN string_split(text, '')]), 0) % 65536
-         AS byte_sum_mod
+       CAST(COALESCE(list_sum([ascii(x) FOR x IN string_split(text, '')]), 0)
+            % 65536 AS BIGINT) AS byte_sum_mod
 FROM documents
 """,
 )

@@ -165,6 +165,40 @@ def test_heavy_hitters_finds_planted_skew(spark):
     assert top[0].user_id == hot and top[0].n_events == hot_share, top[:2]
 
 
+def test_heavy_hitters_eviction_regime_keeps_hot_key(spark):
+    """With MORE distinct keys than the MG capacity (4096), the decrement
+    step actually evicts — and the pigeonhole guarantee must still carry a
+    key owning ~30% of the stream into the candidate set with its EXACT
+    count. (The planted-skew test above stays under capacity and covers
+    the no-eviction fast path.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from storm_netmonitor_spark.operators.aggregations import _MG_CAPACITY
+
+    n_keys = 3 * _MG_CAPACITY  # force eviction on every partition
+    n, hot, hot_share = 40_000, 7, 12_000
+    uids = ([hot] * hot_share) + [
+        100_000 + i % n_keys for i in range(n - hot_share)
+    ]
+    d = tempfile.mkdtemp(prefix="nm_skew_evict_")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000 + i for i in range(n)],
+                           pa.int64()).cast(pa.timestamp("ns")),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    top = QUERIES["agg_heavy_hitters_approx"](spark, d).collect()
+    assert top[0].user_id == hot and top[0].n_events == hot_share, top[:2]
+
+
 def test_clean_html_strips_planted_markup(spark):
     """Planted HTML + URLs: the cleaning op must count the URLs and report
     the hand-computed post-strip length."""
