@@ -48,9 +48,9 @@ def load_all() -> None:
     streaming.load()
 
 
-def _load_driver_verdicts() -> tuple[frozenset[str], tuple[str, ...]]:
+def _load_driver_verdicts() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
     """Derive the rotation state from the committed ``CORRECTNESS_r*.json``
-    files themselves — (passed ids, latest-red ids).
+    files themselves — (passed ids, latest-red ids, latest-hash-green ids).
 
     Rounds 2 AND 3 both opened with a stale hand-maintained verified set
     (the top item of two consecutive verdicts): the driver writes its
@@ -76,7 +76,8 @@ def _load_driver_verdicts() -> tuple[frozenset[str], tuple[str, ...]]:
             rounds.append(json.loads(p.read_text()))
         except (OSError, ValueError):  # unreadable round file: skip it
             continue
-    return _fold_verdicts(rounds)
+    passed, red = _fold_verdicts(rounds)
+    return passed, red, _fold_hash_green(rounds)
 
 
 def _verdict_passes(rec: dict) -> bool:
@@ -108,6 +109,23 @@ def _fold_verdicts(rounds: list[dict]) -> tuple[frozenset[str], tuple[str, ...]]
                 failed.add(name)
                 passed.discard(name)
     return frozenset(passed), tuple(sorted(failed))
+
+
+def _fold_hash_green(rounds: list[dict]) -> frozenset[str]:
+    """Ids whose LATEST verdict is a full hash pass (not rows-only) —
+    these need no oracle-upgrade slot; latest verdict wins per id."""
+    green: set[str] = set()
+    for data in rounds:
+        for name, rec in data.items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ):
+                green.add(name)
+            else:
+                green.discard(name)
+    return frozenset(green)
 
 
 #: Names the driver already verified (hash-green, or rows-only by design
@@ -176,7 +194,12 @@ _DRIVER_VERIFIED_SNAPSHOT_R1_R3: frozenset[str] = frozenset(
     }
 )
 
-_derived_passed, _derived_red = _load_driver_verdicts()
+_derived_passed, _derived_red, _derived_hash_green = _load_driver_verdicts()
+
+#: Ids whose LATEST driver verdict is a FULL hash pass (strict subset of
+#: DRIVER_VERIFIED — rows-only passes are excluded). Oracle-upgraded ops
+#: drop out of the window-slack queue once they appear here.
+DRIVER_HASH_GREEN: frozenset[str] = _derived_hash_green
 
 DRIVER_VERIFIED: frozenset[str] = (
     _derived_passed if _derived_passed else _DRIVER_VERIFIED_SNAPSHOT_R1_R3
@@ -262,7 +285,8 @@ def driver_ordered(mapping: dict) -> dict:
     ]
     placed |= set(mid)
     upgraded = [
-        n for n in ORACLE_UPGRADED if n in mapping and n not in placed
+        n for n in ORACLE_UPGRADED
+        if n in mapping and n not in placed and n not in DRIVER_HASH_GREEN
     ]
     placed |= set(upgraded)
     back = [

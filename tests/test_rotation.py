@@ -193,11 +193,28 @@ def test_oracle_upgraded_ops_fill_window_slack():
     window = list(entrymod.queries())[:WINDOW]
     slack = window[unverified_total:WINDOW]
     expect = [
-        n for n in registry.ORACLE_UPGRADED if n in registry.QUERIES
+        n for n in registry.ORACLE_UPGRADED
+        if n in registry.QUERIES and n not in registry.DRIVER_HASH_GREEN
     ][: max(0, WINDOW - unverified_total)]
     assert slack[: len(expect)] == expect, (slack, expect)
     missing_oracle = [n for n in registry.ORACLE_UPGRADED if n not in registry.ORACLES]
     assert not missing_oracle, f"ORACLE_UPGRADED without an oracle: {missing_oracle}"
+
+
+def test_fold_hash_green_excludes_rows_only_and_respects_latest():
+    """DRIVER_HASH_GREEN must hold only ids whose LATEST verdict is a full
+    hash pass: rows-only passes don't count (they are exactly what the
+    oracle upgrade re-checks), and a later rows-only/red verdict evicts an
+    earlier hash pass."""
+    from storm_netmonitor_spark.registry import _fold_hash_green
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 10, "oracle_rows": None, "err": "no_oracle"}
+    r1 = {"a": green, "b": rows_only, "c": green}
+    r2 = {"c": rows_only, "b": green}
+    assert _fold_hash_green([r1, r2]) == {"a", "b"}
 
 
 def test_verdict_passes_tolerates_null_spark_rows():
