@@ -325,45 +325,44 @@ def semantic_dedup_summary(
     assign = (
         _assign_rowlocal(corpus, cents).select("vec_id", "k").localCheckpoint()
     )
-    # pairwise WITHIN cluster on the un-exploded arrays: the join carries
-    # one row per pair (not 64 per pair) and the dot is a row-local DOUBLE
-    # fold (zip_with + sequential aggregate — element order is fixed, so
-    # the value is bit-deterministic run-to-run regardless of
-    # partitioning). This op is rows-only by design — there is no SQL
-    # oracle demanding decimal accumulation — and the double fold is ~2×
-    # the wall of the decimal HOF at sf0.1's 625k in-cluster pairs.
-    ve = emb.join(assign, "vec_id")
-    a = ve.select("k", "vec_id", "embedding")
-    b = ve.select(
-        "k", F.col("vec_id").alias("vid2"), F.col("embedding").alias("emb2")
-    )
-    prods = F.zip_with(
-        F.col("embedding"),
-        F.col("emb2"),
-        lambda x, y: x.cast("double") * y.cast("double"),
-    )
-    dot_dbl = F.aggregate(
-        prods, F.lit(0.0), lambda acc, p: acc + p
-    )
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("vec_id") < F.col("vid2"))
-        .select("k", "vid2", dot_dbl.alias("cos"))
-    )
-    dups = (
-        pairs.filter(F.col("cos") >= tau)
-        .select("k", F.col("vid2").alias("vec_id"))
-        .distinct()
-    )
-    sizes = assign.groupBy("k").agg(F.count(F.lit(1)).alias("n_vecs"))
-    ndups = dups.groupBy("k").agg(F.count(F.lit(1)).alias("n_dups"))
-    return (
-        sizes.join(ndups, "k", "left")
-        .select(
-            F.col("k").alias("cluster"),
-            "n_vecs",
-            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+    # pairwise WITHIN cluster as ONE per-cluster BLAS census: each group
+    # is the cluster's (≈CLUSTER_TARGET × dim) matrix, the full gram
+    # matrix is one numpy matmul and the dup census one triangular mask —
+    # replacing the per-pair HOF self-join (250k pair-rows × 64-element
+    # folds at sf0.1, measured 4.6 → ~1.5 s steady). Quadratic work per
+    # cluster is identical; it just runs in BLAS instead of codegen'd
+    # per-pair expressions. Deterministic: assignment is checkpointed,
+    # groups are sorted by vec_id, numpy matmul is fixed-order per array,
+    # and the tau decision margin (≥0.35 on the testdata, audited by
+    # tools/margin_audit.py) dwarfs any float-order difference — the SQL
+    # oracle's decimal census agrees exactly.
+    ve = emb.join(assign, "vec_id").select("k", "vec_id", "embedding")
+
+    def census(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        n = len(pdf)
+        if n < 2:
+            n_dups = 0
+        else:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            gram = m @ m.T
+            iu = np.triu_indices(n, 1)
+            # dup = the HIGHER vec_id of any qualifying pair, counted once
+            n_dups = int(np.unique(iu[1][gram[iu] >= tau]).size)
+        return pd.DataFrame(
+            {
+                "cluster": [int(pdf["k"].iloc[0])],
+                "n_vecs": [n],
+                "n_dups": [n_dups],
+            }
         )
+
+    return (
+        ve.groupBy("k")
+        .applyInPandas(census, "cluster int, n_vecs long, n_dups long")
         .orderBy("cluster")
     )
 
