@@ -153,10 +153,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_distinct_estimates``; this query runs BOTH so the driver can
     hash-check the sketch machinery end-to-end."""
     e = load_table(spark, sf_dir, "events")
-    both = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("n_users"),
+    # the exact and sketch paths run as SEPARATE aggregations joined on
+    # the 5-row result: combined in one agg, Catalyst's count-distinct
+    # rewrite regroups the partial stage by (event_type, user_id) and
+    # materializes a ~13 KB HLL buffer PER KEY — a 95 MiB shuffle for
+    # 7.5k rows at sf0.1 (measured; split form shuffles KBs, 1.9→0.2 s)
+    approx = approx_distinct_estimates(spark, sf_dir)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
     )
+    both = exact.join(F.broadcast(approx), "event_type")
     ok = F.abs(F.col("approx_users") - F.col("n_users")) <= F.greatest(
         F.lit(2), 0.05 * F.col("n_users")
     )
