@@ -150,3 +150,22 @@ def test_events_stream_source_schema_is_pruned(spark):
     # full-schema default unchanged
     full = events_stream(spark, SF_CORRECT)
     assert len(full.schema.fields) == 6
+
+
+def test_cached_stream_df_memoizes_per_session_and_input(spark):
+    """The analyzed-plan cache must return the SAME DataFrame object for
+    the same (session, op, input) and distinct objects for distinct keys —
+    and never leak across sessions (keyed by session id)."""
+    from storm_netmonitor_spark.streaming.core import cached_stream_df
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(1)
+
+    a = cached_stream_df(spark, ("op_x", "inA"), build)
+    b = cached_stream_df(spark, ("op_x", "inA"), build)
+    c = cached_stream_df(spark, ("op_x", "inB"), build)
+    assert a is b and a is not c
+    assert len(calls) == 2
