@@ -676,14 +676,25 @@ def _lsh_oracle() -> str:
     the 8×64 plane matrix embedded as literals (repr() round-trips each
     double exactly). Sign bits are float sums, but the smallest |dot| in
     the corpus is ~7e-5 against ~1e-13 accumulation error — nine orders
-    of margin, so both engines agree on every bit. Assumes the testdata's
-    dim=64 (stable across all rounds); the operator itself stays
-    parametric in dim."""
-    planes = _lsh_hyperplanes(64)
+    of margin, so both engines agree on every bit. The plane literals are
+    generated for the dim of the ACTUAL sf0.01 testdata (parquet footer
+    read at registration — the driver has regenerated testdata between
+    rounds before; falls back to the historical 64), keeping oracle and
+    operator in lockstep; the operator itself is parametric in dim."""
+    dim = 64
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile("/root/testdata/sf0.01/embeddings.parquet")
+        first = pf.read_row_group(0, columns=["embedding"]).column("embedding")
+        dim = len(first[0].as_py())
+    except Exception:
+        pass
+    planes = _lsh_hyperplanes(dim)
     vals = ", ".join(
         "(%d, %d, %s)" % (p, i + 1, repr(float(planes[p, i])))
         for p in range(LSH_PLANES)
-        for i in range(64)
+        for i in range(dim)
     )
     return f"""
 WITH pl(plane, pos, w) AS (VALUES {vals}),
