@@ -120,6 +120,18 @@ def audit(sf_dir: str) -> list[tuple[str, str, float]]:
         tau_m = min(tau_m, float(np.abs(cc - SEMDEDUP_TAU).min()))
     rows.append(("vec_semantic_dedup", "min |cos - tau| in-cluster", tau_m))
 
+    # --- agg_heavy_hitters_approx: candidate completeness precondition ----
+    from storm_netmonitor_spark.operators.aggregations import _MG_CAPACITY
+
+    te = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id"])
+    n_users = len(set(te.column("user_id").to_pylist()))
+    rows.append(("agg_heavy_hitters_approx",
+                 f"MG capacity headroom (capacity {_MG_CAPACITY} / distinct "
+                 f"users {n_users}; <1 means eviction regime — exact-top-5 "
+                 "oracle then needs the pigeonhole bound re-checked)",
+                 _MG_CAPACITY / max(1, n_users)))
+
     # --- text near-dedup preconditions ------------------------------------
     td = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     texts = td.column("text").to_pylist()
