@@ -46,7 +46,11 @@ Vectors (input: ``vec_id, embedding[, label]`` frames):
 
 from __future__ import annotations
 
+from .operators.aggregations import approx_distinct_estimates
 from .operators.corpus import connected_components, semantic_dedup_summary
+from .operators.extras import approx_quantile_estimates
+from .operators.surface import hll_sketch_estimates
+from .streaming.windows import stream_distinct_estimates
 from .operators.vectors import knn_cosine, near_dup_cosine_pairs
 from .operators.text import (
     exact_dedup_by_hash,
@@ -73,6 +77,8 @@ from .operators.extensions4 import (
 )
 
 __all__ = [
+    "approx_distinct_estimates",
+    "approx_quantile_estimates",
     "burn_rate_over",
     "burn_windows_over",
     "concurrency_over",
@@ -82,6 +88,7 @@ __all__ = [
     "exact_dedup_by_hash",
     "flaps_by_source",
     "gini_over",
+    "hll_sketch_estimates",
     "holt_fold_over",
     "interval_union_islands",
     "knn_cosine",
@@ -94,4 +101,5 @@ __all__ = [
     "rolling_actives_over",
     "semantic_dedup_summary",
     "step_changepoint_over",
+    "stream_distinct_estimates",
 ]

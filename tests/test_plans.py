@@ -578,3 +578,33 @@ def test_no_accidental_global_sort_anywhere(spark):
         if "rangepartitioning" in p:
             offenders.append((name, "rangepartitioning exchange"))
     assert not offenders, offenders
+
+
+def test_approx_distinct_split_paths_plan_no_expand(spark):
+    """Round-5 plan-audit pin: the exact and sketch distinct paths must
+    stay SEPARATE aggregations joined on the result — combined in one agg
+    Catalyst's count-distinct rewrite carries the ~13 KB HLL buffer per
+    (event_type, user_id) key (a 95 MiB shuffle for 7.5k rows at sf0.1;
+    see docs/PLANS.md). No Expand and exactly one broadcast join."""
+    p = plan(QUERIES["agg_approx_distinct"](spark, SF_CORRECT))
+    assert "Expand" not in p, f"distinct rewrite regrew an Expand:\n{p}"
+    assert p.count("BroadcastHashJoin") >= 1, p
+
+
+def test_simhash_band_layout_is_pigeonhole_total():
+    """The SIMHASH_BANDS blocks must partition the 64 signature bits
+    disjointly with MORE blocks than the hamming threshold — the
+    pigeonhole precondition that makes the candidate stage lossless (and
+    the all-pairs SQL oracle valid)."""
+    from storm_netmonitor_spark.operators.text import (
+        SIMHASH_BANDS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    covered = []
+    for off, width in SIMHASH_BANDS:
+        covered.extend(range(off, off + width))
+    assert sorted(covered) == list(range(64)), "bands must tile bits 0..63"
+    assert len(SIMHASH_BANDS) >= SIMHASH_MAX_HAMMING + 1, (
+        "need > threshold blocks for guaranteed recall"
+    )
