@@ -64,6 +64,21 @@ def davg_sql(expr: str, round_to: int = 6) -> str:
     return f"CAST(ROUND(CAST({raw} AS {DEC_SQL}), {round_to}) AS DOUBLE)"
 
 
+def sketch_ok(
+    approx: Column | str,
+    exact: Column | str,
+    floor: float = 2.0,
+    frac: float = 0.05,
+) -> Column:
+    """Shared bounds predicate for the sketch-verification frames
+    (VERDICT r4 #5): |approx − exact| ≤ max(floor, frac·exact). One
+    definition so a tolerance change edits one place, not three operator
+    files."""
+    a = F.col(approx) if isinstance(approx, str) else approx
+    e = F.col(exact) if isinstance(exact, str) else exact
+    return F.abs(a - e) <= F.greatest(F.lit(float(floor)), float(frac) * e)
+
+
 def dround(col: Column | str, round_to: int = 6) -> Column:
     """Round a double deterministically by bouncing through decimal."""
     c = F.col(col) if isinstance(col, str) else col

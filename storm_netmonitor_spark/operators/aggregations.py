@@ -25,6 +25,7 @@ from ..functions.stable import (
     dround_sql,
     dsum,
     dsum_sql,
+    sketch_ok,
     ts_str_sql,
 )
 from ..io import load_table
@@ -163,9 +164,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users")
     )
     both = exact.join(F.broadcast(approx), "event_type")
-    ok = F.abs(F.col("approx_users") - F.col("n_users")) <= F.greatest(
-        F.lit(2), 0.05 * F.col("n_users")
-    )
+    ok = sketch_ok("approx_users", "n_users")
     return both.select("event_type", "n_users", ok.alias("approx_ok"))
 
 

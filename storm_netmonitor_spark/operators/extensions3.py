@@ -1208,7 +1208,7 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 3
 _PR_CKPT_EVERY = 2
-#: (session id, sf_dir) -> cached (edges, base) DataFrames
+#: (session object, sf_dir) -> cached (edges, base) DataFrames
 _PR_FRAME_CACHE: dict = {}
 _PR_DAMP = 0.85
 
@@ -1339,7 +1339,9 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges/degrees are the HOT maintained graph of a repeated rank
     # refresh: cache them per (session, input) so each of the 3 edge
     # passes scans memory, not parquet (measured −0.24 s/refresh at sf0.1)
-    fkey = (id(spark), os.path.abspath(sf_dir))
+    # keyed by the session OBJECT (id() could be recycled after a session
+    # is collected); retained for process lifetime like the staged parquet
+    fkey = (spark, os.path.abspath(sf_dir))
     if fkey not in _PR_FRAME_CACHE:
         edges_df = spark.read.parquet(art["edges"]).cache()
         # the ranks frame CARRIES its node's degree: the per-round weight

@@ -18,7 +18,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import dround, dround_sql, dsum, dsum_sql
+from ..functions.stable import dround, dround_sql, dsum, dsum_sql, sketch_ok
 from ..io import load_table
 from ..registry import query
 
@@ -411,9 +411,7 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__ALL__").alias("event_date"), "n_users"
     )
     exact = exact_day.unionByName(exact_all)
-    ok = F.abs(F.col("distinct_users_est") - F.col("n_users")) <= F.greatest(
-        F.lit(2.0), 0.05 * F.col("n_users")
-    )
+    ok = sketch_ok("distinct_users_est", "n_users")
     return (
         est.join(F.broadcast(exact), "event_date")
         .select("event_date", "n_events", "n_users", ok.alias("est_ok"))

@@ -450,7 +450,11 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
 
     out = []
     for t in texts:
-        toks = str(t).lower().split()
+        # single-space split + empty filter — the SAME tokenizer as every
+        # other text operator (_tokens / _TOKENS_SQL) and as the SQL
+        # oracle's string_split(' '); Python .split() (any whitespace)
+        # would silently diverge on tab/newline-bearing corpora
+        toks = [w for w in str(t).lower().split(" ") if w]
         if toks:
             w = np.sum([tok_vec(tok) for tok in toks], axis=0)
         else:

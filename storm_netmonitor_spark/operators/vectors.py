@@ -681,13 +681,17 @@ def _lsh_oracle() -> str:
     read at registration — the driver has regenerated testdata between
     rounds before; falls back to the historical 64), keeping oracle and
     operator in lockstep; the operator itself is parametric in dim."""
+    # one minimal read (single batch of one row) per PROCESS import; the
+    # driver contract pins the correctness gate to sf0.01, so that file's
+    # dim is the one the oracle must match — the engine side is parametric
+    # and follows whatever dataset it is given.
     dim = 64
     try:
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile("/root/testdata/sf0.01/embeddings.parquet")
-        first = pf.read_row_group(0, columns=["embedding"]).column("embedding")
-        dim = len(first[0].as_py())
+        batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        dim = len(batch.column("embedding")[0].as_py())
     except Exception:
         pass
     planes = _lsh_hyperplanes(dim)

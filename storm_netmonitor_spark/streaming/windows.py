@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import dsum, dsum_sql, ts_str, ts_str_sql
+from ..functions.stable import dsum, dsum_sql, sketch_ok, ts_str, ts_str_sql
 from ..registry import query
 from .core import (
     cached_stream_df,
@@ -561,9 +561,7 @@ def stream_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = e.groupBy(
         ts_str(F.date_trunc("hour", "ts")).alias("window_start"), "event_type"
     ).agg(F.countDistinct("user_id").alias("n_users"))
-    ok = F.abs(F.col("approx_users") - F.col("n_users")) <= F.greatest(
-        F.lit(2.0), 0.05 * F.col("n_users")
-    )
+    ok = sketch_ok("approx_users", "n_users")
     return streamed.join(exact, ["window_start", "event_type"]).select(
         "window_start", "event_type", "n_events", "n_users", ok.alias("approx_ok")
     )
