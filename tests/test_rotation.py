@@ -225,3 +225,26 @@ def test_verdict_passes_tolerates_null_spark_rows():
     crashed = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": "no_oracle"}
     assert not _verdict_passes(crashed)
+
+
+def test_round6_window_recomposes_after_r5_lands(monkeypatch):
+    """Forward simulation of the next round's first session: once a
+    CORRECTNESS_r05 with hash-green verdicts for the three in-window
+    upgraded ops lands, the slack must move on to the REMAINING
+    oracle-upgraded ops instead of re-spending slots on the verified
+    ones, and with zero backlog the window starts with them."""
+    upgraded = list(registry.ORACLE_UPGRADED)
+    mapping = {n: object() for n in registry.QUERIES}
+
+    # simulate: everything verified; first three upgraded now hash-green
+    monkeypatch.setattr(
+        registry, "DRIVER_VERIFIED", frozenset(registry.QUERIES)
+    )
+    monkeypatch.setattr(registry, "RECHECK_FIRST", ())
+    monkeypatch.setattr(
+        registry, "DRIVER_HASH_GREEN", frozenset(upgraded[:3])
+    )
+    window = list(registry.driver_ordered(mapping))[:WINDOW]
+    remaining = [n for n in upgraded[3:] if n in mapping]
+    assert window[: len(remaining)] == remaining, window[:12]
+    assert not set(upgraded[:3]) & set(window[: len(remaining)])
