@@ -180,26 +180,46 @@ def vec_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks belong on the bucketed ANN route (``vec_ann_ivf`` /
     ``vec_ann_lsh``), whose per-cell work is bounded by construction."""
     e = _cap_blocks(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(
+    # per-label BLAS shortlist: the old shape materialized BOTH embedding
+    # arrays per candidate pair through the prefilter UDF (≈block² × 2·dim
+    # doubles over Arrow — 256 MB at sf0.1's 10×200 blocks); each block is
+    # a (n × dim) matrix, so ONE applyInPandas group computes the full
+    # float gram matrix with a single matmul and keeps the 16 best pairs
+    # (same (fs desc, a_id, b_id) order as the old window). Float-order
+    # differences vs the old einsum are ~1e-13 — far inside the 16-deep
+    # shortlist margin, same argument that already covered float-vs-
+    # decimal — and the emitted sim is still the exact decimal rescore.
+    def shortlist(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"label": [], "a_id": [], "b_id": []})
+        gram = m @ m.T
+        iu = np.triu_indices(n, 1)
+        order = np.lexsort((ids[iu[1]], ids[iu[0]], -gram[iu]))[:16]
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "a_id": ids[iu[0][order]],
+                "b_id": ids[iu[1][order]],
+            }
+        )
+
+    short = e.groupBy("label").applyInPandas(
+        shortlist, "label int, a_id long, b_id long"
+    )
+    ea = e.select(
         "label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
     )
-    b = e.select(
-        F.col("label").alias("label_b"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("eb"),
+    eb = e.select(
+        "label", F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
     )
-    fast = a.join(
-        b,
-        (F.col("label") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")),
-    ).select("label", "a_id", "b_id", "ea", "eb", _fast_dot_udf()("ea", "eb").alias("fs"))
-    # vectorized prefilter: keep a per-label shortlist (float vs decimal
-    # dots differ < 1e-9, far inside a 16-deep margin), exact-rescore it
-    wf = Window.partitionBy("label").orderBy(
-        F.col("fs").desc(), F.col("a_id").asc(), F.col("b_id").asc()
-    )
-    short = fast.withColumn("rn", F.row_number().over(wf)).filter(F.col("rn") <= 16)
-    rescored = short.select(
-        "label", "a_id", "b_id", _dot_arrays("ea", "eb").alias("sim")
+    rescored = (
+        short.join(ea, ["label", "a_id"])
+        .join(eb, ["label", "b_id"])
+        .select("label", "a_id", "b_id", _dot_arrays("ea", "eb").alias("sim"))
     )
     w = Window.partitionBy("label").orderBy(
         F.col("sim").desc(), F.col("a_id").asc(), F.col("b_id").asc()
