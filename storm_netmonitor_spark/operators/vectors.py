@@ -556,30 +556,48 @@ def vec_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def near_dup_cosine_pairs(e: DataFrame) -> DataFrame:
     """Blocked cosine near-dup kernel over a ``(vec_id, embedding,
-    label)`` frame: pairs within a block with decimal-exact sim ≥ 0.8;
-    the float prefilter at 0.79 keeps the exact rescore off all-pairs."""
-    a = e.select(
+    label)`` frame: pairs within a block with decimal-exact sim ≥ 0.8.
+
+    The candidate stage is a per-label BLAS prefilter (same shape as
+    ``vec_pairwise_topk``): one gram matmul per block, survivors at a
+    0.79 guard band — float-vs-decimal dots differ < 1e-9, so the band
+    cannot drop a true ≥ 0.8 pair. The old pair self-join materialized
+    both embedding arrays per candidate pair through the Arrow UDF
+    (block² × 2·dim doubles). The exact threshold is applied on the
+    decimal rescore of the tiny survivor set, matching the oracle."""
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"label": [], "a_id": [], "b_id": []})
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        gram = m @ m.T
+        iu = np.triu_indices(n, 1)
+        keep = gram[iu] >= 0.79
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "a_id": ids[iu[0][keep]],
+                "b_id": ids[iu[1][keep]],
+            }
+        )
+
+    cand = e.groupBy("label").applyInPandas(
+        survivors, "label int, a_id long, b_id long"
+    )
+    ea = e.select(
         "label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
     )
-    b = e.select(
-        F.col("label").alias("label_b"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("eb"),
+    eb = e.select(
+        "label", F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
     )
-    fast = a.join(
-        b,
-        (F.col("label") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")),
-    ).select("a_id", "b_id", "ea", "eb", _fast_dot_udf()("ea", "eb").alias("fs"))
-    # vectorized prefilter at 0.79 (float/decimal dots differ < 1e-9 —
-    # a 0.01 guard band cannot drop a true >= 0.8 pair), exact threshold
-    # applied on the decimal rescore so the cutoff matches the oracle.
-    # cache() is a pushdown barrier: without it Catalyst merges the two
-    # filters and evaluates the decimal fold on every pair (measured 4×
-    # slower); the survivor set is tiny, so materializing it is free.
-    survivors = (
-        fast.filter(F.col("fs") >= 0.79).select("a_id", "b_id", "ea", "eb").cache()
+    dots = (
+        cand.join(ea, ["label", "a_id"])
+        .join(eb, ["label", "b_id"])
+        .select("a_id", "b_id", _dot_arrays("ea", "eb").alias("sim"))
     )
-    dots = survivors.select("a_id", "b_id", _dot_arrays("ea", "eb").alias("sim"))
     return dots.filter(F.col("sim") >= 0.8)
 
 

@@ -1012,3 +1012,33 @@ def test_knn_kernel_generalizes_query_and_k(spark):
     assert [vid for vid, _ in got] == want_ids
     for (_, sim), (want_sim, _) in zip(got, sims):
         assert abs(sim - want_sim) < 1e-5
+
+
+def test_near_dup_cosine_planted_pair(spark):
+    """The blocked-cosine kernel on a constructed frame: a planted
+    duplicate pair (sim 1.0) in one label is reported with its exact
+    decimal sim, a sub-threshold pair (orthogonal) is not, and pairs
+    never cross label blocks."""
+    import math
+
+    from storm_netmonitor_spark.operators.vectors import near_dup_cosine_pairs
+
+    def unit(axis: int) -> list[float]:
+        v = [0.0] * 8
+        v[axis] = 1.0
+        return v
+
+    rows = [
+        (1, unit(0), 0),       # dup of 2, same label
+        (2, unit(0), 0),
+        (3, unit(1), 0),       # orthogonal — below threshold
+        (4, unit(2), 1),       # dup of 5 but DIFFERENT label than 1/2
+        (5, unit(2), 1),
+        (6, unit(0), 1),       # same direction as 1/2 but other label
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {(r.a_id, r.b_id): r.sim for r in near_dup_cosine_pairs(e).collect()}
+    assert set(got) == {(1, 2), (4, 5)}, got
+    assert all(math.isclose(s, 1.0) for s in got.values()), got
