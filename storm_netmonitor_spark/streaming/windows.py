@@ -38,10 +38,14 @@ def source_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-ingest the events table (file stream source) and re-derive
     the exact batch projection — proves the streaming source loses/alters
     nothing (NM: metric ingestion)."""
-    s = events_stream(
-        spark, sf_dir, columns=("event_id", "user_id", "event_type")
-    ).select("event_id", "user_id", "event_type")
-    return drain_to_memory(s, mode="append")
+    def build() -> DataFrame:
+        agg = events_stream(
+            spark, sf_dir, columns=("event_id", "user_id", "event_type")
+        ).select("event_id", "user_id", "event_type")
+        return agg
+
+    agg = cached_stream_df(spark, ("source_stream_events", sf_dir), build)
+    return drain_to_memory(agg, mode="append")
 
 
 @query(
@@ -113,18 +117,22 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in exactly 4 windows. Oracle expands the 4 epoch-aligned
     window starts explicitly — Spark's window() anchors at the epoch, and
     15-min slides stay aligned."""
-    s = events_stream(spark, sf_dir, columns=("ts", "event_type", "value"))
-    agg = (
-        s.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
-        .select(
-            ts_str(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
+    def build() -> DataFrame:
+        s = events_stream(spark, sf_dir, columns=("ts", "event_type", "value"))
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+            .select(
+                ts_str(F.col("w.start")).alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
         )
-    )
+        return agg
+
+    agg = cached_stream_df(spark, ("stream_sliding", sf_dir), build)
     # ~14k JVM-native window keys: 4 store partitions (measured 0.74→0.63 s)
     return drain_to_memory(agg, mode="complete", state_partitions=4)
 
@@ -160,18 +168,22 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-island SQL. Spark's session end is last_event + gap and a gap of
     EXACTLY 30:00 starts a new session (window end is exclusive) — the
     oracle's `>=` mirrors that."""
-    s = events_stream(spark, sf_dir, columns=("ts", "user_id"))
-    agg = (
-        s.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            ts_str(F.col("w.start")).alias("session_start"),
-            ts_str(F.col("w.end")).alias("session_end"),
-            "n_events",
+    def build() -> DataFrame:
+        s = events_stream(spark, sf_dir, columns=("ts", "user_id"))
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                ts_str(F.col("w.start")).alias("session_start"),
+                ts_str(F.col("w.end")).alias("session_end"),
+                "n_events",
+            )
         )
-    )
+        return agg
+
+    agg = cached_stream_df(spark, ("stream_session", sf_dir), build)
     return drain_to_memory(agg, mode="complete")
 
 
@@ -190,18 +202,22 @@ HAVING COUNT(*) > 8
 def stream_alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold alerting (NM: alert when a counter's hourly volume exceeds
     θ) — windowed aggregate + HAVING filter on the stream result."""
-    s = events_stream(spark, sf_dir, columns=("ts", "event_type"))
-    agg = (
-        s.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .filter(F.col("n_events") > 8)
-        .select(
-            ts_str(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n_events",
+    def build() -> DataFrame:
+        s = events_stream(spark, sf_dir, columns=("ts", "event_type"))
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("n_events") > 8)
+            .select(
+                ts_str(F.col("w.start")).alias("window_start"),
+                "event_type",
+                "n_events",
+            )
         )
-    )
+        return agg
+
+    agg = cached_stream_df(spark, ("stream_alert_threshold", sf_dir), build)
     return drain_to_memory(agg, mode="complete")
 
 
@@ -475,21 +491,25 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     extent. The oracle is the cumulative-max island rendering: a new
     session starts when an event's ts is at or past the max end of
     everything before it."""
-    s = events_stream(spark, sf_dir, columns=("ts", "user_id", "event_type"))
-    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
-        F.lit("30 minutes")
-    )
-    agg = (
-        s.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            ts_str(F.col("w.start")).alias("session_start"),
-            ts_str(F.col("w.end")).alias("session_end"),
-            "n_events",
+    def build() -> DataFrame:
+        s = events_stream(spark, sf_dir, columns=("ts", "user_id", "event_type"))
+        gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+            F.lit("30 minutes")
         )
-    )
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                ts_str(F.col("w.start")).alias("session_start"),
+                ts_str(F.col("w.end")).alias("session_end"),
+                "n_events",
+            )
+        )
+        return agg
+
+    agg = cached_stream_df(spark, ("stream_session_dynamic", sf_dir), build)
     return drain_to_memory(agg, mode="complete")
 
 
