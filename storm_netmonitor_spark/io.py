@@ -39,6 +39,26 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+#: Per-session memo store backing ``session_memo`` — keyed by the session
+#: OBJECT (identity hash; an id() could be recycled) plus caller key.
+#: Entries are retained for process lifetime by design: harnesses and
+#: production pipelines use one session per process, and cached
+#: DataFrames reference their session anyway, so weak keying could never
+#: collect them.
+_SESSION_MEMO: dict = {}
+
+
+def session_memo(spark: SparkSession, key: tuple, builder):
+    """Memoize ``builder()`` per (session, key) — the shared mechanism
+    behind the analyzed-streaming-plan cache, the trained ANN/clustering
+    index artifacts, and the staged dedup edge lists. ``key`` must carry
+    everything the built value depends on besides the session."""
+    full = (spark,) + tuple(key)
+    if full not in _SESSION_MEMO:
+        _SESSION_MEMO[full] = builder()
+    return _SESSION_MEMO[full]
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

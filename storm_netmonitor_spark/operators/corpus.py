@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import DEC, DEC_SQL, dround, dround_sql
-from ..io import load_table, scatter
+from ..io import load_table, scatter, session_memo
 from ..registry import query
 from .text import NGRAM_JACCARD_MIN, NGRAM_PAIRS_CTE, text_ngram_jaccard
 from .vectors import _assign_rowlocal, _lloyd_round
@@ -292,11 +292,6 @@ SEMDEDUP_ITERS = 3
 SEMDEDUP_TAU = 0.95
 
 
-#: (session object, 'semdedup', cache key) -> checkpointed cluster
-#: assignment — the trained model of the SemDeDup index build
-_SD_INDEX_CACHE: dict = {}
-
-
 def semantic_dedup_summary(
     spark: SparkSession,
     emb: DataFrame,
@@ -315,34 +310,41 @@ def semantic_dedup_summary(
     The one driver-side action (``emb.count()``) sizes K for the index
     build — legitimate: this is build-time accounting, amortized exactly
     like the per-iteration K×dim model collect."""
-    ckey = (spark, "semdedup", cache_key) if cache_key is not None else None
-    if ckey is not None and ckey in _SD_INDEX_CACHE:
-        assign = _SD_INDEX_CACHE[ckey]
-    else:
-        if k is None:
-            k = max(SEMDEDUP_K_MIN, emb.count() // SEMDEDUP_CLUSTER_TARGET)
+    def train() -> list[list[float]]:
+        kk = k
+        if kk is None:
+            kk = max(SEMDEDUP_K_MIN, emb.count() // SEMDEDUP_CLUSTER_TARGET)
         corpus = scatter(emb.select("vec_id", "embedding"), 8).cache()
         seeds = (
-            corpus.filter(F.col("vec_id").isin(*range(1, k + 1)))
+            corpus.filter(F.col("vec_id").isin(*range(1, kk + 1)))
             .orderBy("vec_id")
         )
         cents = [[float(x) for x in r["embedding"]] for r in seeds.collect()]
         for _ in range(iters):
             cents = _lloyd_round(spark, corpus, cents)
+        return cents
 
-        # materialize the (vec_id, k) assignment ONCE: it feeds the pair
-        # join (both sides) and the size census, and each branch would
-        # otherwise re-run the routing UDF over the corpus (plan showed 5
-        # ArrowEvalPython nodes). O(corpus) rows of two ints. With a
-        # cache_key the assignment is the trained index artifact, reused
-        # across refreshes like the IVF centroids.
-        assign = (
-            _assign_rowlocal(corpus, cents)
-            .select("vec_id", "k")
-            .localCheckpoint()
+    # Like the IVF index, ONLY the K×dim centroid MODEL is the cached
+    # artifact (keyed by every hyperparameter the model depends on);
+    # every call re-routes the CURRENT frame's vectors against it, so a
+    # refreshed corpus with new vec_ids is fully covered — a frozen
+    # assignment would silently drop them from the census.
+    if cache_key is not None:
+        cents = session_memo(
+            spark, ("semdedup_model", cache_key, k, iters), train
         )
-        if ckey is not None:
-            _SD_INDEX_CACHE[ckey] = assign
+    else:
+        cents = train()
+
+    # materialize the (vec_id, k) assignment ONCE per call: it feeds the
+    # census groups, and the branch would otherwise re-run the routing
+    # UDF per consumer (plan showed 5 ArrowEvalPython nodes). O(corpus)
+    # rows of two ints — model-adjacent, not data-scale.
+    assign = (
+        _assign_rowlocal(scatter(emb.select("vec_id", "embedding"), 8), cents)
+        .select("vec_id", "k")
+        .localCheckpoint()
+    )
     # pairwise WITHIN cluster as ONE per-cluster BLAS census: each group
     # is the cluster's (≈CLUSTER_TARGET × dim) matrix, the full gram
     # matrix is one numpy matmul and the dup census one triangular mask —
@@ -640,6 +642,21 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 20
 
 
+def _symmetrized(edges: DataFrame) -> DataFrame:
+    """Materialize the symmetric, de-duplicated edge list once (the CC
+    loop would otherwise re-execute a possibly expensive upstream edge
+    pipeline every round)."""
+    return (
+        edges.union(
+            edges.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, pre_symmetrized: bool = False
 ) -> DataFrame:
@@ -660,14 +677,7 @@ def connected_components(
     # Jaccard plan in here) and the loop would otherwise re-execute it
     # every round — measured 2× wall at sf0.1. A caller that maintains the
     # edge table across refreshes passes pre_symmetrized=True.
-    if pre_symmetrized:
-        bi = edges
-    else:
-        bi = edges.union(
-            edges.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        ).distinct().localCheckpoint()
+    bi = edges if pre_symmetrized else _symmetrized(edges)
     for _ in range(CC_MAX_ITERS):
         neigh = (
             labels.join(bi, labels.doc_id == bi.doc_a)
@@ -693,10 +703,6 @@ def connected_components(
         if n_changed == 0:
             break
     return labels
-
-
-#: (session object, sf_dir) -> staged symmetric near-dup edge frame
-_CC_EDGE_CACHE: dict = {}
 
 
 @query(
@@ -737,21 +743,14 @@ def text_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production dedup pipeline (rebuilt when the corpus changes, reused
     # by every refresh) — stage it once per (session, input): the full
     # shingle-join pair pipeline is ~2 s of the per-call wall at sf0.1
-    key = (spark, os.path.abspath(sf_dir))
-    if key not in _CC_EDGE_CACHE:
-        edges = text_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-        _CC_EDGE_CACHE[key] = (
-            edges.union(
-                edges.select(
-                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-                )
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-    return connected_components(
-        d.select("doc_id"), _CC_EDGE_CACHE[key], pre_symmetrized=True
+    bi = session_memo(
+        spark,
+        ("dedup_edges", os.path.abspath(sf_dir)),
+        lambda: _symmetrized(
+            text_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        ),
     )
+    return connected_components(d.select("doc_id"), bi, pre_symmetrized=True)
 
 
 def _semdedup_oracle() -> str:

@@ -28,7 +28,7 @@ from ..functions.stable import (
     ts_str,
     ts_str_sql,
 )
-from ..io import load_table
+from ..io import load_table, session_memo
 from ..registry import query
 from .text import _STOP_SQL, _STOPWORDS, _TOKENS_SQL, _tokens
 from .vectors import _dot_arrays, _DOT_SUM_SQL
@@ -1208,8 +1208,6 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 3
 _PR_CKPT_EVERY = 2
-#: (session object, sf_dir) -> cached (edges, base) DataFrames
-_PR_FRAME_CACHE: dict = {}
 _PR_DAMP = 0.85
 
 #: Contributions travel as FIXED-POINT LONGS: w(src) = floor(rank·1e18/d)
@@ -1339,10 +1337,7 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges/degrees are the HOT maintained graph of a repeated rank
     # refresh: cache them per (session, input) so each of the 3 edge
     # passes scans memory, not parquet (measured −0.24 s/refresh at sf0.1)
-    # keyed by the session OBJECT (id() could be recycled after a session
-    # is collected); retained for process lifetime like the staged parquet
-    fkey = (spark, os.path.abspath(sf_dir))
-    if fkey not in _PR_FRAME_CACHE:
+    def stage_frames():
         edges_df = spark.read.parquet(art["edges"]).cache()
         # the ranks frame CARRIES its node's degree: the per-round weight
         # is then a projection, not a ranks⋈deg join (2 joins/round not 3)
@@ -1352,8 +1347,11 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
         edges_df.count(), base_df.count()  # materialize once at staging
-        _PR_FRAME_CACHE[fkey] = (edges_df, base_df)
-    edges, base = _PR_FRAME_CACHE[fkey]
+        return edges_df, base_df
+
+    edges, base = session_memo(
+        spark, ("pagerank_frames", os.path.abspath(sf_dir)), stage_frames
+    )
 
     ranks = base.select(
         "node", "d", (F.lit(1.0) / F.lit(n_nodes)).alias("rank")

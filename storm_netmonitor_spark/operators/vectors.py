@@ -26,18 +26,14 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import DoubleType
 
 from ..functions.stable import dround
-from ..io import load_table, scatter
+from ..io import load_table, scatter, session_memo
 from ..registry import query
 
 #: Decimal grain for dot-product accumulation: products ≤ 1 in magnitude,
 #: 12 fractional digits → truncation identical in both engines.
 _DOT_DEC = "DECIMAL(28,12)"
-
-#: (session object, index kind, sf_dir) -> trained index artifacts
-_INDEX_CACHE: dict = {}
 
 _DOT_SUM_SQL = f"CAST(ROUND(SUM(CAST(px AS {_DOT_DEC})), 6) AS DOUBLE)"
 
@@ -55,20 +51,6 @@ def _pos_explode(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _fast_dot_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    va = np.array(a.tolist(), dtype=np.float64)
-    vb = np.array(b.tolist(), dtype=np.float64)
-    return pd.Series(np.einsum("ij,ij->i", va, vb))
-
-
-def _fast_dot_udf():
-    """Arrow-vectorized double dot product (numpy einsum per batch) — the
-    throughput path for pairwise scoring. Not bit-stable across engines
-    (float accumulation order), so it is used ONLY as a conservative
-    prefilter; survivors are rescored with the exact decimal dot."""
-    return F.pandas_udf(_fast_dot_batch, DoubleType())
-
-
 def _dot_arrays(a, b):
     """Decimal-stable dot product of two array columns, row-local: each
     product cast to DECIMAL(28,12), exact decimal accumulation, rounded to
@@ -81,6 +63,71 @@ def _dot_arrays(a, b):
         lambda acc, p: (acc + p.cast(_DOT_DEC)).cast(_DOT_DEC),
     )
     return F.round(acc, 6).cast("double")
+
+
+#: Row-strip width for the chunked per-block gram scan: bounds the
+#: transient numpy memory of a pairwise candidate kernel at
+#: O(chunk × block) doubles (≤ cap-sized blocks: 1024 × 10000 × 8 B
+#: ≈ 80 MB) instead of materializing the full block² gram + triangle
+#: index arrays (> 2 GB at the cap) in one Python worker.
+_GRAM_CHUNK = 1024
+
+
+def _gram_candidates(pdf: pd.DataFrame, select) -> pd.DataFrame:
+    """Per-label candidate kernel shared by the pairwise operators: sort
+    the block by vec_id, scan the upper triangle of the gram matrix in
+    row strips (one ``strip @ block.T`` matmul each), and let ``select``
+    pick candidate pair positions from each strip's (fs, a_idx, b_idx)
+    arrays. Returns a (label, a_id, b_id) frame."""
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"label": [], "a_id": [], "b_id": []})
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    a_parts, b_parts, fs_parts = [], [], []
+    for lo in range(0, n - 1, _GRAM_CHUNK):
+        hi = min(lo + _GRAM_CHUNK, n - 1)
+        strip = m[lo:hi] @ m.T
+        # upper triangle only: for row i, columns i+1..n-1
+        rows, cols = np.nonzero(
+            np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+        )
+        a_idx, b_idx = rows + lo, cols
+        keep = select(strip[rows, cols], a_idx, b_idx)
+        a_parts.append(a_idx[keep])
+        b_parts.append(b_idx[keep])
+        fs_parts.append(strip[rows, cols][keep])
+    a_all = np.concatenate(a_parts)
+    b_all = np.concatenate(b_parts)
+    fs_all = np.concatenate(fs_parts)
+    # a second select over the merged survivors lets top-k kernels merge
+    # per-strip shortlists exactly (threshold kernels pass everything)
+    keep = select(fs_all, a_all, b_all)
+    return pd.DataFrame(
+        {
+            "label": pdf["label"].iloc[0],
+            "a_id": ids[a_all[keep]],
+            "b_id": ids[b_all[keep]],
+        }
+    )
+
+
+def _rescore_pairs(e: DataFrame, cand: DataFrame) -> DataFrame:
+    """Join candidate (label, a_id, b_id) rows back to their embeddings
+    and emit the exact decimal sim — the shared verification stage of the
+    pairwise operators."""
+    ea = e.select(
+        "label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+    )
+    eb = e.select(
+        "label", F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    )
+    return (
+        cand.join(ea, ["label", "a_id"])
+        .join(eb, ["label", "b_id"])
+        .select("label", "a_id", "b_id", _dot_arrays("ea", "eb").alias("sim"))
+    )
 
 
 #: Largest label block admitted to the EXACT pairwise self-join path. A
@@ -180,47 +227,22 @@ def vec_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks belong on the bucketed ANN route (``vec_ann_ivf`` /
     ``vec_ann_lsh``), whose per-cell work is bounded by construction."""
     e = _cap_blocks(load_table(spark, sf_dir, "embeddings"))
-    # per-label BLAS shortlist: the old shape materialized BOTH embedding
-    # arrays per candidate pair through the prefilter UDF (≈block² × 2·dim
-    # doubles over Arrow — 256 MB at sf0.1's 10×200 blocks); each block is
-    # a (n × dim) matrix, so ONE applyInPandas group computes the full
-    # float gram matrix with a single matmul and keeps the 16 best pairs
-    # (same (fs desc, a_id, b_id) order as the old window). Float-order
+
+    # per-label BLAS shortlist via the shared chunked gram kernel (the old
+    # shape materialized BOTH embedding arrays per candidate pair through
+    # a prefilter UDF — block² × 2·dim doubles over Arrow): keep the 16
+    # best pairs per strip and again after the merge, under the same
+    # (fs desc, a_id, b_id) order the old window used. Float-order
     # differences vs the old einsum are ~1e-13 — far inside the 16-deep
-    # shortlist margin, same argument that already covered float-vs-
-    # decimal — and the emitted sim is still the exact decimal rescore.
-    def shortlist(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"label": [], "a_id": [], "b_id": []})
-        gram = m @ m.T
-        iu = np.triu_indices(n, 1)
-        order = np.lexsort((ids[iu[1]], ids[iu[0]], -gram[iu]))[:16]
-        return pd.DataFrame(
-            {
-                "label": pdf["label"].iloc[0],
-                "a_id": ids[iu[0][order]],
-                "b_id": ids[iu[1][order]],
-            }
-        )
+    # shortlist margin — and the emitted sim is the exact decimal rescore.
+    def top16(fs, a_idx, b_idx):
+        return np.lexsort((b_idx, a_idx, -fs))[:16]
 
     short = e.groupBy("label").applyInPandas(
-        shortlist, "label int, a_id long, b_id long"
+        lambda pdf: _gram_candidates(pdf, top16),
+        "label int, a_id long, b_id long",
     )
-    ea = e.select(
-        "label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
-    )
-    eb = e.select(
-        "label", F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
-    )
-    rescored = (
-        short.join(ea, ["label", "a_id"])
-        .join(eb, ["label", "b_id"])
-        .select("label", "a_id", "b_id", _dot_arrays("ea", "eb").alias("sim"))
-    )
+    rescored = _rescore_pairs(e, short)
     w = Window.partitionBy("label").orderBy(
         F.col("sim").desc(), F.col("a_id").asc(), F.col("b_id").asc()
     )
@@ -293,7 +315,7 @@ def _assign_rowlocal(e: DataFrame, cents: list[list[float]]) -> DataFrame:
     """``e`` + column ``k`` = nearest centroid by dot product. The K×dim
     model ships inside an Arrow-vectorized pandas UDF (numpy batch matmul,
     first-max tie-break = smallest k via ``argmax``) — assignment is pure
-    ROUTING, so it takes the fast float path like ``_fast_dot_udf``; every
+    ROUTING, so it takes the fast float path (numpy batch matmul); every
     EMITTED similarity is still rescored with the exact decimal dot. The
     step moves no data at all — at 100 TB this is a map over the corpus,
     not a 64×-exploded join."""
@@ -463,8 +485,7 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a WRITE-ONCE artifact reused by every query — train it once per
     # (session, input) instead of per call (5 Lloyd Arrow passes, ~1.5 s
     # of the per-call wall at sf0.1; production persists the centroids)
-    ikey = (spark, "ivf", os.path.abspath(sf_dir))
-    if ikey not in _INDEX_CACHE:
+    def train():
         corpus = scatter(
             e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"), 8
         ).cache()
@@ -475,8 +496,11 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [[float(x) for x in r["embedding"]] for r in seeds.collect()]
         for _ in range(IVF_ITERS):
             cents = _lloyd_round(spark, corpus, cents)
-        _INDEX_CACHE[ikey] = (corpus, cents)
-    corpus, cents = _INDEX_CACHE[ikey]
+        return corpus, cents
+
+    corpus, cents = session_memo(
+        spark, ("ivf_index", os.path.abspath(sf_dir)), train
+    )
 
     # the query vector is one row — fetched like the LSH query row; probing
     # is model-side math (K dots on the driver), not a Spark job
@@ -566,38 +590,14 @@ def near_dup_cosine_pairs(e: DataFrame) -> DataFrame:
     (block² × 2·dim doubles). The exact threshold is applied on the
     decimal rescore of the tiny survivor set, matching the oracle."""
 
-    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"label": [], "a_id": [], "b_id": []})
-        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        gram = m @ m.T
-        iu = np.triu_indices(n, 1)
-        keep = gram[iu] >= 0.79
-        return pd.DataFrame(
-            {
-                "label": pdf["label"].iloc[0],
-                "a_id": ids[iu[0][keep]],
-                "b_id": ids[iu[1][keep]],
-            }
-        )
+    def above_band(fs, a_idx, b_idx):
+        return fs >= 0.79
 
     cand = e.groupBy("label").applyInPandas(
-        survivors, "label int, a_id long, b_id long"
+        lambda pdf: _gram_candidates(pdf, above_band),
+        "label int, a_id long, b_id long",
     )
-    ea = e.select(
-        "label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
-    )
-    eb = e.select(
-        "label", F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
-    )
-    dots = (
-        cand.join(ea, ["label", "a_id"])
-        .join(eb, ["label", "b_id"])
-        .select("a_id", "b_id", _dot_arrays("ea", "eb").alias("sim"))
-    )
+    dots = _rescore_pairs(e, cand).select("a_id", "b_id", "sim")
     return dots.filter(F.col("sim") >= 0.8)
 
 

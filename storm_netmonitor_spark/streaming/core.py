@@ -170,31 +170,17 @@ def _drain_tuned(spark: SparkSession, mode: str):
             )
 
 
-#: Analyzed streaming DataFrames, keyed by (session OBJECT, op, source
-#: dir). A production NM pipeline constructs its plan ONCE and runs for
-#: days; repeated calls in one session (bench, registry sweep, driver
-#: window) re-drain the same analyzed plan instead of paying ~0.1 s of
-#: py4j analysis round-trips per call. Draining is unaffected — every
-#: drain still runs the full micro-batch lifecycle with a fresh
-#: checkpoint. Keying by the session object (identity hash) rather than
-#: ``id()`` makes an id-recycle collision impossible; entries are
-#: retained for process lifetime by design — harnesses and pipelines use
-#: one session per process, and a cached DataFrame references its
-#: session anyway, so weak keying could never collect these.
-_stream_df_cache: dict[tuple, DataFrame] = {}
-
-
 def cached_stream_df(spark: SparkSession, key: tuple, builder) -> DataFrame:
-    """Memoize an analyzed streaming DataFrame per (session, op, input).
+    """Memoize an analyzed streaming DataFrame per (session, op, input)
+    via the shared ``io.session_memo``: a production NM pipeline
+    constructs its plan ONCE and runs for days; repeated calls in one
+    session (bench, registry sweep, driver window) re-drain the same
+    analyzed plan instead of paying ~0.1 s of py4j analysis round-trips
+    per call. Draining is unaffected — every drain still runs the full
+    micro-batch lifecycle with a fresh checkpoint."""
+    from ..io import session_memo
 
-    ``key`` must include everything the plan depends on besides the
-    session; the session object itself completes the key so a
-    driver-owned vanilla session never sees a plan built against a
-    different one."""
-    full = (spark,) + key
-    if full not in _stream_df_cache:
-        _stream_df_cache[full] = builder()
-    return _stream_df_cache[full]
+    return session_memo(spark, ("stream_df",) + key, builder)
 
 
 def ckpt_dir() -> str:

@@ -1042,3 +1042,57 @@ def test_near_dup_cosine_planted_pair(spark):
     got = {(r.a_id, r.b_id): r.sim for r in near_dup_cosine_pairs(e).collect()}
     assert set(got) == {(1, 2), (4, 5)}, got
     assert all(math.isclose(s, 1.0) for s in got.values()), got
+
+
+def test_gram_candidates_chunked_merge_matches_bruteforce(spark, monkeypatch):
+    """The chunked gram scan must produce identical candidates across
+    strip boundaries: shrink the strip width so a ~40-vector block spans
+    several strips and compare the top-16 shortlist AND the threshold
+    survivors against single-pass numpy brute force."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from storm_netmonitor_spark.operators import vectors as V
+
+    def unit(seed: int) -> list[float]:
+        raw = [
+            int.from_bytes(
+                hashlib.sha256(f"g{seed}:{i}".encode()).digest()[:4], "big"
+            )
+            / 2**31
+            - 1.0
+            for i in range(8)
+        ]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        return [x / nrm for x in raw]
+
+    vecs = [unit(i) for i in range(40)]
+    vecs[7] = vecs[31]  # planted duplicate pair across strip boundaries
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": vecs, "label": [0] * 40}
+    )
+    m = np.array(vecs, dtype=np.float64)
+    gram = m @ m.T
+    iu = np.triu_indices(40, 1)
+
+    monkeypatch.setattr(V, "_GRAM_CHUNK", 6)
+
+    def top16(fs, a_idx, b_idx):
+        return np.lexsort((b_idx, a_idx, -fs))[:16]
+
+    got = V._gram_candidates(pdf.copy(), top16)
+    order = np.lexsort((iu[1], iu[0], -gram[iu]))[:16]
+    want = {(int(iu[0][i]), int(iu[1][i])) for i in order}
+    assert set(zip(got["a_id"], got["b_id"])) == want
+
+    got_thr = V._gram_candidates(pdf.copy(), lambda fs, a, b: fs >= 0.79)
+    want_thr = {
+        (int(a), int(b))
+        for a, b, s in zip(iu[0], iu[1], gram[iu])
+        if s >= 0.79
+    }
+    assert set(zip(got_thr["a_id"], got_thr["b_id"])) == want_thr
+    assert (7, 31) in want_thr  # the planted pair actually crossed strips
