@@ -42,5 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for each hash-checkable query; non-SQL-expressible ops
-    are absent (driver records the weaker rows-only check)."""
-    return registry.driver_ordered(dict(registry.ORACLES))
+    are absent (driver records the weaker rows-only check). Lazy oracles
+    (data-derived constants) resolve here — against the driver's pinned
+    sf0.01 or ``$SPARK_GRAFT_ORACLE_SF_DIR`` — not at import."""
+    ordered = registry.driver_ordered(dict(registry.ORACLES))
+    return {n: registry.resolve_oracle(n) for n in ordered}

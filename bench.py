@@ -11,6 +11,9 @@ ids, i.e. the exact same callables the correctness gate checks — against
 
 Method mirrors BASELINE.md: per query 1 warm-up run, then median of 3 timed
 ``collect()`` runs (session startup excluded — one session per process).
+The line additionally carries a ``method`` record (warmup counts, memo
+state) and per-query ``cold_seconds`` (first build+execute wall, training
+included) so cross-round comparisons stay method-honest (ADVICE r5).
 """
 
 from __future__ import annotations
@@ -115,13 +118,25 @@ def main() -> None:
     # (reduced-frame WindowExec, streaming-AQE notices — see session.py)
     quiet_expected_warnings(spark)
 
+    from storm_netmonitor_spark.io import _SESSION_MEMO
+
+    memo_at_start = len(_SESSION_MEMO)
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE + EXTRA_REPORTED:
         fn = registry.QUERIES[name]
         rerun = name in RERUN_FULL
+        # cold = build + FIRST execution, including plan analysis and any
+        # session-memo training — recorded per query so the steady-state
+        # medians below are method-honest across rounds (ADVICE r5: the
+        # memos move training cost out of the samples; this keeps it
+        # visible instead of invisible)
+        t0 = time.perf_counter()
         df = None if rerun else fn(spark, sf_dir)
-        for _ in range(WARMUPS_RERUN if rerun else WARMUPS):
+        for i in range(WARMUPS_RERUN if rerun else WARMUPS):
             (fn(spark, sf_dir) if rerun else df).collect()
+            if i == 0:
+                cold[name] = round(time.perf_counter() - t0, 4)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
@@ -140,6 +155,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # measurement-method record (ADVICE r5): cross-round
+                # comparisons need the warmup counts and memo/cache state
+                # that produced the steady-state numbers, plus the cold
+                # first-call walls those warmups amortized away
+                "method": {
+                    "warmups_batch": WARMUPS,
+                    "warmups_rerun": WARMUPS_RERUN,
+                    "timed_runs": RUNS,
+                    "sample_stat": "median",
+                    "session_memo_entries_at_start": memo_at_start,
+                    "session_memo_entries_at_end": len(_SESSION_MEMO),
+                },
+                "cold_seconds": cold,
             }
         )
     )

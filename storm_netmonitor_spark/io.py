@@ -44,19 +44,60 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 #: Entries are retained for process lifetime by design: harnesses and
 #: production pipelines use one session per process, and cached
 #: DataFrames reference their session anyway, so weak keying could never
-#: collect them.
+#: collect them. A long-lived multi-tenant driver that outlives its
+#: inputs should call :func:`clear_session_memo` between pipelines.
 _SESSION_MEMO: dict = {}
 
 
-def session_memo(spark: SparkSession, key: tuple, builder):
+def sf_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of a testdata directory: (name, size,
+    mtime_ns) per parquet file, plus the abspath. Folding this into a
+    memo key means a trained artifact (dedup edge list, IVF index,
+    SemDeDup centroids, pagerank frames) is invalidated the moment the
+    driver regenerates the files underneath it — a rewrite within one
+    session retrains instead of silently serving a stale model."""
+    root = os.path.abspath(sf_dir)
+    entries = []
+    try:
+        for name in sorted(os.listdir(root)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(root, name))
+                entries.append((name, st.st_size, st.st_mtime_ns))
+    except OSError:
+        pass  # non-directory inputs fingerprint as path-only
+    return (root, tuple(entries))
+
+
+def session_memo(spark: SparkSession, key: tuple, builder, sf_dir: str | None = None):
     """Memoize ``builder()`` per (session, key) — the shared mechanism
     behind the analyzed-streaming-plan cache, the trained ANN/clustering
     index artifacts, and the staged dedup edge lists. ``key`` must carry
-    everything the built value depends on besides the session."""
+    everything the built value depends on besides the session; pass
+    ``sf_dir`` whenever the value is TRAINED FROM data under that
+    directory so the key also carries a :func:`sf_fingerprint` of the
+    input files (stale-model guard per ADVICE r5)."""
     full = (spark,) + tuple(key)
+    if sf_dir is not None:
+        full = full + sf_fingerprint(sf_dir)
     if full not in _SESSION_MEMO:
         _SESSION_MEMO[full] = builder()
     return _SESSION_MEMO[full]
+
+
+def clear_session_memo(spark: SparkSession | None = None) -> int:
+    """Evict memoized artifacts — all of them, or only those belonging
+    to ``spark``. Returns the number of entries dropped. Production
+    lifetime note: one-pipeline-per-process never needs this; a
+    multi-tenant driver that creates/destroys sessions or regenerates
+    inputs mid-process calls it at pipeline boundaries."""
+    if spark is None:
+        n = len(_SESSION_MEMO)
+        _SESSION_MEMO.clear()
+        return n
+    stale = [k for k in _SESSION_MEMO if k and k[0] is spark]
+    for k in stale:
+        del _SESSION_MEMO[k]
+    return len(stale)
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -27,7 +27,7 @@ from ..functions.stable import DEC, DEC_SQL, dround, dround_sql
 from ..io import load_table, scatter, session_memo
 from ..registry import query
 from .text import NGRAM_JACCARD_MIN, NGRAM_PAIRS_CTE, text_ngram_jaccard
-from .vectors import _assign_rowlocal, _lloyd_round
+from .vectors import _GRAM_CHUNK, _assign_rowlocal, _lloyd_round
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -331,7 +331,8 @@ def semantic_dedup_summary(
     # assignment would silently drop them from the census.
     if cache_key is not None:
         cents = session_memo(
-            spark, ("semdedup_model", cache_key, k, iters), train
+            spark, ("semdedup_model", cache_key, k, iters), train,
+            sf_dir=cache_key,
         )
     else:
         cents = train()
@@ -345,9 +346,9 @@ def semantic_dedup_summary(
         .select("vec_id", "k")
         .localCheckpoint()
     )
-    # pairwise WITHIN cluster as ONE per-cluster BLAS census: each group
-    # is the cluster's (≈CLUSTER_TARGET × dim) matrix, the full gram
-    # matrix is one numpy matmul and the dup census one triangular mask —
+    # pairwise WITHIN cluster as a per-cluster BLAS census: each group
+    # is the cluster's (≈CLUSTER_TARGET × dim) matrix, scanned in
+    # _GRAM_CHUNK row strips (one strip @ cluster.T matmul each) —
     # replacing the per-pair HOF self-join (250k pair-rows × 64-element
     # folds at sf0.1, measured 4.6 → ~1.5 s steady). Quadratic work per
     # cluster is identical; it just runs in BLAS instead of codegen'd
@@ -367,11 +368,22 @@ def semantic_dedup_summary(
         if n < 2:
             n_dups = 0
         else:
+            # same row-strip scan as vectors._gram_candidates: transient
+            # memory is O(_GRAM_CHUNK × cluster) per strip, never the full
+            # cluster² gram + triangle index arrays — a skewed clustering
+            # that lands one oversized cluster stays worker-memory-bounded
+            # (ADVICE r5). dup = the HIGHER vec_id of any qualifying pair,
+            # counted once: the boolean column-vote accumulates across
+            # strips to exactly the old np.unique(upper-tri) census.
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            gram = m @ m.T
-            iu = np.triu_indices(n, 1)
-            # dup = the HIGHER vec_id of any qualifying pair, counted once
-            n_dups = int(np.unique(iu[1][gram[iu] >= tau]).size)
+            dup = np.zeros(n, dtype=bool)
+            col_idx = np.arange(n)[None, :]
+            for lo in range(0, n - 1, _GRAM_CHUNK):
+                hi = min(lo + _GRAM_CHUNK, n - 1)
+                strip = m[lo:hi] @ m.T
+                upper = col_idx > np.arange(lo, hi)[:, None]
+                dup[np.nonzero(upper & (strip >= tau))[1]] = True
+            n_dups = int(dup.sum())
         return pd.DataFrame(
             {
                 "cluster": [int(pdf["k"].iloc[0])],
@@ -749,6 +761,7 @@ def text_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _symmetrized(
             text_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
         ),
+        sf_dir=sf_dir,
     )
     return connected_components(d.select("doc_id"), bi, pre_symmetrized=True)
 

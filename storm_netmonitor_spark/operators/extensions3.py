@@ -1350,7 +1350,8 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         return edges_df, base_df
 
     edges, base = session_memo(
-        spark, ("pagerank_frames", os.path.abspath(sf_dir)), stage_frames
+        spark, ("pagerank_frames", os.path.abspath(sf_dir)), stage_frames,
+        sf_dir=sf_dir,
     )
 
     ranks = base.select(

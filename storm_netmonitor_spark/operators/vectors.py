@@ -499,7 +499,7 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return corpus, cents
 
     corpus, cents = session_memo(
-        spark, ("ivf_index", os.path.abspath(sf_dir)), train
+        spark, ("ivf_index", os.path.abspath(sf_dir)), train, sf_dir=sf_dir
     )
 
     # the query vector is one row — fetched like the LSH query row; probing
@@ -717,7 +717,7 @@ def _lsh_sig_udf(dim: int):
     return lsh_sig
 
 
-def _lsh_oracle() -> str:
+def _lsh_oracle(sf_dir: str | None = None) -> str:
     """Full SQL twin of the LSH probe (VERDICT r4 #5 — upgraded from
     rows-only): the hyperplanes are fixed CONSTANTS (seeded at build, no
     query-time RNG), so the whole pipeline — sign-bit signatures, hamming-
@@ -729,20 +729,32 @@ def _lsh_oracle() -> str:
     generated for the dim of the ACTUAL sf0.01 testdata (parquet footer
     read at registration — the driver has regenerated testdata between
     rounds before; falls back to the historical 64), keeping oracle and
-    operator in lockstep; the operator itself is parametric in dim."""
-    # one minimal read (single batch of one row) per PROCESS import; the
-    # driver contract pins the correctness gate to sf0.01, so that file's
-    # dim is the one the oracle must match — the engine side is parametric
-    # and follows whatever dataset it is given.
+    operator in lockstep; the operator itself is parametric in dim.
+
+    LAZY factory (ADVICE r5): resolved by ``registry.resolve_oracle`` at
+    ``oracle_sql()`` call time, never at import. The dim probe reads ONE
+    row of the embeddings file of the sf_dir actually under verification
+    — callers that know it pass it; the driver's dict export resolves
+    with ``$SPARK_GRAFT_ORACLE_SF_DIR`` or the contract-pinned sf0.01.
+    A failed probe logs the fallback instead of silently assuming 64."""
+    probe_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     dim = 64
     try:
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile("/root/testdata/sf0.01/embeddings.parquet")
+        pf = pq.ParquetFile(os.path.join(probe_dir, "embeddings.parquet"))
         batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
         dim = len(batch.column("embedding")[0].as_py())
-    except Exception:
-        pass
+    except Exception as exc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH oracle dim probe failed for %s (%s); falling back to "
+            "dim=64 — a mismatch with the dataset under check would "
+            "surface as a driver hash red", probe_dir, exc,
+        )
     planes = _lsh_hyperplanes(dim)
     vals = ", ".join(
         "(%d, %d, %s)" % (p, i + 1, repr(float(planes[p, i])))
@@ -783,7 +795,7 @@ LIMIT 10
 """
 
 
-@query("vec_ann_lsh", oracle=_lsh_oracle())
+@query("vec_ann_lsh", oracle=_lsh_oracle)
 def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbor — the second ANN scale
     path next to ``vec_ann_ivf``: random-hyperplane sign bits bucket the

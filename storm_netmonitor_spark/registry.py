@@ -19,13 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+#: SQL text, or a lazy ``(sf_dir: str | None) -> str`` factory for the few
+#: oracles that embed data-derived constants (LSH plane dim) — resolved at
+#: ``oracle_sql()`` call time via :func:`resolve_oracle`, never at import.
+ORACLES: dict[str, str | Callable[[str | None], str]] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | Callable[[str | None], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as SURVEY §2 operator ``name``.
 
-    ``oracle`` is the DuckDB SQL twin; ``None`` means the operator is not
+    ``oracle`` is the DuckDB SQL twin (text, or a lazy factory taking the
+    sf_dir under verification); ``None`` means the operator is not
     SQL-expressible and gets the driver's weaker rows-only check.
     """
 
@@ -34,10 +40,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             raise ValueError(f"duplicate query id: {name}")
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle.strip()
+            ORACLES[name] = oracle if callable(oracle) else oracle.strip()
         return fn
 
     return decorate
+
+
+def resolve_oracle(name: str, sf_dir: str | None = None) -> str:
+    """Resolve a registered oracle to SQL text. Static strings pass
+    through; lazy factories are called with the sf_dir under verification
+    (``None`` → the factory's own default: ``$SPARK_GRAFT_ORACLE_SF_DIR``,
+    falling back to the driver's pinned sf0.01)."""
+    v = ORACLES[name]
+    if callable(v):
+        v = v(sf_dir)
+    return v.strip()
 
 
 def load_all() -> None:

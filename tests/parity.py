@@ -83,10 +83,10 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def assert_parity(name: str, spark, sf_dir: str) -> None:
-    from storm_netmonitor_spark.registry import ORACLES, QUERIES
+    from storm_netmonitor_spark.registry import QUERIES, resolve_oracle
 
     s_cols, s_rows = run_spark(QUERIES[name], spark, sf_dir)
-    o_cols, o_rows = run_oracle(ORACLES[name], sf_dir)
+    o_cols, o_rows = run_oracle(resolve_oracle(name, sf_dir), sf_dir)
     assert sorted(s_cols) == sorted(o_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from storm_netmonitor_spark.registry import ORACLES, QUERIES
+from storm_netmonitor_spark.registry import ORACLES, QUERIES, resolve_oracle
 
 from .parity import duck_connect
 
@@ -50,7 +50,7 @@ def test_driver_materialization(name, spark):
     sp = QUERIES[name](spark, SF_SMALL).toPandas()
     con = duck_connect(SF_SMALL)
     try:
-        op = con.execute(ORACLES[name]).df()
+        op = con.execute(resolve_oracle(name, SF_SMALL)).df()
     finally:
         con.close()
 
