@@ -72,6 +72,9 @@ EXTRA_REPORTED = [
     "events_active_rolling",  # DAU/WAU distinct fan-out on the reduced frame
     "ts_downsample_lttb",  # sequential integer LTTB via applyInPandas
     "text_ngram_novelty",  # gram-keyed first-occurrence window + doc rollup
+    # round-6 §2.U scale probes
+    "join_skew_aqe",  # AQE skew-split join (materializes inside the call)
+    "stress_scale_replicate",  # 10x broadcast fan-out + map-side collapse
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -85,6 +88,9 @@ RERUN_FULL = {
     # (localCheckpoint per round) — timing only collect() would measure
     # the final sort, not the iterations
     "graph_pagerank_links",
+    # the skew demo materializes under its scoped AQE confs inside the
+    # call; collect() on the returned frame is a checkpoint read
+    "join_skew_aqe",
 }
 
 WARMUPS = 1

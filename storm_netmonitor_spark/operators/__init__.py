@@ -31,6 +31,7 @@ _MODULES = (
     "incremental",
     "extensions3",
     "extensions4",
+    "scale_probes",
 )
 
 

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import importlib
 
-_MODULES = ("windows", "stateful", "alerts")
+_MODULES = ("windows", "stateful", "alerts", "resume")
 
 
 def load() -> None:

@@ -52,7 +52,7 @@ EVENTS_RAW_SCHEMA = _events_field(TimestampType())
 #: then converts (ts div 1000 → µs, lossless for this data).
 EVENTS_NANOS_SCHEMA = _events_field(LongType())
 
-_ts_unit_cache: dict[str, str] = {}
+_ts_unit_cache: dict[tuple, str] = {}
 
 
 def events_ts_unit(sf_dir: str) -> str:
@@ -65,7 +65,12 @@ def events_ts_unit(sf_dir: str) -> str:
 
 
 def _file_ts_unit(path: str) -> str:
-    key = os.path.abspath(path)
+    # fingerprint-keyed (size+mtime): a driver-side testdata regeneration
+    # mid-session must re-probe the footer, not serve the stale unit —
+    # the one-stat-per-call cost is noise next to the py4j analysis the
+    # cached plan skips (same stale-data guard as io.sf_fingerprint)
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
     if key not in _ts_unit_cache:
         import pyarrow.parquet as pq
 
@@ -177,10 +182,17 @@ def cached_stream_df(spark: SparkSession, key: tuple, builder) -> DataFrame:
     session (bench, registry sweep, driver window) re-drain the same
     analyzed plan instead of paying ~0.1 s of py4j analysis round-trips
     per call. Draining is unaffected — every drain still runs the full
-    micro-batch lifecycle with a fresh checkpoint."""
+    micro-batch lifecycle with a fresh checkpoint.
+
+    The trailing element of every caller's ``key`` is the sf_dir; it is
+    also passed as the memo's data fingerprint (ADVICE r5): the analyzed
+    plan's source SCHEMA is data-derived (ns-vs-µs ts unit from the
+    parquet footer), so a mid-session testdata regeneration must rebuild
+    the plan, not re-drain a stale schema."""
     from ..io import session_memo
 
-    return session_memo(spark, ("stream_df",) + key, builder)
+    sf_dir = key[-1] if key and isinstance(key[-1], str) else None
+    return session_memo(spark, ("stream_df",) + key, builder, sf_dir=sf_dir)
 
 
 def ckpt_dir() -> str:
