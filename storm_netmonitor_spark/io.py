@@ -84,19 +84,33 @@ def session_memo(spark: SparkSession, key: tuple, builder, sf_dir: str | None = 
     return _SESSION_MEMO[full]
 
 
+def _unpersist_value(value) -> None:
+    """Best-effort unpersist of evicted artifacts: memo entries hold
+    cached DataFrames (dedup edges, pagerank frames) whose executor
+    memory would otherwise outlive the eviction; non-frame artifacts
+    (centroid lists, paths) pass through untouched."""
+    if isinstance(value, DataFrame):
+        try:
+            value.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+    elif isinstance(value, (tuple, list)):
+        for v in value:
+            _unpersist_value(v)
+
+
 def clear_session_memo(spark: SparkSession | None = None) -> int:
     """Evict memoized artifacts — all of them, or only those belonging
-    to ``spark``. Returns the number of entries dropped. Production
-    lifetime note: one-pipeline-per-process never needs this; a
-    multi-tenant driver that creates/destroys sessions or regenerates
-    inputs mid-process calls it at pipeline boundaries."""
-    if spark is None:
-        n = len(_SESSION_MEMO)
-        _SESSION_MEMO.clear()
-        return n
-    stale = [k for k in _SESSION_MEMO if k and k[0] is spark]
+    to ``spark`` — unpersisting any cached DataFrames they hold.
+    Returns the number of entries dropped. Production lifetime note:
+    one-pipeline-per-process never needs this; a multi-tenant driver
+    that creates/destroys sessions or regenerates inputs mid-process
+    calls it at pipeline boundaries."""
+    stale = [
+        k for k in _SESSION_MEMO if spark is None or (k and k[0] is spark)
+    ]
     for k in stale:
-        del _SESSION_MEMO[k]
+        _unpersist_value(_SESSION_MEMO.pop(k))
     return len(stale)
 
 
