@@ -87,6 +87,18 @@ def test_stress_replicate_scales_groups_exactly(spark):
         assert out[k] == n * STRESS_REPLICAS, (k, out[k], n)
 
 
+def test_resume_checkpoint_is_repeatable_in_one_session(spark):
+    """Each call runs its own two-lifecycle drain against a fresh
+    checkpoint (the staged halves are shared): back-to-back calls must
+    agree exactly — decimal sums make the restored-state totals
+    order-independent."""
+    fn = QUERIES["stream_resume_checkpoint"]
+    a = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+    assert a == b
+    assert len(a) >= 1
+
+
 def test_stress_replicate_broadcasts_the_replica_frame(spark):
     """The replication must be a map-side fan-out (broadcast nested-loop
     over the 10-row frame) — a shuffled replication would move 10× the
