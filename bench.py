@@ -74,7 +74,7 @@ EXTRA_REPORTED = [
     "text_ngram_novelty",  # gram-keyed first-occurrence window + doc rollup
     # round-6 §2.U scale probes
     "join_skew_aqe",  # AQE skew-split join (materializes inside the call)
-    "stress_scale_replicate",  # 10x broadcast fan-out + map-side collapse
+    "stress_scale_replicate",  # 10x codegen explode fan-out + map-side collapse
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain

@@ -164,18 +164,24 @@ def stress_scale_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication of lineitem — the scaling-curve claim as a hash-checked
     query: group keys identical, counts exactly 10× at every SF.
 
-    Shape at scale: the replica frame broadcasts (10 rows), so the
-    replication is a map-side row fan-out — no shuffle is added beyond
-    the aggregation's own keyed exchange, and the partial (map-side)
-    aggregation collapses the 10× blow-up back to one row per group per
-    task before anything moves. 10× sf0.1 = 6M aggregated rows through
-    the same plan the driver checks at sf0.01."""
+    Shape at scale: the replication is ``explode(sequence(0, 9))`` — a
+    row-local Generate inside whole-stage codegen, never a join (a
+    broadcast-nested-loop cross join computes the same rows 2.4× slower
+    on the wide path; measured sf0.1). ``scatter`` first: the decimal
+    partial aggregation over the 10×-fanned rows is the dominant cost,
+    and the single-row-group testdata scan would otherwise pin all 6M
+    rows to 3 tasks (measured 4.1 → 1.2 s at 32 cores; a real multi-file
+    scan is already this parallel). The partial agg collapses the
+    blow-up to one row per group per task before anything shuffles."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
-    replicas = F.broadcast(spark.range(0, STRESS_REPLICAS))
     return (
-        li.crossJoin(replicas)
+        scatter(li)
+        .withColumn(
+            "replica",
+            F.explode(F.sequence(F.lit(0), F.lit(STRESS_REPLICAS - 1))),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

@@ -95,10 +95,6 @@ _CARTESIAN_OK = {
     "vec_batch_knn",
     "scan_cache_reuse",  # three 1-row aggregates combined by 1×1 joins
     "agg_sla_availability",  # 1-row observation-span scalar broadcast
-    # deliberate map-side row fan-out: the broadcast 10-row replica frame
-    # replicates lineitem without a shuffle (O(N×10) at fixed 10 — the
-    # stress probe's point, not a quadratic join)
-    "stress_scale_replicate",
 }
 
 

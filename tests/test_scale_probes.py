@@ -99,10 +99,11 @@ def test_resume_checkpoint_is_repeatable_in_one_session(spark):
     assert len(a) >= 1
 
 
-def test_stress_replicate_broadcasts_the_replica_frame(spark):
-    """The replication must be a map-side fan-out (broadcast nested-loop
-    over the 10-row frame) — a shuffled replication would move 10× the
-    data before aggregating it back down."""
+def test_stress_replicate_fans_out_in_codegen(spark):
+    """The replication must be a row-local Generate (explode) inside the
+    scan's codegen span — no join of any kind, and the partial
+    aggregation must sit below the final exchange so the 10× blow-up
+    collapses map-side before anything shuffles."""
     import contextlib
     import io
 
@@ -111,7 +112,6 @@ def test_stress_replicate_broadcasts_the_replica_frame(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     p = buf.getvalue()
-    assert "BroadcastNestedLoopJoin" in p, p
-    # partial aggregation must sit below the final exchange so the 10×
-    # blow-up collapses map-side before the shuffle
+    assert "Generate" in p and "explode" in p, p
+    assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p
