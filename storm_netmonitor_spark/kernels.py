@@ -65,6 +65,7 @@ from .operators.events_analytics import (
     interval_union_islands,
     step_changepoint_over,
 )
+from .operators.scale_probes import replicate_rows, scoped_confs
 from .operators.extensions4 import (
     _lttb_select as lttb_select,
     burn_rate_over,
@@ -98,7 +99,9 @@ __all__ = [
     "near_dup_minhash_pairs",
     "near_dup_simhash_pairs",
     "path_trigrams_over",
+    "replicate_rows",
     "rolling_actives_over",
+    "scoped_confs",
     "semantic_dedup_summary",
     "step_changepoint_over",
     "stream_distinct_estimates",

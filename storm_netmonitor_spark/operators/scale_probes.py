@@ -148,6 +148,15 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRESS_REPLICAS = 10
 
 
+def replicate_rows(df: DataFrame, n: int, col: str = "replica") -> DataFrame:
+    """Generic n× row replication as a codegen ``explode(sequence)`` —
+    the kernel behind ``stress_scale_replicate``, reusable for synthetic
+    scale-up of ANY frame (load testing, skew planting, oversampling).
+    Row-local: no join, no shuffle; each input row emits ``n`` rows
+    tagged 0..n-1 in ``col`` inside the scan's codegen span."""
+    return df.withColumn(col, F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+
+
 @query(
     "stress_scale_replicate",
     oracle=f"""
@@ -177,11 +186,7 @@ def stress_scale_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
     return (
-        scatter(li)
-        .withColumn(
-            "replica",
-            F.explode(F.sequence(F.lit(0), F.lit(STRESS_REPLICAS - 1))),
-        )
+        replicate_rows(scatter(li), STRESS_REPLICAS)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
