@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.stable import dsum, dsum_sql
 from ..io import load_table, scatter
 from ..registry import query
+from .scans import partitioned_events_path
 
 #: Scoped AQE skew tuning for the planted-skew demo. Spark's defaults
 #: (256 MB skewed-partition threshold, 64 MB advisory size) are sized for
@@ -142,6 +143,53 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_confs(spark, SKEW_DEMO_CONFS):
         out = skew_demo_frame(spark, sf_dir).localCheckpoint()
     return out
+
+
+@query(
+    "join_dpp_prune",
+    oracle=f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+WHERE day(CAST(ts AS DATE)) % 10 = 3
+GROUP BY 1
+""",
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning probe: at 100 TB, "query only the
+    partitions a dimension predicate selects" is the difference between
+    scanning 3 directories and 3000 — and unlike the STATIC pruning of
+    ``sink_parquet_partitioned`` (a literal date range, pruned at plan
+    time), the interesting dates here are only known at RUNTIME, from a
+    filtered dim. Catalyst plants a ``DynamicPruningSubquery`` on the
+    fact scan's partition column, reusing the dim's broadcast: the
+    executed plan's fact FileScan shows ``dynamicpruningexpression`` in
+    PartitionFilters (asserted in tests/test_scale_probes.py), so only
+    the 3 of 30 date directories the dim selects are ever listed/read.
+
+    Fact: the date-partitioned events layout (staged once, shared with
+    the sink op). Dim: distinct event dates with a selective predicate
+    (day-of-month ≡ 3 mod 10) — derived from the source, as a real
+    dimension table would be, so the set of surviving dates is a runtime
+    artifact the planner cannot constant-fold."""
+    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .filter(F.dayofmonth("event_date") % 10 == 3)
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
 
 
 #: Synthetic replication factor for the stress probe.

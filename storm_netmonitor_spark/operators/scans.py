@@ -116,6 +116,25 @@ def sink_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PART_SINK_CACHE: dict[str, str] = {}
 
 
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per input) the events table as DATE-PARTITIONED
+    parquet — the layout a petabyte events table actually uses — and
+    return its path. Shared by the static-pruning sink op below and the
+    dynamic-partition-pruning probe (scale_probes.join_dpp_prune)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PART_SINK_CACHE:
+        e = load_table(spark, sf_dir, "events")
+        out = os.path.join(tempfile.mkdtemp(prefix="nm_partsink_"), "events_by_date")
+        (
+            e.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+        _PART_SINK_CACHE[key] = out
+    return _PART_SINK_CACHE[key]
+
+
 @query(
     "sink_parquet_partitioned",
     oracle=f"""
@@ -137,18 +156,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate, and aggregate. The date filter must prune to 3 of 30
     partition directories at plan time (asserted in tests/test_plans.py);
     the oracle renders the same dates from the unpartitioned source."""
-    key = os.path.abspath(sf_dir)
-    if key not in _PART_SINK_CACHE:
-        e = load_table(spark, sf_dir, "events")
-        out = os.path.join(tempfile.mkdtemp(prefix="nm_partsink_"), "events_by_date")
-        (
-            e.withColumn("event_date", F.to_date("ts"))
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(out)
-        )
-        _PART_SINK_CACHE[key] = out
-    back = spark.read.parquet(_PART_SINK_CACHE[key])
+    back = spark.read.parquet(partitioned_events_path(spark, sf_dir))
     pruned = back.filter(
         (F.col("event_date") >= F.lit("2024-01-10"))
         & (F.col("event_date") < F.lit("2024-01-13"))

@@ -87,6 +87,27 @@ def test_stress_replicate_scales_groups_exactly(spark):
         assert out[k] == n * STRESS_REPLICAS, (k, out[k], n)
 
 
+def test_dpp_plants_dynamic_pruning_subquery(spark):
+    """The fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — runtime pruning from the filtered dim's broadcast
+    — and, executed, actually read only the 3 of 30 date directories the
+    dim selects."""
+    import contextlib
+    import io
+
+    df = QUERIES["join_dpp_prune"](spark, SF_CORRECT)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "dynamicpruning" in p.lower(), p
+    rows = df.collect()
+    assert len(rows) == 3  # days 3, 13, 23 of the 30-day window
+    # the executed adaptive plan keeps the pruning expression on the scan
+    pe = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in pe.lower(), pe
+
+
 def test_resume_checkpoint_is_repeatable_in_one_session(spark):
     """Each call runs its own two-lifecycle drain against a fresh
     checkpoint (the staged halves are shared): back-to-back calls must
