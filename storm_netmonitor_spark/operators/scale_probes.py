@@ -242,3 +242,80 @@ def stress_scale_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+#: Scoped tuning for the runtime bloom-filter probe. The feature's
+#: defaults are cluster-sized (application side must scan ≥ 10 GB before
+#: Catalyst considers a bloom filter worth building), so the demo scales
+#: the application-side floor down to testdata size — the same ~1000×
+#: the data is scaled down. Broadcast is disabled for the probe join:
+#: a broadcast-hash join already sees every dim key on every task, so
+#: Catalyst (correctly) never injects a bloom filter under it; the
+#: 100 TB regime being demonstrated is the one where BOTH sides shuffle.
+BLOOM_DEMO_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_demo_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy plan of the bloom-pruned join + rollup (shared by the
+    operator and the plan-assertion test): lineitem against a SELECTIVE
+    part slice (p_size = 1 keeps ~2% of parts), revenue per brand.
+
+    What Catalyst injects under BLOOM_DEMO_CONFS: the dim side's
+    ``bloom_filter_agg(xxhash64(p_partkey))`` runs once, and the fact
+    scan gains ``might_contain(...)`` BEFORE its shuffle — ~98% of
+    lineitem rows are dropped at the map side instead of riding the
+    exchange to die in the join. Row-level runtime semi-join reduction:
+    the third member of the runtime-pruning family next to
+    ``join_dpp_prune`` (partition-level, needs a partitioned layout) and
+    ``join_skew_aqe`` (post-shuffle re-plan) — this one needs no layout
+    at all, which at 100 TB is the difference between shuffling 100 TB
+    and shuffling 2 TB when the dim predicate is selective."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        li.join(dim, li.l_partkey == dim.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "join_bloom_runtime",
+    oracle=f"""
+SELECT p_brand,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size = 1) p
+  ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning on a selective dim slice.
+
+    Scoped-conf protocol identical to ``join_skew_aqe``: the bloom
+    injection happens at (re)planning, so the frame is MATERIALIZED
+    (localCheckpoint) while the confs are active and the 25-row rollup
+    is returned inert. tests/test_scale_probes.py asserts the executed
+    plan carries ``might_contain`` on the fact side and a
+    ``bloom_filter_agg`` build on the dim side — the demo is the PLAN;
+    the hash oracle proves the pruning changed no answer."""
+    with scoped_confs(spark, BLOOM_DEMO_CONFS):
+        out = bloom_demo_frame(spark, sf_dir).localCheckpoint()
+    return out

@@ -277,3 +277,65 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percent_rank().over(w)).alias("pr"),
         dround(F.cume_dist().over(w)).alias("cd"),
     )
+
+
+@query(
+    "win_scd2_history",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       event_type,
+       {ts_str_sql('ts')} AS valid_from,
+       {ts_str_sql('LEAD(ts) OVER w')} AS valid_to,
+       (LEAD(ts) OVER w) IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from a change log (SURVEY
+    §2.E addendum; the warehouse-history transform every netmonitor
+    config store needs: device attribute changes → versioned validity
+    intervals). Treats events as the per-user attribute stream
+    (``event_type`` = the tracked attribute): consecutive duplicates
+    collapse (a re-assertion of the same value is not a new version),
+    then each surviving change opens an interval closed by the next
+    change — ``valid_from``/``valid_to`` half-open, ``NULL`` valid_to =
+    the current version, ``version`` = per-key change ordinal.
+
+    Shape at scale: both window passes partition on ``user_id`` with the
+    SAME (ts, event_id) sort, so Catalyst plans ONE exchange + sort and
+    reuses it for the lag filter and the lead/row_number emit; state per
+    key is a sort buffer — spill-safe, no driver participation. The
+    deterministic (ts, event_id) tiebreak makes the history reproducible
+    under any shuffle order."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "event_type",
+        ts_str("ts").alias("valid_from"),
+        ts_str(F.lead("ts").over(w)).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -136,3 +136,42 @@ def test_stress_replicate_fans_out_in_codegen(spark):
     assert "Generate" in p and "explode" in p, p
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_bloom_runtime_filter_is_injected(spark):
+    """Under the demo confs the executed plan must show row-level runtime
+    semi-join reduction: a bloom_filter_agg build on the dim side and a
+    might_contain filter applied to the fact scan BEFORE its exchange."""
+    from storm_netmonitor_spark.operators.scale_probes import (
+        BLOOM_DEMO_CONFS,
+        bloom_demo_frame,
+    )
+
+    with scoped_confs(spark, BLOOM_DEMO_CONFS):
+        df = bloom_demo_frame(spark, SF_CORRECT)
+        rows = df.collect()
+        p = _executed(df)
+    assert "might_contain" in p, f"no runtime bloom filter on the fact side:\n{p}"
+    assert "bloom_filter_agg" in p, p
+    assert 0 < len(rows) <= 27  # brands present in the p_size=1 slice
+
+
+def test_bloom_demo_confs_do_not_leak(spark):
+    """join_bloom_runtime materializes under scoped confs; afterwards the
+    session must be back on its previous broadcast threshold (a -1
+    autoBroadcastJoinThreshold would un-broadcast every later dim join)."""
+    from storm_netmonitor_spark.operators.scale_probes import BLOOM_DEMO_CONFS
+
+    before = {}
+    for k in BLOOM_DEMO_CONFS:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    QUERIES["join_bloom_runtime"](spark, SF_CORRECT).collect()
+    for k, want in before.items():
+        try:
+            got = spark.conf.get(k)
+        except Exception:
+            got = None
+        assert got == want, f"{k} leaked: {want!r} -> {got!r}"
