@@ -17,6 +17,8 @@ Sequence analytics (input: ``user_id, ts, event_id, ...`` sample frames):
 - ``flaps_by_source`` — A→B→A flap counting
 - ``step_changepoint_over`` — regime-change argmax over an hourly series
 - ``holt_fold_over`` — Holt level/trend forecasting fold
+- ``ewma_fold_over`` — irregular-interval time-decay EWMA fold (libm-free)
+- ``dratio``/``dec_scaled`` — exact half-away decimal-ratio rounding (boundary-proof)
 - ``gini_over`` — traffic-concentration scoring
 
 Scans / rollups:
@@ -46,6 +48,7 @@ Vectors (input: ``vec_id, embedding[, label]`` frames):
 
 from __future__ import annotations
 
+from .functions.stable import dec_scaled, dec_scaled_sql, dratio, dratio_sql
 from .operators.aggregations import approx_distinct_estimates
 from .operators.corpus import connected_components, semantic_dedup_summary
 from .operators.extras import approx_quantile_estimates
@@ -60,6 +63,7 @@ from .operators.text import (
 )
 from .operators.events_analytics import (
     counter_increase_by_key,
+    ewma_fold_over,
     gini_over,
     holt_fold_over,
     interval_union_islands,
@@ -85,7 +89,12 @@ __all__ = [
     "concurrency_over",
     "connected_components",
     "counter_increase_by_key",
+    "dec_scaled",
+    "dec_scaled_sql",
+    "dratio",
+    "dratio_sql",
     "dwell_by_type",
+    "ewma_fold_over",
     "exact_dedup_by_hash",
     "flaps_by_source",
     "gini_over",

@@ -13,7 +13,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.stable import dround, dround_sql
+from ..functions.stable import (
+    dec_scaled,
+    dec_scaled_sql,
+    dratio,
+    dratio_sql,
+    dround,
+    dround_sql,
+)
 from ..io import load_table
 from ..registry import query
 
@@ -278,3 +285,96 @@ def bpe_pairs_over(docs: DataFrame) -> DataFrame:
         "freq",
     )
     return pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+
+
+#: Cross-entropy keep-threshold for the unigram-LM quality filter, in
+#: nats. CCNet's protocol scores documents with a language-model
+#: perplexity and drops the worst tail; with the corpus's own unigram
+#: model the mean -ln p(w) lands around ln(vocab-weighted inverse
+#: frequency) — 8.0 splits the testdata corpus into a majority keep /
+#: minority drop mix at every SF (margin-audited: no doc sits near the
+#: boundary at float precision).
+_XENT_KEEP_MAX = 8.0
+
+
+@query(
+    "text_perplexity_unigram",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+), dw AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+), lm AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM dw GROUP BY w
+), lm2 AS (
+  SELECT w, cw, CAST(SUM(cw) OVER () AS BIGINT) AS total FROM lm
+), scored AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+         {dec_scaled_sql('d.c * -ln(CAST(l.cw AS DOUBLE) / l.total)')} AS nll_e6
+  FROM dw d JOIN lm2 l USING (w)
+  GROUP BY d.doc_id
+), x AS (
+  SELECT doc_id, n_tokens,
+         {dratio_sql('nll_e6', 'n_tokens')} AS xent
+  FROM scored
+)
+SELECT doc_id, n_tokens, xent,
+       {dround_sql('exp(xent)', 4)} AS ppl,
+       xent <= {_XENT_KEEP_MAX!r} AS keep
+FROM x
+""",
+)
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality filter (NORTH: the CCNet-style
+    "score every document against a language model, keep the fluent
+    tail" gate, with the corpus's own unigram model standing in for the
+    external KenLM — self-contained and still separates boilerplate/
+    repetitive docs from typical prose). Train and score in one plan:
+    per-(doc, word) counts → corpus word counts → P(w) = cw/total (MLE;
+    every scored token is in-vocabulary by construction, so no smoothing
+    term) → per-doc cross-entropy Σ c·(−ln p) / n_tokens and perplexity
+    exp(xent), keep = xent ≤ {_XENT_KEEP_MAX} nats.
+
+    Shape at scale: the (doc, word) pre-aggregation collapses repeated
+    words BEFORE the model join, so the join carries one row per
+    distinct word per doc, not one per token; the LM frame is
+    vocab-sized (grows ~log corpus), so the single-partition total
+    window is corpus-scale-safe (text_word_freq_zipf precedent) and the
+    model join auto-broadcasts under the threshold — beyond it, the
+    stopword-skewed join key is exactly what AQE skew-split handles.
+    Float discipline: each −ln p term is decimal-accumulated and the
+    per-doc mean is rounded with dratio's EXACT integer half-away — not
+    by rounding the double quotient, which diverges between engines with
+    probability ~1/n_tokens when a 6-decimal sum is divided by a small
+    integer (stable.py QUOTIENT hazard, discovered on THIS op: doc 147's
+    sum_nll/84 scaled to exactly 3397428.5). The exp() libm 1-ulp class
+    on the already-identical xent is absorbed by 4-decimal rounding
+    (tools/margin_audit.py category)."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    lm = dw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    lm2 = lm.withColumn(
+        "total", F.sum("cw").over(Window.partitionBy()).cast("long")
+    )
+    term = F.col("c") * -F.log(F.col("cw").cast("double") / F.col("total"))
+    scored = (
+        dw.join(lm2, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            dec_scaled(term).alias("nll_e6"),
+        )
+    )
+    xent = dratio(F.col("nll_e6"), F.col("n_tokens"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        xent.alias("xent"),
+        dround(F.exp(xent), 4).alias("ppl"),
+        (xent <= F.lit(_XENT_KEEP_MAX)).alias("keep"),
+    )

@@ -1077,3 +1077,132 @@ def holt_fold_over(
         dround("trend", 6).alias("trend"),
         dround("forecast_3", 6).alias("forecast_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Irregular-interval time-decay EWMA (NM: smoothed metric level that
+# forgets across quiet gaps — the alerting baseline for bursty series)
+# ---------------------------------------------------------------------------
+
+_EWMA_BUCKET_US = 60_000_000  # 1-minute reduce buckets
+_EWMA_HALF_LIFE_MIN = 60  # persistence halves per hour of silence
+_EWMA_KMAX = 60  # clamp: 2^-60 ~ 1e-18, and keeps the 1<<k shift in range
+
+
+@query(
+    "ts_ewma_timedecay",
+    oracle=f"""
+WITH RECURSIVE m AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // {_EWMA_BUCKET_US} AS BIGINT) AS mnum,
+         {dsum_sql('value')} AS v
+  FROM events GROUP BY event_type, mnum
+), seq AS (
+  SELECT event_type, mnum, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mnum) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot,
+         0.75 / CAST(CAST(1 AS BIGINT) << CAST(LEAST(
+             (mnum - LAG(mnum) OVER (PARTITION BY event_type ORDER BY mnum))
+               // {_EWMA_HALF_LIFE_MIN}, {_EWMA_KMAX}) AS INTEGER) AS DOUBLE) AS u
+  FROM m
+), ew(event_type, rn, n_tot, mnum, v, s) AS (
+  SELECT event_type, rn, n_tot, mnum, v, CAST(v AS DOUBLE)
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.event_type, q.rn, q.n_tot, q.mnum, q.v,
+         q.u * e.s + (1.0 - q.u) * q.v
+  FROM seq q JOIN ew e ON q.event_type = e.event_type AND q.rn = e.rn + 1
+)
+SELECT event_type, n_tot AS n_points, mnum AS last_minute,
+       {dround_sql('s', 6)} AS ewma,
+       {dround_sql('v', 6)} AS last_v
+FROM ew WHERE rn = n_tot
+""",
+)
+def ts_ewma_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular-interval time-decay EWMA per metric type (NM: the
+    smoothed level an alert compares against, where influence of the
+    past decays with ELAPSED TIME, not sample count — a series silent
+    for a day should barely remember last week). Recurrence over the
+    minute-reduced series: s_i = u·s_{{i-1}} + (1−u)·v_i with
+    u = 0.75·2^−k, k = gap_minutes // {_EWMA_HALF_LIFE_MIN} (clamped at
+    {_EWMA_KMAX}) — persistence halves per hour of silence.
+
+    Float discipline (deliberately libm-free, unlike the tempting
+    u = exp(−Δt/τ)): 2^−k via integer shift then division is an EXACT
+    binary scaling, 0.75 and 1−0.75·2^−k are exactly representable, so
+    the fold is only correctly-rounded IEEE ×/+ — bit-identical between
+    the Python sweep and the recursive-CTE oracle with no dependence on
+    whose exp() is 1 ulp off (the stable.py QUOTIENT-hazard lesson
+    applied prophylactically). Shape at scale: the raw scan reduces to
+    O(active minutes × types) before the fold; the sequential recursion
+    (ts_holt_forecast lever-7 precedent) runs partition-sorted
+    mapInPandas over that reduced frame only."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_EWMA_BUCKET_US}").alias("mnum"),
+    ).agg(dsum("value").alias("v"))
+    return ewma_fold_over(m)
+
+
+def ewma_fold_over(m: DataFrame) -> DataFrame:
+    """Time-decay EWMA fold kernel over a reduced series frame
+    ``(event_type, mnum, v)``: partition-sorted ``mapInPandas``
+    recurrence, returns ``(event_type, n_points, last_minute, ewma,
+    last_v)``. Factored out of ``ts_ewma_timedecay`` (holt_fold_over
+    convention) so the property suite can drive it with arbitrary series
+    against a straight-line Python reference."""
+    import pandas as pd
+
+    def _fold(pdf_iter):
+        out = {
+            "event_type": [], "n_points": [], "last_minute": [],
+            "ewma": [], "last_v": [],
+        }
+        cur = None
+        n = 0
+        last_m = 0
+        s = v = 0.0
+
+        def flush():
+            if cur is not None:
+                out["event_type"].append(cur)
+                out["n_points"].append(n)
+                out["last_minute"].append(last_m)
+                out["ewma"].append(s)
+                out["last_v"].append(v)
+
+        for pdf in pdf_iter:
+            for t, mn, vv in zip(
+                pdf["event_type"].values, pdf["mnum"].values, pdf["v"].values
+            ):
+                mn, vv = int(mn), float(vv)
+                if t != cur:
+                    flush()
+                    cur, n, last_m, s, v = t, 1, mn, vv, vv
+                else:
+                    n += 1
+                    k = min((mn - last_m) // _EWMA_HALF_LIFE_MIN, _EWMA_KMAX)
+                    u = 0.75 / (1 << k)
+                    s = u * s + (1.0 - u) * vv
+                    last_m, v = mn, vv
+        flush()
+        yield pd.DataFrame(out)
+
+    folded = (
+        m.repartition("event_type")
+        .sortWithinPartitions("event_type", "mnum")
+        .mapInPandas(
+            _fold,
+            schema="event_type string, n_points long, last_minute long, "
+            "ewma double, last_v double",
+        )
+    )
+    return folded.select(
+        "event_type",
+        "n_points",
+        "last_minute",
+        dround("ewma", 6).alias("ewma"),
+        dround("last_v", 6).alias("last_v"),
+    )

@@ -895,3 +895,147 @@ def test_simhash_banding_is_lossless_on_random_corpora(data):
             if hm <= SIMHASH_MAX_HAMMING:
                 want.add((i, j, hm))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dratio: exact half-away decimal-ratio rounding (stable.py QUOTIENT hazard)
+# ---------------------------------------------------------------------------
+
+
+def _half_away_ref(n_scaled: int, den: int, round_to: int, in_scale: int) -> float:
+    """Straight-line reference: round-half-away-from-zero of the exact
+    rational (n_scaled·10^-in_scale)/den at round_to decimals, in exact
+    integer arithmetic via Fraction."""
+    from fractions import Fraction
+
+    q = Fraction(abs(n_scaled), den * 10 ** (in_scale - round_to))
+    whole, rem = divmod(q.numerator, q.denominator)
+    if 2 * rem >= q.denominator:
+        whole += 1
+    sign = -1 if n_scaled < 0 else 1
+    return sign * whole / 10**round_to
+
+
+@settings(
+    max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**13), max_value=10**13),
+            st.integers(min_value=1, max_value=10**7),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_dratio_matches_exact_rational(pairs, round_to):
+    """dratio (Spark) and dratio_sql (DuckDB) both equal the exact
+    Fraction-based half-away reference — INCLUDING planted .5-boundary
+    cases, where rounding the double quotient diverges between engines
+    (the doc-147 bug this helper exists to kill)."""
+    import duckdb
+
+    from storm_netmonitor_spark.functions.stable import dratio, dratio_sql
+
+    # plant an exact boundary case alongside the random ones:
+    # N ≡ den/2 (mod den) with even den → quotient scaled lands on x.5
+    pairs = list(pairs) + [(3397428 * 84 + 42, 84), (-(3397428 * 84 + 42), 84)]
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(pairs)], "i long, n long, d long"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", dratio(F.col("n"), F.col("d"), round_to).alias("out")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (n, d) in enumerate(pairs):
+        want = _half_away_ref(n, d, round_to, 6)
+        assert got[i] == want, f"spark dratio({n},{d},{round_to}): {got[i]} != {want}"
+        (duck,) = con.execute(
+            f"SELECT {dratio_sql(str(n), str(d), round_to)}"
+        ).fetchone()
+        assert duck == want, f"duck dratio({n},{d},{round_to}): {duck} != {want}"
+    con.close()
+
+
+def test_dratio_doc147_regression():
+    """The measured round-6 divergence: sum_nll=285.383994 over 84 tokens
+    scales to exactly 3397428.5 — DuckDB's double→DECIMAL cast said
+    3.397429 while Spark's string-path cast said 3.397428. dratio must
+    give the half-away answer 3.397429 in BOTH engines."""
+    import duckdb
+
+    from storm_netmonitor_spark.functions.stable import dratio, dratio_sql
+
+    spark = _spark()
+    df = spark.createDataFrame([(285383994, 84)], "n long, d long")
+    (row,) = df.select(dratio(F.col("n"), F.col("d"), 6).alias("x")).collect()
+    assert row["x"] == 3.397429
+    con = duckdb.connect()
+    (duck,) = con.execute(f"SELECT {dratio_sql('285383994', '84', 6)}").fetchone()
+    con.close()
+    assert duck == 3.397429
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50_000),  # minute number
+            st.floats(
+                min_value=-1e4, max_value=1e4, allow_nan=False, width=64
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_fold_matches_scalar_reference(points):
+    """ewma_fold_over equals a straight-line scalar recurrence — exact
+    equality, because the fold is libm-free (powers of two only)."""
+    from storm_netmonitor_spark.operators.events_analytics import (
+        _EWMA_HALF_LIFE_MIN,
+        _EWMA_KMAX,
+        ewma_fold_over,
+    )
+
+    # dedupe minutes (reduce step guarantees unique mnum per key), 2 keys
+    series = {}
+    for i, (mn, v) in enumerate(points):
+        series.setdefault(("a" if i % 2 else "b"), {})[mn] = round(v, 2)
+
+    rows, want = [], {}
+    for key, pts in series.items():
+        s = v = 0.0
+        last = None
+        for mn in sorted(pts):
+            v = pts[mn]
+            rows.append((key, mn, v))
+            if last is None:
+                s = v
+            else:
+                k = min((mn - last) // _EWMA_HALF_LIFE_MIN, _EWMA_KMAX)
+                u = 0.75 / (1 << k)
+                s = u * s + (1.0 - u) * v
+            last = mn
+        want[key] = (len(pts), last, s, v)
+
+    spark = _spark()
+    m = spark.createDataFrame(rows, "event_type string, mnum long, v double")
+    got = {
+        r["event_type"]: (r["n_points"], r["last_minute"], r["ewma"], r["last_v"])
+        for r in ewma_fold_over(m).collect()
+    }
+    for key, (n, last, s, v) in want.items():
+        gn, gl, gs, gv = got[key]
+        assert (gn, gl) == (n, last)
+        assert gs == round(s, 6) or abs(gs - s) < 1e-6, (key, gs, s)
+        assert abs(gv - v) < 1e-9
