@@ -844,3 +844,162 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _dot_arrays(q_emb, F.col("embedding")).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (NORTH: dedup-aware top-k — the re-ranking that
+# keeps a retrieved training batch from being 8 copies of the same document)
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 20  # relevance shortlist (exact brute-force top-k baseline)
+_MMR_PICK = 8  # diversified picks emitted
+#: trade-off weight: score = 0.75·rel − 0.25·max-sim-to-selected. 0.75 and
+#: 0.25 are EXACT binary doubles, so the score arithmetic is two correctly
+#: rounded IEEE ops on identical inputs — bit-equal across engines.
+_MMR_LAMBDA = 0.75
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy-argmax MMR in SQL (the ts_downsample_lttb unrolled-
+    recursion precedent): step i picks the (mmr_score DESC, vec_id) argmax
+    among candidates not yet selected, penalized by MAX sim to the
+    selected set so far."""
+    steps = ["""
+s1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS pick_order, vec_id, rel, rel AS mmr_score
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+), sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""]
+    for i in range(2, _MMR_PICK + 1):
+        steps.append(f"""
+s{i} AS MATERIALIZED (
+  SELECT CAST({i} AS BIGINT) AS pick_order, c.vec_id, c.rel,
+         CAST({_MMR_LAMBDA!r} AS DOUBLE) * c.rel
+           - CAST({1.0 - _MMR_LAMBDA!r} AS DOUBLE) * MAX(m.sim) AS mmr_score
+  FROM cand c
+  JOIN sims m ON m.a_id = c.vec_id AND m.b_id IN (SELECT vec_id FROM sel{i - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY c.vec_id, c.rel
+  ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+), sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}" for i in range(1, _MMR_PICK + 1))
+    return f"""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS qx
+  FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+  FROM embeddings WHERE vec_id <> 0
+), dots AS (
+  SELECT vec_id, {_DOT_SUM_SQL} AS cos_sim
+  FROM (SELECT vec_id, CAST(e.x AS DOUBLE) * CAST(q.qx AS DOUBLE) AS px
+        FROM e JOIN q USING (pos))
+  GROUP BY vec_id
+), cand AS MATERIALIZED (
+  SELECT vec_id, cos_sim AS rel FROM dots
+  ORDER BY cos_sim DESC, vec_id LIMIT {_MMR_CAND}
+), cx AS (
+  SELECT em.vec_id AS id, generate_subscripts(em.embedding, 1) AS pos,
+         unnest(em.embedding) AS x
+  FROM embeddings em JOIN cand c ON em.vec_id = c.vec_id
+), sims AS MATERIALIZED (
+  SELECT a_id, b_id, {_DOT_SUM_SQL.replace('px', 'sx')} AS sim
+  FROM (SELECT a.id AS a_id, b.id AS b_id,
+               CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS sx
+        FROM cx a JOIN cx b ON a.pos = b.pos AND a.id <> b.id)
+  GROUP BY a_id, b_id
+), {','.join(steps)}
+{union}
+"""
+
+
+@query("vec_mmr_diversify", oracle=_mmr_oracle())
+def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of the vec_id=0 query's top-{_MMR_CAND} cosine shortlist: greedily pick
+    {_MMR_PICK} items maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-picked — the dedup-aware retrieval every curation pipeline
+    wants when brute top-k returns near-copies (NORTH: similarity search
+    as a first-class training-data op).
+
+    Float discipline: rel and pairwise sims are decimal-dot 6-decimal
+    doubles (identical across engines); λ = 0.75 and 1−λ = 0.25 are exact
+    binary, so each greedy score is two correctly-rounded IEEE ops on
+    identical inputs — the emitted mmr_score is BIT-IDENTICAL raw, not
+    dround-ed: 0.75a−0.25b over 6-decimal inputs lands on a 1e-6 rounding
+    boundary with probability ~1/4 (×10^6 it is (3A−B)/4), exactly the
+    stable.py QUOTIENT-hazard shape, so rounding it would CREATE the
+    cross-engine divergence it usually prevents.
+
+    Shape at scale: the shortlist is the brute-force knn kernel (broadcast
+    query, row-local decimal dot, TakeOrderedAndProject); everything after
+    operates on the CONSTANT-size candidate set (≤{_MMR_CAND} rows /
+    ≤{_MMR_CAND}² sims) — the greedy recursion is O(k²·pick) driver-free
+    work in one Python task, independent of corpus size. The ANN scale
+    path (vec_ann_ivf/lsh) slots in as the shortlist source unchanged."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = knn_cosine(e, 0, _MMR_CAND).select(
+        "vec_id", F.col("cos_sim").alias("rel")
+    )
+    ce = e.join(F.broadcast(cand.select("vec_id")), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    pa = _pos_explode(ce, "vec_id").withColumnRenamed("vec_id", "a_id")
+    pb = (
+        _pos_explode(ce, "vec_id")
+        .withColumnRenamed("vec_id", "b_id")
+        .withColumnRenamed("x", "y")
+    )
+    sims = (
+        pa.join(pb, "pos")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", (F.col("x") * F.col("y")).alias("px"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.round(F.sum(F.col("px").cast(_DOT_DEC)), 6)
+            .cast("double")
+            .alias("sim")
+        )
+    )
+    kf = sims.join(F.broadcast(cand), sims.a_id == cand.vec_id).select(
+        "a_id", "rel", "b_id", "sim"
+    )
+
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+
+    def _greedy(pdf_iter):
+        rel: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for pdf in pdf_iter:
+            for a, r, b, s in zip(
+                pdf["a_id"].values, pdf["rel"].values,
+                pdf["b_id"].values, pdf["sim"].values,
+            ):
+                rel[int(a)] = float(r)
+                sim[(int(a), int(b))] = float(s)
+        out = {"pick_order": [], "vec_id": [], "rel": [], "mmr_score": []}
+        selected: list[int] = []
+        remaining = dict(rel)
+        while remaining and len(selected) < _MMR_PICK:
+            best_id, best_score = None, None
+            for c in sorted(remaining):
+                if not selected:
+                    score = remaining[c]
+                else:
+                    ms = max(sim[(c, s)] for s in selected)
+                    score = lam * remaining[c] - mu * ms
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            out["pick_order"].append(len(selected))
+            out["vec_id"].append(best_id)
+            out["rel"].append(rel[best_id])
+            out["mmr_score"].append(best_score)
+            del remaining[best_id]
+        yield pd.DataFrame(out)
+
+    return kf.coalesce(1).mapInPandas(
+        _greedy,
+        schema="pick_order long, vec_id long, rel double, mmr_score double",
+    )
