@@ -16,7 +16,7 @@ also what makes them reproducible on a 1000-executor cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import (
     DEC,
@@ -597,3 +597,111 @@ def agg_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (NM: "the typical order line, weighted by volume" —
+# the robust center approx_percentile can only approximate)
+# ---------------------------------------------------------------------------
+
+#: cent-band width for the two-level prefix sum: within-band cumulative
+#: weights run under a (flag, band) keyed window; cross-band carries come
+#: from the O(bands) aggregate — no per-flag single-partition global scan.
+_WMED_BAND_CENTS = 100_000  # $1,000 bands
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH wp AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT flag, cents, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tot
+  FROM wp
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cw >= tot THEN cents END) AS DOUBLE) / 100.0
+         AS weighted_median,
+       CAST(MAX(tot) AS BIGINT) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_prices
+FROM cum
+GROUP BY flag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median extended price per return flag: the
+    smallest price whose cumulative quantity weight reaches half the
+    total — all integer arithmetic (prices cent-quantized, quantities
+    integral), so exact and engine-identical with no percentile
+    interpolation convention to match.
+
+    Shape at scale (the events_concurrency_peak two-level discipline,
+    applied because a PARTITION BY flag global cumulative window has only
+    |flags| partitions — a 3-reducer skew wall at 100 TB): (1) map-side
+    pre-agg to the distinct (flag, cents) frame; (2) within-band running
+    sums under a (flag, band) keyed window — parallelism = flags × bands;
+    (3) cross-band carry offsets from a running sum over the O(bands)
+    aggregate, broadcast back; (4) the half-weight threshold pick is one
+    keyed agg. The oracle's single window is the same math on the same
+    reduced frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wp = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("q").alias("w"))
+        .withColumn("band", F.expr(f"cents div {_WMED_BAND_CENTS}"))
+        # one scan of the fact table, not three: the local/offsets/tot
+        # branches diamond off this frame, and it is BOUNDED (distinct
+        # (flag, cents) ≤ |flags|·10^7 regardless of corpus size) — the
+        # join_skew_aqe materialize-the-reduced-frame precedent
+        .localCheckpoint()
+    )
+    win_local = (
+        Window.partitionBy("flag", "band")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = wp.withColumn("run_local", F.sum("w").over(win_local))
+    carry_w = (
+        Window.partitionBy("flag").orderBy("band").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    offsets = (
+        wp.groupBy("flag", "band")
+        .agg(F.sum("w").alias("band_total"))
+        .select(
+            "flag",
+            "band",
+            F.coalesce(F.sum("band_total").over(carry_w), F.lit(0)).alias(
+                "offset"
+            ),
+        )
+    )
+    tot = wp.groupBy("flag").agg(F.sum("w").alias("tot"))
+    cum = (
+        local.join(F.broadcast(offsets), ["flag", "band"])
+        .withColumn("cw", F.col("offset") + F.col("run_local"))
+        .join(F.broadcast(tot), "flag")
+    )
+    return cum.groupBy("flag").agg(
+        (
+            F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cents")))
+            .cast("double")
+            / 100.0
+        ).alias("weighted_median"),
+        F.max("tot").cast("long").alias("total_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_prices"),
+    ).withColumnRenamed("flag", "l_returnflag")
