@@ -32,6 +32,7 @@ _MODULES = (
     "extensions3",
     "extensions4",
     "scale_probes",
+    "quality",
 )
 
 
