@@ -289,12 +289,12 @@ def bpe_pairs_over(docs: DataFrame) -> DataFrame:
 
 #: Cross-entropy keep-threshold for the unigram-LM quality filter, in
 #: nats. CCNet's protocol scores documents with a language-model
-#: perplexity and drops the worst tail; with the corpus's own unigram
-#: model the mean -ln p(w) lands around ln(vocab-weighted inverse
-#: frequency) — 8.0 splits the testdata corpus into a majority keep /
-#: minority drop mix at every SF (margin-audited: no doc sits near the
-#: boundary at float precision).
-_XENT_KEEP_MAX = 8.0
+#: perplexity and drops the worst (least fluent) tail; the corpus's own
+#: unigram model puts docs at xent ≈ 3.38–3.72, and 3.52 drops the ~1%
+#: worst tail at every SF with a ≥6e-3 margin to the nearest doc
+#: (tools/margin_audit.py pins it — xent is engine-identical exact, so
+#: the margin only guards testdata regeneration, not float error).
+_XENT_KEEP_MAX = 3.52
 
 
 @query(

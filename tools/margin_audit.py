@@ -38,6 +38,9 @@ from storm_netmonitor_spark.operators.corpus import (  # noqa: E402
     SEMDEDUP_K_MIN,
     SEMDEDUP_TAU,
 )
+from storm_netmonitor_spark.operators.corpus2 import (  # noqa: E402
+    _XENT_KEEP_MAX,
+)
 from storm_netmonitor_spark.operators.vectors import (  # noqa: E402
     IVF_ITERS,
     IVF_K,
@@ -183,6 +186,59 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
                      "weakest true pair's Jaccard (≥0.7 required; 0.7-0.95 "
                      "→ re-verify op==oracle at this SF)",
                      weakest, weakest >= 0.7))
+
+    # --- text_perplexity_unigram: the only r6 float op whose two
+    # renderings do NOT share bit-identical inputs — each c·(−ln p) term
+    # is computed by the ENGINE's libm before the decimal-6 cast, so a
+    # term within ~1 ulp of a .5 boundary at the 6th decimal could round
+    # apart (the dratio fix removed the QUOTIENT hazard downstream; this
+    # audits the remaining per-term one). Also: keep-threshold and
+    # ppl-4-decimal rounding margins.
+    from collections import Counter
+
+    doc_rows = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    dw: dict[int, Counter] = {}
+    lm: Counter = Counter()
+    for r in doc_rows:
+        c = Counter(w for w in r["text"].lower().split(" ") if w)
+        dw[r["doc_id"]] = c
+        lm.update(c)
+    total = sum(lm.values())
+    term_margin = math.inf
+    keep_margin = math.inf
+    ppl_margin = math.inf
+    for d, c in dw.items():
+        n_sum = 0
+        for w, k in c.items():
+            t = k * -math.log(lm[w] / total)
+            scaled = t * 1e6
+            term_margin = min(
+                term_margin, abs(scaled - math.floor(scaled) - 0.5)
+            )
+            n_sum += int(math.floor(scaled + 0.5))
+        n_tok = sum(c.values())
+        # dratio's exact half-away integer rounding of n_sum/(n_tok·1e6)
+        a = 2 * abs(n_sum) + n_tok
+        xent = ((a - a % (2 * n_tok)) // (2 * n_tok)) / 1e6
+        keep_margin = min(keep_margin, abs(xent - _XENT_KEEP_MAX))
+        pscaled = math.exp(xent) * 1e4
+        ppl_margin = min(
+            ppl_margin, abs(pscaled - math.floor(pscaled) - 0.5)
+        )
+    rows.append(("text_perplexity_unigram",
+                 "min nll-term distance to a decimal-6 .5 boundary "
+                 "(scaled units; libm 1-ulp ≈ 1e-10 here)",
+                 term_margin, term_margin >= 1e-4))
+    rows.append(("text_perplexity_unigram",
+                 "min |xent - keep threshold| (engine-identical exact; "
+                 "guards regeneration only)",
+                 keep_margin, keep_margin >= 1e-6))
+    rows.append(("text_perplexity_unigram",
+                 "min ppl·1e4 distance to a .5 rounding boundary "
+                 "(scaled units)",
+                 ppl_margin, ppl_margin >= 1e-4))
     return rows
 
 
