@@ -15,7 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import davg_sql, dsum_sql
+from ..functions.stable import davg_sql, dratio, dsum_sql
 from ..io import load_table
 from ..registry import query
 
@@ -89,14 +89,16 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_v").alias("max_value"),
         )
     )
-    total_double = F.col("sum_dec").cast("double")
     return merged.select(
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round(F.col("sum_dec"), 2).cast("double").alias("total_value"),
         "min_value",
         "max_value",
-        F.round((total_double / F.col("n_events")).cast(_DEC), 6)
-        .cast("double")
-        .alias("avg_value"),
+        # dratio over the EXACT scaled merged sum — matches the davg_sql
+        # oracle term; the old round-the-double-quotient form diverges at
+        # 1/count-rate boundaries (stable.py QUOTIENT hazard)
+        dratio(
+            (F.col("sum_dec") * 1000000).cast("long"), F.col("n_events"), 6
+        ).alias("avg_value"),
     )

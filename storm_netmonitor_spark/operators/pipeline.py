@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.stable import davg_sql, dsum_sql, ts_str, ts_str_sql
+from ..functions.stable import davg, davg_sql, dsum_sql, ts_str, ts_str_sql
 from ..io import load_table
 from ..registry import query
 
@@ -325,14 +325,8 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy(_split_col().alias("split"), "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        (
-            F.round(
-                (
-                    F.sum(F.col("n_chars").cast("double").cast("decimal(28,6)"))
-                    .cast("double")
-                    / F.count("n_chars")
-                ).cast("decimal(28,6)"),
-                6,
-            ).cast("double")
-        ).alias("avg_chars"),
+        # davg = dratio exact half-away (matches the davg_sql oracle term;
+        # the old round-the-double-quotient form diverges at 1/count-rate
+        # boundaries — stable.py QUOTIENT hazard)
+        davg("n_chars", 6).alias("avg_chars"),
     )
