@@ -49,12 +49,12 @@ Vectors (input: ``vec_id, embedding[, label]`` frames):
 from __future__ import annotations
 
 from .functions.stable import dec_scaled, dec_scaled_sql, dratio, dratio_sql
-from .operators.aggregations import approx_distinct_estimates
+from .operators.aggregations import approx_distinct_estimates, weighted_median_over
 from .operators.corpus import connected_components, semantic_dedup_summary
 from .operators.extras import approx_quantile_estimates
 from .operators.surface import hll_sketch_estimates
 from .streaming.windows import stream_distinct_estimates
-from .operators.vectors import knn_cosine, near_dup_cosine_pairs
+from .operators.vectors import knn_cosine, mmr_diversify_over, near_dup_cosine_pairs
 from .operators.text import (
     exact_dedup_by_hash,
     minhash_signatures,
@@ -82,6 +82,7 @@ from .operators.extensions4 import (
 )
 
 __all__ = [
+    "weighted_median_over",
     "approx_distinct_estimates",
     "approx_quantile_estimates",
     "burn_rate_over",
@@ -104,6 +105,7 @@ __all__ = [
     "knn_cosine",
     "lttb_select",
     "minhash_signatures",
+    "mmr_diversify_over",
     "near_dup_cosine_pairs",
     "near_dup_minhash_pairs",
     "near_dup_simhash_pairs",

@@ -661,13 +661,31 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("flag", "cents")
         .agg(F.sum("q").alias("w"))
-        .withColumn("band", F.expr(f"cents div {_WMED_BAND_CENTS}"))
         # one scan of the fact table, not three: the local/offsets/tot
         # branches diamond off this frame, and it is BOUNDED (distinct
         # (flag, cents) ≤ |flags|·10^7 regardless of corpus size) — the
         # join_skew_aqe materialize-the-reduced-frame precedent
         .localCheckpoint()
     )
+    out = weighted_median_over(wp)
+    return out.select(
+        F.col("flag").alias("l_returnflag"),
+        (F.col("median_cents").cast("double") / 100.0).alias(
+            "weighted_median"
+        ),
+        F.col("tot").alias("total_qty"),
+        F.col("n_prices"),
+    )
+
+
+def weighted_median_over(wp: DataFrame) -> DataFrame:
+    """Two-level weighted-median kernel over a reduced ``(flag, cents,
+    w)`` frame: within-band running weights + broadcast cross-band
+    carries, then the half-weight threshold pick. Returns ``(flag,
+    median_cents, tot, n_prices)``. Factored out of ``agg_weighted_median``
+    (holt_fold_over convention) so the property suite can drive it with
+    arbitrary weighted values against a scalar reference."""
+    wp = wp.withColumn("band", F.expr(f"cents div {_WMED_BAND_CENTS}"))
     win_local = (
         Window.partitionBy("flag", "band")
         .orderBy("cents")
@@ -697,11 +715,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot), "flag")
     )
     return cum.groupBy("flag").agg(
-        (
-            F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cents")))
-            .cast("double")
-            / 100.0
-        ).alias("weighted_median"),
-        F.max("tot").cast("long").alias("total_qty"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cents")))
+        .cast("long")
+        .alias("median_cents"),
+        F.max("tot").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("n_prices"),
-    ).withColumnRenamed("flag", "l_returnflag")
+    )

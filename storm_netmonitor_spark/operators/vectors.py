@@ -936,10 +936,23 @@ def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤{_MMR_CAND}² sims) — the greedy recursion is O(k²·pick) driver-free
     work in one Python task, independent of corpus size. The ANN scale
     path (vec_ann_ivf/lsh) slots in as the shortlist source unchanged."""
+    return mmr_diversify_over(load_table(spark, sf_dir, "embeddings"))
+
+
+def mmr_diversify_over(
+    e: DataFrame,
+    query_id: int = 0,
+    n_cand: int = _MMR_CAND,
+    n_pick: int = _MMR_PICK,
+) -> DataFrame:
+    """MMR kernel over a ``(vec_id, embedding)`` frame: exact cosine
+    shortlist, pairwise decimal sims, greedy λ-penalized selection in one
+    Python task. Factored out of ``vec_mmr_diversify`` (holt_fold_over
+    convention) so the property suite can drive it with arbitrary frames
+    against a straight-line greedy reference."""
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cand = knn_cosine(e, 0, _MMR_CAND).select(
+    cand = knn_cosine(e, query_id, n_cand).select(
         "vec_id", F.col("cos_sim").alias("rel")
     )
     ce = e.join(F.broadcast(cand.select("vec_id")), "vec_id").select(
@@ -981,7 +994,7 @@ def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = {"pick_order": [], "vec_id": [], "rel": [], "mmr_score": []}
         selected: list[int] = []
         remaining = dict(rel)
-        while remaining and len(selected) < _MMR_PICK:
+        while remaining and len(selected) < n_pick:
             best_id, best_score = None, None
             for c in sorted(remaining):
                 if not selected:

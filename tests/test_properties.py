@@ -1039,3 +1039,156 @@ def test_ewma_fold_matches_scalar_reference(points):
         assert (gn, gl) == (n, last)
         assert gs == round(s, 6) or abs(gs - s) < 1e-6, (key, gs, s)
         assert abs(gv - v) < 1e-9
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(st.data())
+def test_mmr_kernel_matches_greedy_reference(data):
+    """mmr_diversify_over equals a straight-line greedy MMR over exact
+    6-decimal rel/sim values computed from the same embeddings."""
+    import numpy as np
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from storm_netmonitor_spark.operators.vectors import mmr_diversify_over
+
+    n = data.draw(st.integers(min_value=4, max_value=12))
+    dim = 8
+    rng_ints = data.draw(
+        st.lists(
+            st.integers(min_value=-50, max_value=50),
+            min_size=(n + 1) * dim,
+            max_size=(n + 1) * dim,
+        )
+    )
+    vecs = np.array(rng_ints, dtype=np.float64).reshape(n + 1, dim)
+    # unit-normalize (zero rows nudged) so cosine == dot, like the corpus
+    for i in range(n + 1):
+        nrm = float(np.sqrt(vecs[i] @ vecs[i]))
+        vecs[i] = vecs[i] / (nrm or 1.0)
+
+    def d6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    rel = {i: d6(float(vecs[i] @ vecs[0])) for i in range(1, n + 1)}
+    n_cand = min(6, n)
+    shortlist = sorted(rel, key=lambda i: (-rel[i], i))[:n_cand]
+    sim = {
+        (a, b): d6(float(vecs[a] @ vecs[b]))
+        for a in shortlist
+        for b in shortlist
+        if a != b
+    }
+    want = []
+    remaining = {i: rel[i] for i in shortlist}
+    selected = []
+    n_pick = min(4, n_cand)
+    while remaining and len(selected) < n_pick:
+        best, bs = None, None
+        for c in sorted(remaining):
+            if not selected:
+                sc = remaining[c]
+            else:
+                sc = 0.75 * remaining[c] - 0.25 * max(
+                    sim[(c, s)] for s in selected
+                )
+            if bs is None or sc > bs:
+                best, bs = c, sc
+        selected.append(best)
+        want.append((len(selected), best, rel[best], bs))
+        del remaining[best]
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n + 1)],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: recompute reference rel/sim from the float32 cast
+    import pandas as pd  # noqa: F401
+    f32 = np.array([np.array(v, dtype=np.float32) for v in vecs])
+    rel = {i: d6(float(np.float64(f32[i]) @ np.float64(f32[0]))) for i in range(1, n + 1)}
+    shortlist = sorted(rel, key=lambda i: (-rel[i], i))[:n_cand]
+    sim = {
+        (a, b): d6(float(np.float64(f32[a]) @ np.float64(f32[b])))
+        for a in shortlist for b in shortlist if a != b
+    }
+    want = []
+    remaining = {i: rel[i] for i in shortlist}
+    selected = []
+    while remaining and len(selected) < n_pick:
+        best, bs = None, None
+        for c in sorted(remaining):
+            if not selected:
+                sc = remaining[c]
+            else:
+                sc = 0.75 * remaining[c] - 0.25 * max(
+                    sim[(c, s)] for s in selected
+                )
+            if bs is None or sc > bs:
+                best, bs = c, sc
+        selected.append(best)
+        want.append((len(selected), best, rel[best], bs))
+        del remaining[best]
+
+    got = [
+        (r["pick_order"], r["vec_id"], r["rel"], r["mmr_score"])
+        for r in mmr_diversify_over(df, 0, n_cand, n_pick)
+        .orderBy("pick_order")
+        .collect()
+    ]
+    assert [(o, v) for o, v, _, _ in got] == [(o, v) for o, v, _, _ in want]
+    for (_, _, gr, gs), (_, _, wr, ws) in zip(got, want):
+        assert abs(gr - wr) < 2e-6 and abs(gs - ws) < 2e-6
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=1, max_value=500_000),  # cents
+            st.integers(min_value=1, max_value=40),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_median_kernel_matches_scalar_reference(rows):
+    """weighted_median_over equals the textbook definition: smallest value
+    whose cumulative weight reaches half the total — including values that
+    straddle band boundaries of the two-level prefix sum."""
+    from collections import defaultdict
+
+    from storm_netmonitor_spark.operators.aggregations import (
+        weighted_median_over,
+    )
+
+    agg = defaultdict(lambda: defaultdict(int))
+    for f, c, w in rows:
+        agg[f][c] += w
+    want = {}
+    for f, cw in agg.items():
+        tot = sum(cw.values())
+        run = 0
+        med = None
+        for c in sorted(cw):
+            run += cw[c]
+            if 2 * run >= tot and med is None:
+                med = c
+        want[f] = (med, tot, len(cw))
+
+    spark = _spark()
+    wp = spark.createDataFrame(
+        [(f, c, w) for f, cw in agg.items() for c, w in cw.items()],
+        "flag string, cents long, w long",
+    )
+    got = {
+        r["flag"]: (r["median_cents"], r["tot"], r["n_prices"])
+        for r in weighted_median_over(wp).collect()
+    }
+    assert got == want
