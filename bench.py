@@ -75,6 +75,11 @@ EXTRA_REPORTED = [
     # round-6 §2.U scale probes
     "join_skew_aqe",  # AQE skew-split join (materializes inside the call)
     "stress_scale_replicate",  # 10x codegen explode fan-out + map-side collapse
+    # round-6 depth additions
+    "text_perplexity_unigram",  # unigram-LM quality gate (model join + dratio)
+    "vec_mmr_diversify",  # knn shortlist + constant-size greedy re-rank
+    "agg_weighted_median",  # two-level prefix sum over the cent frame
+    "incremental_join_view",  # bilinear-delta join maintenance (3 delta joins)
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -91,6 +96,12 @@ RERUN_FULL = {
     # the skew demo materializes under its scoped AQE confs inside the
     # call; collect() on the returned frame is a checkpoint read
     "join_skew_aqe",
+    # the cent-frame localCheckpoint materializes at build — timing only
+    # collect() would skip the fact scan + pre-agg
+    "agg_weighted_median",
+    # steady-state refresh = the three delta joins (base partials cached
+    # per session by design); rebuild per sample to time that refresh
+    "incremental_join_view",
 }
 
 WARMUPS = 1
