@@ -82,7 +82,6 @@ from .operators.extensions4 import (
 )
 
 __all__ = [
-    "weighted_median_over",
     "approx_distinct_estimates",
     "approx_quantile_estimates",
     "burn_rate_over",
@@ -116,4 +115,5 @@ __all__ = [
     "semantic_dedup_summary",
     "step_changepoint_over",
     "stream_distinct_estimates",
+    "weighted_median_over",
 ]

@@ -518,3 +518,125 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey < 100
         """
     )
+
+
+#: nearest-asof tolerance: candidates farther than 6 h are no match —
+#: chosen so at every SF some events match backward, some forward, and
+#: some not at all (all three branches hashed).
+_ASOF_NEAR_TOL_US = 21_600_000_000
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT e.event_id, e.user_id, e.ts, p.ts AS bts, p.value AS bval
+  FROM events e
+  ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+), f AS (
+  SELECT e.event_id, p.ts AS fts, p.value AS fval
+  FROM events e
+  ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts < p.ts
+), j AS (
+  SELECT b.event_id, b.user_id, b.ts,
+         CASE WHEN b.bts IS NOT NULL
+                AND epoch_us(b.ts) - epoch_us(b.bts) <= {_ASOF_NEAR_TOL_US}
+              THEN epoch_us(b.ts) - epoch_us(b.bts) END AS db,
+         CASE WHEN f.fts IS NOT NULL
+                AND epoch_us(f.fts) - epoch_us(b.ts) <= {_ASOF_NEAR_TOL_US}
+              THEN epoch_us(f.fts) - epoch_us(b.ts) END AS df,
+         b.bval, f.fval
+  FROM b JOIN f USING (event_id)
+)
+SELECT event_id, user_id, {ts_str_sql('ts')} AS ts_s,
+       CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+            THEN {dround_sql('bval')}
+            WHEN df IS NOT NULL THEN {dround_sql('fval')} END
+         AS near_purchase_value,
+       CAST(CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df) THEN db
+                 WHEN df IS NOT NULL THEN df END AS BIGINT) AS delta_us,
+       CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df) THEN 'backward'
+            WHEN df IS NOT NULL THEN 'forward' END AS direction
+FROM j
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=...)`` semantics — the
+    as-of family member ``join_asof``'s backward-only pass can't express):
+    each event pairs with the SAME user's closest purchase within 6 h,
+    past or future, ties to the past.
+
+    Spark-first shape: both direction candidates come from ONE
+    union-tag-window pass — the backward running-last and the forward
+    running-first share the same (user_id, (ts, side)) exchange + sort,
+    so Catalyst plans a single shuffle with two window frames over it
+    (the join_asof trick, run both ways); the nearest/tolerance pick is a
+    row-local CASE. Same-ts purchases sort before their event (side
+    flag), so Δ=0 matches resolve backward, exactly like the oracle's
+    ASOF `>=`/`<` pair. Linear at scale — never a range self-join."""
+    e = load_table(spark, sf_dir, "events")
+    tus = F.expr("unix_micros(ts)")
+    left = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        tus.alias("tus"),
+        F.lit(1).alias("side"),
+        F.lit(None)
+        .cast("struct<pts:bigint,pval:double>")
+        .alias("p"),
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        tus.alias("tus"),
+        F.lit(0).alias("side"),
+        F.struct(
+            tus.alias("pts"), F.col("value").alias("pval")
+        ).alias("p"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = (
+        left.unionByName(right)
+        .withColumn("bp", F.last("p", ignorenulls=True).over(wb))
+        .withColumn("fp", F.first("p", ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+    )
+    db0 = F.col("tus") - F.col("bp.pts")
+    df0 = F.col("fp.pts") - F.col("tus")
+    db = F.when(
+        F.col("bp").isNotNull() & (db0 <= _ASOF_NEAR_TOL_US), db0
+    )
+    df_ = F.when(
+        F.col("fp").isNotNull() & (df0 <= _ASOF_NEAR_TOL_US), df0
+    )
+    take_b = db.isNotNull() & (df_.isNull() | (db <= df_))
+    take_f = ~take_b & df_.isNotNull()
+    return u.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts_s"),
+        F.when(take_b, dround("bp.pval"))
+        .when(take_f, dround("fp.pval"))
+        .alias("near_purchase_value"),
+        F.when(take_b, db)
+        .when(take_f, df_)
+        .cast("long")
+        .alias("delta_us"),
+        F.when(take_b, F.lit("backward"))
+        .when(take_f, F.lit("forward"))
+        .alias("direction"),
+    )

@@ -600,3 +600,139 @@ def stream_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(partials_dir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_expectations_gate — LIVE data-contract monitoring (the streaming
+# twin of pipeline_expectations_gate: violation counters that merge
+# exactly in any batch-arrival order)
+# ---------------------------------------------------------------------------
+
+#: value range contract for the live gate — the upper bound sits inside
+#: the observed distribution so the range expectation FAILS with a real
+#: count while the other expectations pass (both outcomes hashed).
+_SEG_VALUE_MAX = 250.0
+_SEG_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "stream_expectations_gate",
+    oracle=f"""
+WITH stats AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_user,
+    CAST(COUNT(CASE WHEN event_type NOT IN {_SEG_TYPES!r} THEN 1 END)
+         AS BIGINT) AS bad_type,
+    CAST(COUNT(CASE WHEN value <= 0.0 OR value > {_SEG_VALUE_MAX!r} THEN 1 END)
+         AS BIGINT) AS value_oor,
+    CAST(COUNT(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01'
+                      OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2025-01-01'
+                    THEN 1 END) AS BIGINT) AS ts_oor
+  FROM events
+)
+SELECT exp.name AS expectation, exp.v AS n_violations, stats.n_rows AS n_checked,
+       exp.v = 0 AS passed
+FROM stats, LATERAL (VALUES
+  ('not_null:user_id', null_user),
+  ('in_set:event_type', bad_type),
+  ('range:value', value_oor),
+  ('range:ts', ts_oor)
+) AS exp(name, v)
+""",
+)
+def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE data-contract monitoring — the streaming twin of
+    ``pipeline_expectations_gate``: each micro-batch contributes one row
+    of INTEGER violation counters via foreachBatch (row-local checks
+    only: not-null, set-membership, two ranges — exact-uniqueness is
+    deliberately left to the batch gate, where it has exact semantics;
+    the streaming analog is ``stream_dedup``'s watermarked
+    dropDuplicates). Counters merge exactly in any batch-arrival order
+    (the stream_burn_rate invariance), so the published report is
+    bit-equal to the batch gate run over the full input — which is what
+    the oracle checks. Retry-idempotent: a replayed batch_id overwrites
+    its own partials subdirectory."""
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> str:
+        from .stateful import _read_events_arrow
+
+        t = _read_events_arrow(sf_dir)
+        n_parts = 4
+        step = (t.num_rows + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            f = os.path.join(d, f"p{i}.parquet")
+            pq.write_table(t.slice(i * step, step), f)
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return d
+
+    src = _stage_once("rollup_parts", sf_dir, build)
+    s = _stream_staged(spark, src, one_file_per_batch=True)
+
+    partials_dir = tempfile.mkdtemp(prefix="nm_gate_partials_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("user_id")).alias("null_user"),
+                F.count(
+                    F.when(~F.col("event_type").isin(*_SEG_TYPES), 1)
+                ).alias("bad_type"),
+                F.count(
+                    F.when(
+                        (F.col("value") <= 0.0)
+                        | (F.col("value") > _SEG_VALUE_MAX),
+                        1,
+                    )
+                ).alias("value_oor"),
+                F.count(
+                    F.when(
+                        (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                        | (
+                            F.col("ts")
+                            >= F.lit("2025-01-01").cast("timestamp")
+                        ),
+                        1,
+                    )
+                ).alias("ts_oor"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(partials_dir, f"batch_id={batch_id}"))
+        )
+
+    writer = (
+        s.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir())
+        .trigger(availableNow=True)
+    )
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "append"):
+        q = writer.start()
+        q.awaitTermination()
+
+    merged = (
+        spark.read.option("basePath", partials_dir)
+        .parquet(os.path.join(partials_dir, "batch_id=*"))
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("null_user").cast("long").alias("null_user"),
+            F.sum("bad_type").cast("long").alias("bad_type"),
+            F.sum("value_oor").cast("long").alias("value_oor"),
+            F.sum("ts_oor").cast("long").alias("ts_oor"),
+        )
+    )
+    report = merged.select(
+        F.expr(
+            "stack(4,"
+            " 'not_null:user_id', null_user,"
+            " 'in_set:event_type', bad_type,"
+            " 'range:value', value_oor,"
+            " 'range:ts', ts_oor)"
+        ).alias("expectation", "n_violations"),
+        F.col("n_rows").alias("n_checked"),
+    ).withColumn("passed", F.col("n_violations") == 0)
+    rows = report.collect()
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, report.schema)
