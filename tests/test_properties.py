@@ -1180,15 +1180,16 @@ def test_weighted_median_kernel_matches_scalar_reference(rows):
             run += cw[c]
             if 2 * run >= tot and med is None:
                 med = c
-        want[f] = (med, tot, len(cw))
+        n_bands = len({c // 100_000 for c in cw})
+        want[f] = (med, tot, n_bands)
 
     spark = _spark()
+    # feed RAW rows (duplicate cents included) — the kernel owns the reduce
     wp = spark.createDataFrame(
-        [(f, c, w) for f, cw in agg.items() for c, w in cw.items()],
-        "flag string, cents long, w long",
+        list(rows), "flag string, cents long, w long"
     )
     got = {
-        r["flag"]: (r["median_cents"], r["tot"], r["n_prices"])
+        r["flag"]: (r["median_cents"], r["tot"], r["n_bands"])
         for r in weighted_median_over(wp).collect()
     }
     assert got == want
