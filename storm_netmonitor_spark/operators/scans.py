@@ -375,3 +375,56 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value2").alias("n_with_new_col"),
         dsum("value2").alias("sum_new_col"),
     )
+
+
+#: recursion depth cap for the reachability walk — the event-type graph
+#: has 5 nodes, so every minimal path fits in 4 hops; the cap also
+#: bounds the capped-path-count column deterministically.
+_RCTE_MAX_DEPTH = 4
+
+#: the walk (edges from per-user consecutive-type transitions, then a
+#: depth-capped BFS-with-path-counting from 'signup') — IDENTICAL text in
+#: both engines: this op pins Spark 4's recursive-CTE surface itself.
+_RCTE_SQL = f"""
+WITH RECURSIVE lagged AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM {{events}}
+), edges AS (
+  SELECT DISTINCT prev AS src, event_type AS dst
+  FROM lagged WHERE prev IS NOT NULL AND prev <> event_type
+), walk(node, depth) AS (
+  SELECT CAST('signup' AS STRING), 0
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < {_RCTE_MAX_DEPTH}
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS min_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_walks_capped
+FROM walk GROUP BY node
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RCTE_SQL.replace("{events}", "events").replace(
+        "CAST('signup' AS STRING)", "CAST('signup' AS VARCHAR)"
+    ),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface (new in Spark 4): reachability over the
+    observed event-type transition graph — edges from per-user
+    consecutive-type changes, then a depth-capped recursive walk from
+    'signup' reporting each node's minimum hop distance AND the number of
+    ≤{_RCTE_MAX_DEPTH}-hop walks reaching it (the path count exercises
+    true UNION ALL recursion, not just fixpoint reachability). The SAME
+    query text runs in both engines (STRING↔VARCHAR cast spelling aside),
+    so this pins the recursive-CTE surface itself — the iterative
+    DataFrame loops elsewhere (pagerank, Lloyd) are the scale path;
+    in-engine recursion is the ergonomic one. The recursion operates on
+    the VOCABULARY-sized edge frame (≤|types|²) — corpus-scale-safe; only
+    the edge derivation touches raw data (one keyed window exchange)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("nm_rcte_events")
+    return spark.sql(_RCTE_SQL.replace("{events}", "nm_rcte_events"))
