@@ -330,3 +330,90 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # boundaries — stable.py QUOTIENT hazard)
         davg("n_chars", 6).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling (NORTH: "sample documents proportional to
+# token count" — the deterministic PPS draw a data recipe reproduces)
+# ---------------------------------------------------------------------------
+
+_WSYS_TARGET = 50  # target sample size
+_WSYS_BAND = 100  # doc_id band width for the two-level prefix sum
+
+
+@query(
+    "sample_weighted_systematic",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n_tokens) OVER () AS tot
+  FROM w
+)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+       CAST(cum // GREATEST(tot // {_WSYS_TARGET}, 1) AS BIGINT) AS pick_idx
+FROM c
+WHERE cum // GREATEST(tot // {_WSYS_TARGET}, 1)
+      > (cum - n_tokens) // GREATEST(tot // {_WSYS_TARGET}, 1)
+""",
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic (probability-proportional-to-size) sample of
+    documents, weight = token count: a fixed stride steps through the
+    cumulative-weight line and every document whose weight interval
+    contains a stride point is drawn — big documents proportionally more
+    often, ALL-INTEGER and fully deterministic, so the draw is
+    reproducible from the data alone (no RNG state to version; the
+    standard PPS alternative, exponential-key A-ES reservoirs, needs
+    log()/pow() whose libm is engine-specific).
+
+    Shape at scale: the global cumulative weight is the two-level prefix
+    sum again (events_concurrency_peak discipline) — within-band running
+    sums under a doc_id-band keyed window, cross-band carries broadcast
+    from the O(bands) census; the total arrives as a broadcast scalar.
+    One scan, one tiny shuffle, no global sort or single-partition
+    window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "array_remove(split(lower(text), ' '), '')"
+    w = d.select(
+        "doc_id",
+        F.size(F.expr(toks)).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {_WSYS_BAND}").alias("band"),
+    )
+    census = w.groupBy("band").agg(F.sum("n_tokens").alias("wb"))
+    carry_w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = census.select(
+        "band",
+        F.coalesce(F.sum("wb").over(carry_w), F.lit(0)).alias("offset"),
+    )
+    tot = census.agg(F.sum("wb").alias("tot"))
+    win_local = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        w.withColumn("run", F.sum("n_tokens").over(win_local))
+        .join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar frame
+        .withColumn("cum", F.col("offset") + F.col("run"))
+        .withColumn(
+            "step",
+            F.greatest(F.expr(f"tot div {_WSYS_TARGET}"), F.lit(1)),
+        )
+    )
+    return cum.filter(
+        F.expr("cum div step") > F.expr("(cum - n_tokens) div step")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum").cast("long").alias("cum"),
+        F.expr("cum div step").cast("long").alias("pick_idx"),
+    )
