@@ -389,11 +389,13 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry_w = Window.orderBy("band").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # the scalar total rides on the offsets frame (a window over the
+    # O(bands) census) — no separate scalar cross join in the plan
     offsets = census.select(
         "band",
         F.coalesce(F.sum("wb").over(carry_w), F.lit(0)).alias("offset"),
+        F.sum("wb").over(Window.partitionBy()).alias("tot"),
     )
-    tot = census.agg(F.sum("wb").alias("tot"))
     win_local = (
         Window.partitionBy("band")
         .orderBy("doc_id")
@@ -402,7 +404,6 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (
         w.withColumn("run", F.sum("n_tokens").over(win_local))
         .join(F.broadcast(offsets), "band")
-        .crossJoin(F.broadcast(tot))  # 1-row scalar frame
         .withColumn("cum", F.col("offset") + F.col("run"))
         .withColumn(
             "step",
