@@ -63,6 +63,13 @@ def canon(v):
     return v
 
 
+def _row_key(r):
+    """None-aware total order (tests/parity.py's key): raw tuple sort
+    raises TypeError on None-vs-number — exactly how win_lag_delta-class
+    ops (NULL first lag) escaped earlier slices of the sweep."""
+    return tuple((x is None, str(type(x)), str(x)) for x in r)
+
+
 qd, od = m.queries(), m.oracle_sql()
 window = list(qd)[START:END]
 t_all = time.time()
@@ -72,7 +79,7 @@ for name in window:
     try:
         df = qd[name](spark, SF)
         cols = sorted(df.columns)
-        rows = sorted(tuple(canon(r[c]) for c in cols) for r in df.collect())
+        rows = sorted((tuple(canon(r[c]) for c in cols) for r in df.collect()), key=_row_key)
     except Exception as exc:  # noqa: BLE001 — report and continue
         bad.append((name, f"SPARK {type(exc).__name__}: {str(exc)[:150]}"))
         continue
@@ -87,7 +94,7 @@ for name in window:
         cur = con.execute(od[name])
         ocols = [d[0] for d in cur.description]
         idx = [ocols.index(c) for c in sorted(ocols)]
-        ora = sorted(tuple(canon(r[i]) for i in idx) for r in cur.fetchall())
+        ora = sorted((tuple(canon(r[i]) for i in idx) for r in cur.fetchall()), key=_row_key)
     except Exception as exc:  # noqa: BLE001
         bad.append((name, f"ORACLE {type(exc).__name__}: {str(exc)[:150]}"))
         continue
