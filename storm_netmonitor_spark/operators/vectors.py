@@ -1016,3 +1016,167 @@ def mmr_diversify_over(
         _greedy,
         schema="pick_order long, vec_id long, rel double, mmr_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph triangle census (NORTH: embedding-space structure QA — a
+# healthy corpus's neighborhood graph is clustered; a synthetic or
+# collapsed embedding space shows it immediately in the triangle rate)
+# ---------------------------------------------------------------------------
+
+_TRI_K = 3  # neighbors per node in the kNN graph
+
+
+@query(
+    "graph_knn_triangles",
+    oracle=f"""
+WITH ok AS (
+  SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) <= 10000
+), e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings JOIN ok USING (label)
+), dots AS (
+  SELECT label, a_id, b_id, {_DOT_SUM_SQL} AS sim
+  FROM (SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS px
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id)
+  GROUP BY label, a_id, b_id
+), sym AS (
+  SELECT label, a_id, b_id, sim FROM dots
+  UNION ALL
+  SELECT label, b_id, a_id, sim FROM dots
+), knn AS (
+  SELECT label, a_id, b_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY label, a_id
+                                 ORDER BY sim DESC, b_id) AS rn
+    FROM sym
+  ) WHERE rn <= {_TRI_K}
+), edges AS (
+  SELECT DISTINCT label, LEAST(a_id, b_id) AS lo, GREATEST(a_id, b_id) AS hi
+  FROM knn
+), tri AS (
+  SELECT e1.label, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.label = e1.label AND e2.lo = e1.hi
+  JOIN edges e3 ON e3.label = e1.label AND e3.lo = e1.lo AND e3.hi = e2.hi
+  GROUP BY e1.label
+), nodes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM embeddings JOIN ok USING (label) GROUP BY label
+), ecnt AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges GROUP BY label
+)
+SELECT nodes.label, nodes.n_nodes,
+       COALESCE(ecnt.n_edges, 0) AS n_edges,
+       COALESCE(tri.n_triangles, 0) AS n_triangles
+FROM nodes
+LEFT JOIN ecnt ON ecnt.label = nodes.label
+LEFT JOIN tri ON tri.label = nodes.label
+""",
+)
+def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the within-label {_TRI_K}-NN graph (NORTH:
+    embedding-space QA — neighborhood clustering is the first structural
+    signal that an embedding space is healthy vs collapsed/synthetic):
+    per label, each vector links to its {_TRI_K} most-similar neighbors
+    (decimal sims, (sim DESC, id) tiebreak — a TOTAL order, so ties need
+    no margin), edges are undirected-deduped, and triangles are counted
+    by the canonical ordered two-join (lo<mid<hi orientation = each
+    triangle exactly once).
+
+    Shape at scale: the pairwise term is label-blocked and capped
+    (PAIRWISE_BLOCK_CAP — oversized blocks belong on the ANN route),
+    so sims are O(block²) per block, never corpus-quadratic; the edge
+    frame is O(nodes·k) SPARSE by construction, and the triangle
+    two-join runs on that sparse frame with (label, vertex) join keys —
+    the standard distributed triangle-count shape. The per-(label,a_id)
+    rank window shares the sims shuffle."""
+    e = _cap_blocks(load_table(spark, sf_dir, "embeddings"))
+    # (label, id, pos, x) rows — label-aware pos-explode, used on both sides
+    pa = e.select(
+        "label",
+        F.col("vec_id").alias("a_id"),
+        F.posexplode("embedding").alias("pos0", "xf"),
+    ).select(
+        "label",
+        "a_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    pb = pa.select(
+        "label", F.col("a_id").alias("b_id"), "pos", F.col("x").alias("y")
+    )
+    dots = (
+        pa.join(pb, ["label", "pos"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "label", "a_id", "b_id", (F.col("x") * F.col("y")).alias("px")
+        )
+        .groupBy("label", "a_id", "b_id")
+        .agg(
+            F.round(F.sum(F.col("px").cast(_DOT_DEC)), 6)
+            .cast("double")
+            .alias("sim")
+        )
+    )
+    sym = dots.unionByName(
+        dots.select(
+            "label",
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "sim",
+        )
+    )
+    w = Window.partitionBy("label", "a_id").orderBy(
+        F.desc("sim"), F.asc("b_id")
+    )
+    knn = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TRI_K)
+        .select("label", "a_id", "b_id")
+    )
+    edges = knn.select(
+        "label",
+        F.least("a_id", "b_id").alias("lo"),
+        F.greatest("a_id", "b_id").alias("hi"),
+    ).distinct()
+    e1 = edges.select(
+        F.col("label").alias("l1"), F.col("lo").alias("a"), F.col("hi").alias("b")
+    )
+    e2 = edges.select(
+        F.col("label").alias("l2"), F.col("lo").alias("b2"), F.col("hi").alias("c")
+    )
+    e3 = edges.select(
+        F.col("label").alias("l3"), F.col("lo").alias("a3"), F.col("hi").alias("c3")
+    )
+    tri = (
+        e1.join(e2, (F.col("l1") == F.col("l2")) & (F.col("b") == F.col("b2")))
+        .join(
+            e3,
+            (F.col("l1") == F.col("l3"))
+            & (F.col("a") == F.col("a3"))
+            & (F.col("c") == F.col("c3")),
+        )
+        .groupBy(F.col("l1").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    nodes = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    ecnt = edges.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return (
+        nodes.join(ecnt, "label", "left")
+        .join(tri, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+    )
