@@ -1180,3 +1180,91 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_triangles"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization encode (NORTH: the memory side of ANN serving —
+# 64-dim float32 → 8 bytes/vector with a bounded reconstruction error)
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8  # subspaces (64 dims → 8 per subspace)
+_PQ_CODES = 16  # codebook entries per subspace (seeded: vec_id 1.._PQ_CODES)
+
+
+@query(
+    "vec_pq_encode",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, CAST((pos - 1) // 8 AS BIGINT) AS sub, pos, x FROM ex
+), seeds AS (
+  SELECT vec_id AS code, sub, pos, x FROM sub
+  WHERE vec_id BETWEEN 1 AND {_PQ_CODES}
+), dist AS (
+  SELECT s.vec_id, s.sub, c.code,
+         CAST(ROUND(SUM(CAST((s.x - c.x) * (s.x - c.x) AS DECIMAL(28,12))), 6)
+              AS DOUBLE) AS d2
+  FROM sub s JOIN seeds c ON c.sub = s.sub AND c.pos = s.pos
+  GROUP BY s.vec_id, s.sub, c.code
+), best AS (
+  SELECT vec_id, sub, code, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT vec_id, sub, CAST(code AS BIGINT) AS code, d2
+FROM best
+""",
+)
+def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding with seeded codebooks (NORTH: the
+    ANN serving memory path — each 64-dim vector becomes {_PQ_SUBS}
+    codes of log2({_PQ_CODES}) bits; the codebooks here are the first
+    {_PQ_CODES} vectors' subvectors, deterministic by construction — the
+    Lloyd-TRAINED variant is pinned by vec_kmeans_assign/vec_ann_ivf,
+    this op pins the ENCODE semantics: per-subspace squared-distance
+    argmin with a (d2, code) total order on decimal-identical distances,
+    so ties need no margin). Emits one row per (vector, subspace) with
+    the chosen code and its exact decimal d2 (Σ d2 over subspaces = the
+    vector's reconstruction error).
+
+    Shape at scale: the codebook is {_PQ_CODES}×64 floats — broadcast;
+    distances are row-local per (vec, sub) after a posexplode
+    partial-agg (map-side combined on (vec_id, sub, code)); the argmin
+    window partitions on (vec_id, sub) — the same exchange the distance
+    agg already produced. Never a pairwise term: O(N · subs · codes)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("CAST((pos0) div 8 AS BIGINT)").alias("sub"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    seeds = ex.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_CODES)
+    ).select(
+        F.col("vec_id").alias("code"), "sub", "pos", F.col("x").alias("cx")
+    )
+    diff = F.col("x") - F.col("cx")
+    dist = (
+        ex.join(F.broadcast(seeds), ["sub", "pos"])
+        .select("vec_id", "sub", "code", (diff * diff).alias("sq"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.round(F.sum(F.col("sq").cast(_DOT_DEC)), 6)
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("code").cast("long").alias("code"), "d2")
+    )
