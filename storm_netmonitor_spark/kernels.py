@@ -54,7 +54,12 @@ from .operators.corpus import connected_components, semantic_dedup_summary
 from .operators.extras import approx_quantile_estimates
 from .operators.surface import hll_sketch_estimates
 from .streaming.windows import stream_distinct_estimates
-from .operators.vectors import knn_cosine, mmr_diversify_over, near_dup_cosine_pairs
+from .operators.vectors import (
+    knn_cosine,
+    mmr_diversify_over,
+    near_dup_cosine_pairs,
+    triangle_count_over,
+)
 from .operators.text import (
     exact_dedup_by_hash,
     minhash_signatures,
@@ -115,5 +120,6 @@ __all__ = [
     "semantic_dedup_summary",
     "step_changepoint_over",
     "stream_distinct_estimates",
+    "triangle_count_over",
     "weighted_median_over",
 ]

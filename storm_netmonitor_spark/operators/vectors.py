@@ -1142,26 +1142,7 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("a_id", "b_id").alias("lo"),
         F.greatest("a_id", "b_id").alias("hi"),
     ).distinct()
-    e1 = edges.select(
-        F.col("label").alias("l1"), F.col("lo").alias("a"), F.col("hi").alias("b")
-    )
-    e2 = edges.select(
-        F.col("label").alias("l2"), F.col("lo").alias("b2"), F.col("hi").alias("c")
-    )
-    e3 = edges.select(
-        F.col("label").alias("l3"), F.col("lo").alias("a3"), F.col("hi").alias("c3")
-    )
-    tri = (
-        e1.join(e2, (F.col("l1") == F.col("l2")) & (F.col("b") == F.col("b2")))
-        .join(
-            e3,
-            (F.col("l1") == F.col("l3"))
-            & (F.col("a") == F.col("a3"))
-            & (F.col("c") == F.col("c3")),
-        )
-        .groupBy(F.col("l1").alias("label"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
+    tri = triangle_count_over(edges)
     nodes = e.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
@@ -1267,4 +1248,34 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "sub", F.col("code").cast("long").alias("code"), "d2")
+    )
+
+
+def triangle_count_over(edges: DataFrame) -> DataFrame:
+    """Ordered-two-join triangle count kernel over an undirected
+    ``(label, lo, hi)`` edge frame (lo < hi, deduped): joins e(a,b)⋈e(b,c)
+    ⋈e(a,c), counting each triangle exactly once via the lo<mid<hi
+    orientation. Returns ``(label, n_triangles)`` (labels with none are
+    absent — callers left-join and coalesce). Factored out of
+    ``graph_knn_triangles`` so the property suite can drive it with
+    arbitrary graphs against a brute-force reference."""
+    e1 = edges.select(
+        F.col("label").alias("l1"), F.col("lo").alias("a"), F.col("hi").alias("b")
+    )
+    e2 = edges.select(
+        F.col("label").alias("l2"), F.col("lo").alias("b2"), F.col("hi").alias("c")
+    )
+    e3 = edges.select(
+        F.col("label").alias("l3"), F.col("lo").alias("a3"), F.col("hi").alias("c3")
+    )
+    return (
+        e1.join(e2, (F.col("l1") == F.col("l2")) & (F.col("b") == F.col("b2")))
+        .join(
+            e3,
+            (F.col("l1") == F.col("l3"))
+            & (F.col("a") == F.col("a3"))
+            & (F.col("c") == F.col("c3")),
+        )
+        .groupBy(F.col("l1").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

@@ -1193,3 +1193,82 @@ def test_weighted_median_kernel_matches_scalar_reference(rows):
         for r in weighted_median_over(wp).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_kernel_matches_bruteforce(raw_edges):
+    """triangle_count_over equals the O(n³) brute-force census on random
+    multigraphs (self-loops and duplicate edges dropped, as the op's
+    edge-derivation stage guarantees)."""
+    from itertools import combinations
+
+    from storm_netmonitor_spark.operators.vectors import triangle_count_over
+
+    graphs: dict[str, set] = {}
+    for g, u, v in raw_edges:
+        if u != v:
+            graphs.setdefault(g, set()).add((min(u, v), max(u, v)))
+    want = {}
+    for g, es in graphs.items():
+        nodes = sorted({x for e in es for x in e})
+        n = sum(
+            1
+            for a, b, c in combinations(nodes, 3)
+            if (a, b) in es and (b, c) in es and (a, c) in es
+        )
+        if n:
+            want[g] = n
+
+    spark = _spark()
+    rows = [(g, lo, hi) for g, es in graphs.items() for lo, hi in es]
+    if not rows:
+        return
+    edges = spark.createDataFrame(rows, "label string, lo long, hi long")
+    got = {
+        r["label"]: r["n_triangles"]
+        for r in triangle_count_over(edges).collect()
+    }
+    assert got == want
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    """vec_pq_encode's code assignment equals a numpy per-subspace
+    squared-distance argmin with the same (d2, code) tiebreak."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from storm_netmonitor_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    seeds = np.stack([emb[ids == c][0] for c in range(1, 17)])
+    want = {}
+    for i, vid in enumerate(ids):
+        for sub in range(8):
+            sl = slice(sub * 8, sub * 8 + 8)
+            d2 = np.round(
+                ((emb[i, sl][None, :] - seeds[:, sl]) ** 2).sum(axis=1), 6
+            )
+            # (d2, code) tiebreak: argmin over lexicographic order
+            best = min(range(16), key=lambda c: (d2[c], c + 1)) + 1
+            want[(int(vid), sub)] = best
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in QUERIES["vec_pq_encode"](spark, sf).collect()
+    }
+    assert got == want
