@@ -640,3 +640,73 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(take_f, F.lit("forward"))
         .alias("direction"),
     )
+
+
+@query(
+    "join_pointintime_dim",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, ts,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25
+              AS BIGINT) AS tier
+  FROM events WHERE event_type = 'purchase'
+), f AS (
+  SELECT e.event_id, e.user_id, e.event_type, d.tier
+  FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+  ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts
+)
+SELECT tier, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f
+GROUP BY tier, event_type
+""",
+)
+def join_pointintime_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join (the warehouse-canonical SCD2 use:
+    enrich each fact with the dimension value IN EFFECT at fact time, never
+    the current one): a user's "tier" changes with each purchase
+    (tier = props.k div 25); every non-purchase event is attributed to
+    the tier in effect at its timestamp — NULL before the first purchase
+    — then rolled up per (tier, event_type).
+
+    Spark-first shape: the same union-tag single-window pass as
+    ``join_asof``/``join_asof_nearest`` (dim-change rows sort before
+    facts at equal ts, so a same-instant change applies — the SCD2
+    half-open [from, to) convention); consecutive same-tier purchases
+    need no collapse because last-value-at-ts is invariant to it. One
+    (user_id) exchange + sort, then the tiny rollup — never a
+    per-version interval range-join."""
+    e = load_table(spark, sf_dir, "events")
+    dim = e.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        "ts",
+        F.lit(0).alias("side"),
+        F.expr(
+            "CAST(CAST(get_json_object(props, '$.k') AS BIGINT) div 25 AS BIGINT)"
+        ).alias("dtier"),
+    )
+    facts = e.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("dtier"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = (
+        dim.unionByName(facts)
+        .withColumn("tier", F.last("dtier", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
