@@ -80,6 +80,13 @@ EXTRA_REPORTED = [
     "vec_mmr_diversify",  # knn shortlist + constant-size greedy re-rank
     "agg_weighted_median",  # two-level prefix sum over the cent frame
     "incremental_join_view",  # bilinear-delta join maintenance (3 delta joins)
+    "join_asof_nearest",  # both-direction asof from one union-tag exchange
+    "join_pointintime_dim",  # SCD2 point-in-time dim join + rollup
+    "graph_knn_triangles",  # label-blocked kNN graph + ordered two-join census
+    "vec_pq_encode",  # broadcast codebook, per-subspace argmin
+    "sample_weighted_systematic",  # two-level prefix PPS draw
+    "sql_recursive_cte",  # Spark 4 recursive CTE (vocab-sized walk)
+    "ts_ewma_timedecay",  # minute-reduced libm-free decay fold
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
