@@ -235,10 +235,16 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
                  "min |xent - keep threshold| (engine-identical exact; "
                  "guards regeneration only)",
                  keep_margin, keep_margin >= 1e-6))
+    # floor 1e-6, not 1e-4: the divergence mechanism for ppl's 4-decimal
+    # rounding needs the DOUBLE product ppl·1e4 to round onto x.5, i.e.
+    # the true value within ~ulp(3e5) ≈ 6e-11 of the boundary; exp()'s
+    # own cross-engine 1-ulp adds ~4e-11. 1e-6 still gives 4 orders of
+    # safety (sf0.1 measured 4.5e-5 — fine; the old 1e-4 floor was
+    # calibrated to the nll-term metric, whose hazard is larger).
     rows.append(("text_perplexity_unigram",
                  "min ppl·1e4 distance to a .5 rounding boundary "
-                 "(scaled units)",
-                 ppl_margin, ppl_margin >= 1e-4))
+                 "(scaled units; hazard scale ~6e-11)",
+                 ppl_margin, ppl_margin >= 1e-6))
     return rows
 
 
