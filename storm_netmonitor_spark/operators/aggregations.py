@@ -732,3 +732,61 @@ def weighted_median_over(rows: DataFrame) -> DataFrame:
         F.max("tot").cast("long").alias("tot"),
         F.max("n_bands").cast("long").alias("n_bands"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucketed value histogram (NM: the latency-histogram primitive —
+# exponential buckets cover 5 orders of magnitude in ~17 rows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_histogram_log2",
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value > 0.0
+), b AS (
+  SELECT event_type, cents,
+         CAST(LENGTH(BIN(cents)) - 1 AS BIGINT) AS bucket
+  FROM v
+)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM b
+GROUP BY event_type, bucket
+""",
+)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed value histogram per metric type (NM: the
+    HdrHistogram-style latency primitive — exponential buckets give a
+    constant-size summary across any dynamic range, the shape every
+    latency dashboard and SLO percentile estimate is built on). Bucket =
+    floor(log2(cents)), computed EXACTLY as the binary-string length − 1
+    of the integer cents value — deliberately no floating log2(), whose
+    libm rounding near exact powers of two differs by engine
+    (the ts_ewma_timedecay libm-free discipline applied to bucketing).
+
+    Shape at scale: one scan → one map-side-combined hash-agg on
+    (type, bucket) keys — the output is O(types × 64) regardless of
+    corpus size; the filter pushes to the reader. The complement to
+    `agg_histogram_fixed` (linear buckets, bounded range)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("value") > 0.0).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = v.withColumn(
+        "bucket",
+        (F.length(F.conv(F.col("cents").cast("string"), 10, 2)) - 1).cast(
+            "long"
+        ),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
