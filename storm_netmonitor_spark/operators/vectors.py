@@ -1279,3 +1279,82 @@ def triangle_count_over(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("l1").alias("label"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-block chunk dedup census (NORTH: storage-level dedup for
+# multimodal payloads — how many bytes does block-level dedup reclaim)
+# ---------------------------------------------------------------------------
+
+_CHUNK_BYTES = 64
+
+
+@query(
+    "multimodal_chunk_dedup",
+    oracle=f"""
+WITH b AS (
+  -- DuckDB v1.0 cannot slice BLOBs; for this ASCII-pinned corpus
+  -- (tools/margin_audit.py) char slices of text ARE the byte slices of
+  -- encode(text), so the twin chunks the VARCHAR directly
+  SELECT doc_id, source, text FROM documents WHERE length(text) > 0
+), c AS (
+  SELECT b.source,
+         md5(substring(b.text, {_CHUNK_BYTES} * i + 1, {_CHUNK_BYTES})) AS h
+  FROM b, LATERAL (
+    SELECT unnest(range((length(b.text) + {_CHUNK_BYTES - 1})
+                        // {_CHUNK_BYTES})) AS i
+  )
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT h)) * {_CHUNK_BYTES} AS BIGINT)
+         AS bytes_dedupable
+FROM c
+GROUP BY source
+""",
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-block chunk-dedup census over binary payloads (NORTH: the
+    storage-dedup question for a multimodal corpus — if blobs are split
+    into {_CHUNK_BYTES}-byte blocks and stored content-addressed, how
+    many bytes does each source reclaim). Blobs are chunked row-locally
+    (codegen `sequence` explode + binary `substring`), each chunk
+    reduced to its digest, and the per-source census runs as a
+    distinct-agg on digests — BLOBS NEVER SHUFFLE, only 16-byte digests
+    do (the multimodal_dedup_binary discipline at sub-file granularity).
+
+    Oracle note: DuckDB v1.0 has no BLOB slicing or BLOB md5, so the
+    twin chunks the VARCHAR text — char slices equal the byte slices of
+    encode(text) for this corpus, whose ASCII-cleanliness is pinned by
+    tools/margin_audit.py; Spark chunks and hashes the raw binary. Rolling-hash (CDC) chunking would shift
+    boundaries under insertions — fixed-block is the deliberate,
+    deterministic baseline (VDO-style)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "source", F.encode("text", "utf-8").alias("blob")
+    ).filter(F.octet_length("blob") > 0)
+    n_chunks = F.expr(
+        f"(octet_length(blob) + {_CHUNK_BYTES - 1}) div {_CHUNK_BYTES}"
+    )
+    c = b.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "i"
+        ),
+        "blob",
+    ).select(
+        "source",
+        F.md5(
+            F.expr(
+                f"substring(blob, i * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})"
+            )
+        ).alias("h"),
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("h")) * _CHUNK_BYTES
+        ).cast("long").alias("bytes_dedupable"),
+    )
