@@ -736,3 +736,104 @@ def stream_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = report.collect()
     shutil.rmtree(partials_dir, ignore_errors=True)
     return spark.createDataFrame(rows, report.schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_histogram_log2 — LIVE latency histogram (the log2-bucketed
+# batch histogram's streaming twin: integer bucket partials per batch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_histogram_log2",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value > 0.0
+), b AS (
+  SELECT event_type, cents,
+         CAST(LENGTH(BIN(cents)) - 1 AS BIGINT) AS bucket
+  FROM v
+)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM b
+GROUP BY event_type, bucket
+""",
+)
+def stream_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE log2-bucketed value histogram — the streaming twin of
+    ``agg_histogram_log2``: each micro-batch contributes per-(type,
+    bucket) integer partials (count / min / max) via foreachBatch, and
+    the published histogram merges them by key — counts add, min/max
+    fold, all exact in ANY batch-arrival order (the stream_burn_rate
+    invariance), so the report is bit-equal to the batch histogram over
+    the full input, which is what the oracle checks. Bucketing is the
+    same exact bit-length integer trick — no libm in either engine.
+    Retry-idempotent: a replayed batch_id overwrites its own partials
+    subdirectory."""
+    import pyarrow.parquet as pq
+
+    def build(d: str) -> str:
+        from .stateful import _read_events_arrow
+
+        t = _read_events_arrow(sf_dir)
+        n_parts = 4
+        step = (t.num_rows + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            f = os.path.join(d, f"p{i}.parquet")
+            pq.write_table(t.slice(i * step, step), f)
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return d
+
+    src = _stage_once("rollup_parts", sf_dir, build)
+    s = _stream_staged(spark, src, one_file_per_batch=True)
+
+    partials_dir = tempfile.mkdtemp(prefix="nm_hist_partials_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cents = F.round(F.col("value") * 100).cast("long")
+        (
+            batch_df.filter(F.col("value") > 0.0)
+            .select("event_type", cents.alias("cents"))
+            .withColumn(
+                "bucket",
+                (
+                    F.length(F.conv(F.col("cents").cast("string"), 10, 2)) - 1
+                ).cast("long"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(partials_dir, f"batch_id={batch_id}"))
+        )
+
+    writer = (
+        s.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir())
+        .trigger(availableNow=True)
+    )
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "append"):
+        q = writer.start()
+        q.awaitTermination()
+
+    merged = (
+        spark.read.option("basePath", partials_dir)
+        .parquet(os.path.join(partials_dir, "batch_id=*"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+    rows = merged.collect()
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, merged.schema)
