@@ -790,3 +790,155 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("long").alias("min_cents"),
         F.max("cents").cast("long").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles FROM the log2 histogram, self-audited against exact
+# (NM: the SLO estimate a constant-size histogram actually supports)
+# ---------------------------------------------------------------------------
+
+_HPCT = (50, 95, 99)
+
+
+@query(
+    "agg_percentile_from_histogram",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value > 0.0
+), totals AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY event_type
+), pcts AS (
+  SELECT event_type, n, p,
+         CAST((n * p + 99) // 100 AS BIGINT) AS k
+  FROM totals, LATERAL (SELECT unnest({list(_HPCT)}) AS p)
+), vc AS (
+  SELECT event_type, cents, COUNT(*) AS c FROM v GROUP BY event_type, cents
+), vcum AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+), exact AS (
+  SELECT p.event_type, p.p,
+         CAST(MIN(CASE WHEN vcum.cum >= p.k THEN vcum.cents END) AS BIGINT)
+           AS exact_cents
+  FROM pcts p JOIN vcum ON vcum.event_type = p.event_type
+  GROUP BY p.event_type, p.p
+), hb AS (
+  SELECT event_type, CAST(LENGTH(BIN(cents)) - 1 AS BIGINT) AS bucket,
+         COUNT(*) AS c
+  FROM v GROUP BY 1, 2
+), hcum AS (
+  SELECT event_type, bucket,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hb
+), est AS (
+  SELECT p.event_type, p.p,
+         CAST(MIN(CASE WHEN hcum.cum >= p.k
+                       THEN (CAST(1 AS BIGINT) << CAST(hcum.bucket + 1 AS INTEGER)) - 1
+                  END) AS BIGINT) AS est_cents
+  FROM pcts p JOIN hcum ON hcum.event_type = p.event_type
+  GROUP BY p.event_type, p.p
+)
+SELECT exact.event_type, CAST(exact.p AS BIGINT) AS pct,
+       est.est_cents, exact.exact_cents,
+       est.est_cents >= exact.exact_cents
+         AND est.est_cents < 2 * exact.exact_cents AS within_2x
+FROM exact JOIN est
+  ON est.event_type = exact.event_type AND est.p = exact.p
+""",
+)
+def agg_percentile_from_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO percentiles ESTIMATED from the constant-size log2 histogram,
+    self-audited against the exact discrete percentile (NM: the question
+    every histogram-based monitoring stack must answer — what error does
+    the bucket resolution cost). The estimate is the chosen bucket's
+    upper bound (2^(b+1)−1 cents); since the true percentile lies in the
+    same bucket, est ∈ [exact, 2·exact) ALWAYS — the emitted `within_2x`
+    boolean is the provable log2-bucket guarantee, checked per (type,
+    percentile) rather than assumed.
+
+    Shape at scale: the exact side's cumulative window runs over the
+    per-(type, cents) reduced frame, bounded by the VALUE DOMAIN
+    (≤ ~49k distinct cents), not the corpus (tpch_q11 reduced-frame
+    discipline); the histogram side is O(types × 64). All integer
+    arithmetic — ceil(n·p/100) ranks, bit-shift bucket bounds — no
+    percentile interpolation convention and no libm."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("value") > 0.0).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    totals = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pcts = totals.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _HPCT])).alias("p"),
+    ).withColumn("k", F.expr("(n * p + 99) div 100").cast("long"))
+    w_cents = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = (
+        v.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(w_cents))
+    )
+    exact = (
+        pcts.join(vcum, "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("k"), F.col("cents"))
+            )
+            .cast("long")
+            .alias("exact_cents")
+        )
+    )
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hcum = (
+        v.withColumn(
+            "bucket",
+            (F.length(F.conv(F.col("cents").cast("string"), 10, 2)) - 1).cast(
+                "long"
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(w_b))
+    )
+    est = (
+        pcts.join(hcum, "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("k"),
+                    F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket + 1 AS INT)) - 1 AS BIGINT)"),
+                )
+            )
+            .cast("long")
+            .alias("est_cents")
+        )
+    )
+    return (
+        exact.join(est, ["event_type", "p"])
+        .select(
+            "event_type",
+            F.col("p").cast("long").alias("pct"),
+            "est_cents",
+            "exact_cents",
+            (
+                (F.col("est_cents") >= F.col("exact_cents"))
+                & (F.col("est_cents") < 2 * F.col("exact_cents"))
+            ).alias("within_2x"),
+        )
+    )
