@@ -575,3 +575,74 @@ def scan_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_user_id").alias("min_user_id"),
         F.max("max_user_id").alias("max_user_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source format (SURVEY §2 source surface: whole-file binary
+# ingestion — the entry point for image/audio payload directories)
+# ---------------------------------------------------------------------------
+
+_BLOB_DIR_CACHE: dict[str, str] = {}
+_BLOB_N_FILES = 20
+
+
+def _blob_dir(sf_dir: str) -> str:
+    """Stage a deterministic directory of binary payload files (the first
+    {n} documents by doc_id, utf-8 bytes, doc_<id>.bin) once per sf_dir —
+    shared by the Spark op AND the oracle factory, which run in the same
+    process (the streaming _stage_once convention)."""
+    import pyarrow.parquet as pq
+
+    key = os.path.abspath(sf_dir)
+    if key not in _BLOB_DIR_CACHE:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        rows = sorted(
+            zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        )[:_BLOB_N_FILES]
+        d = tempfile.mkdtemp(prefix="nm_blobs_")
+        for did, txt in rows:
+            with open(os.path.join(d, f"doc_{did:06d}.bin"), "wb") as fh:
+                fh.write(txt.encode("utf-8"))
+        _BLOB_DIR_CACHE[key] = d
+    return _BLOB_DIR_CACHE[key]
+
+
+def _binary_files_oracle(sf_dir: str | None = None) -> str:
+    sf = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    d = _blob_dir(sf)
+    # DuckDB's md5 is VARCHAR-only: decode() is lossless for the
+    # ASCII-pinned corpus (tools/margin_audit.py), so both engines hash
+    # the same bytes.
+    return f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+       CAST(size AS BIGINT) AS n_bytes,
+       md5(decode(content)) AS digest
+FROM read_blob('{d}/*.bin')
+"""
+
+
+@query("source_binary_files", oracle=_binary_files_oracle)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via Spark's ``binaryFile`` source (the
+    entry surface for image/audio payload directories: one row per file
+    with path, length, raw content) over a deterministic staged payload
+    dir, reduced to (fname, n_bytes, digest) — DuckDB's ``read_blob``
+    table function is the independent twin.
+
+    Shape at scale: binaryFile is a FileFormat source — Catalyst plans
+    a normal file scan with partition-parallel file splits (one file per
+    row; `modificationTime` excluded from the result for determinism);
+    digests reduce the payload immediately, so downstream shuffles carry
+    16 bytes per file, never the blob (the multimodal discipline)."""
+    d = _blob_dir(sf_dir)
+    df = spark.read.format("binaryFile").load(d)
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
