@@ -33,6 +33,7 @@ _MODULES = (
     "extensions4",
     "scale_probes",
     "quality",
+    "extensions5",
 )
 
 
