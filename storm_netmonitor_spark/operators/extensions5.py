@@ -19,6 +19,40 @@ from ..functions.stable import dratio, dratio_sql, dsum, dsum_sql
 from ..io import load_table
 from ..registry import query
 
+#: Count-min sketch geometry: d=4 independent rows, w=256 buckets. The
+#: per-row hash is the first two hex nibbles of md5(key || ':' || row) —
+#: one byte, so w=256 needs no modulo, and md5 is computed identically
+#: by Spark, DuckDB, and Python (the precedent the SimHash oracle set).
+_CMS_D = 4
+
+
+def _cms_bucket_sql(row_i: int) -> str:
+    """DuckDB twin of the CMS bucket hash: value of the first two hex
+    nibbles of md5(event_type || ':row')."""
+    h = f"md5(event_type || ':{row_i}')"
+    nib = "strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1"
+    return (
+        f"(({nib.format(h=h, p=1)}) * 16 + ({nib.format(h=h, p=2)}))"
+    )
+
+
+def _cms_bucket(col, row_i: int):
+    """Spark side of the same hash: hex pair → int via conv(.., 16, 10)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f":{row_i}"))), 1, 2), 16, 10
+    ).cast("int")
+
+
+def _cms_rows_sql() -> str:
+    case = " ".join(
+        f"WHEN {i} THEN {_cms_bucket_sql(i)}" for i in range(_CMS_D)
+    )
+    values = ", ".join(f"({i})" for i in range(_CMS_D))
+    return f"""
+  SELECT event_type, t.i AS row_i, CASE t.i {case} END AS bucket
+  FROM {{src}}, (VALUES {values}) AS t(i)
+"""
+
 
 @query(
     "events_mttr",
@@ -277,3 +311,180 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_CHI2_95_NUM) * (ca + na) * (cb + nb) * (ca + cb) * (na + nb)
         ).alias("significant"),
     )
+
+
+@query(
+    "agg_sketch_cms",
+    oracle=f"""
+WITH pairs AS ({_cms_rows_sql().format(src="events")}),
+sketch AS (
+  SELECT row_i, bucket, COUNT(*) AS c FROM pairs GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT event_type FROM events),
+kb AS ({_cms_rows_sql().format(src="keys")}),
+est AS (
+  SELECT kb.event_type, MIN(s.c) AS cms_est
+  FROM kb JOIN sketch s ON kb.row_i = s.row_i AND kb.bucket = s.bucket
+  GROUP BY 1
+),
+exact AS (SELECT event_type, COUNT(*) AS n_exact FROM events GROUP BY 1)
+SELECT e.event_type,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(est.cms_est AS BIGINT) AS cms_est,
+       est.cms_est >= e.n_exact AS lower_bound_ok
+FROM exact e JOIN est USING (event_type)
+""",
+)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates, built AS DataFrame ops so the
+    oracle can recompute the identical sketch: d=4 counter rows × w=256
+    buckets keyed by an md5-derived byte (cross-engine-identical hash —
+    the SimHash-oracle precedent), point-queried for every observed
+    event_type and joined to the exact counts. ``lower_bound_ok`` pins
+    the CMS one-sided guarantee (estimate ≥ true count — an identity
+    here, re-derived independently by both engines).
+
+    Spark-first scale shape: the counter table IS a groupBy of bounded
+    cardinality (≤ d·w = 1024 rows) — map-side partial aggregation makes
+    every executor emit at most 1024 partials regardless of input rows,
+    which is exactly the mergeable-sketch property; the point-query joins
+    broadcast the tiny sketch and key list. Unlike the opaque
+    ``count_min_sketch`` binary (Scala-only surface in PySpark), the
+    counters stay queryable relational state."""
+    e = load_table(spark, sf_dir, "events").select("event_type")
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                _cms_bucket(F.col("event_type"), i).alias("bucket"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    pairs = e.select(F.explode(bucket_structs).alias("rb")).select("rb.*")
+    sketch = pairs.groupBy("row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    keys = e.distinct()
+    kb = keys.select(
+        "event_type", F.explode(bucket_structs).alias("rb")
+    ).select("event_type", "rb.*")
+    est = (
+        kb.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") >= F.col("n_exact")).alias("lower_bound_ok"),
+    )
+
+
+#: Hamming-search shortlist size (same k as the cosine flagship).
+_HAM_K = 10
+
+
+@query(
+    "vec_hamming_topk",
+    oracle="""
+WITH sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN x >= 0
+                  THEN (CAST(1 AS UBIGINT) << CAST(pos - 1 AS INTEGER))
+                  ELSE CAST(0 AS UBIGINT) END) AS s
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS x
+        FROM embeddings)
+  GROUP BY vec_id
+),
+q AS (SELECT s AS qs FROM sig WHERE vec_id = 0),
+top AS (
+  SELECT vec_id, CAST(bit_count(xor(s, qs)) AS INTEGER) AS hamming
+  FROM sig, q WHERE vec_id <> 0
+  ORDER BY hamming, vec_id LIMIT 10
+),
+qv AS (
+  SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS qx
+  FROM embeddings WHERE vec_id = 0
+),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM top)
+),
+dots AS (
+  SELECT vec_id,
+         CAST(ROUND(SUM(CAST(px AS DECIMAL(28,12))), 6) AS DOUBLE) AS cos_sim
+  FROM (SELECT vec_id, CAST(ev.x AS DOUBLE) * CAST(qv.qx AS DOUBLE) AS px
+        FROM ev JOIN qv USING (pos))
+  GROUP BY vec_id
+)
+SELECT t.vec_id, t.hamming, d.cos_sim FROM top t JOIN dots d USING (vec_id)
+""",
+)
+def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization nearest-neighbor search: each dim-64 embedding
+    packs to ONE 64-bit sign signature (32× smaller than the float
+    vector), candidates rank by popcount hamming distance to the
+    vec_id=0 query, and the top-10 shortlist is re-scored with the exact
+    decimal cosine. This is the memory lever of billion-scale vector
+    search — the hamming scan touches 8 bytes/vector, the floats are
+    read back only for the k survivors.
+
+    Spark-first: packing is a row-local ``aggregate(zip_with(...))`` HOF
+    (no shuffle, no UDF); the 8-byte query signature is fetched with the
+    single-row collect the query-vector operators already use
+    (vectors.py precedent) and inlined as a literal, so the scan is a
+    pure map — no join, no exchange; the top-k is a
+    TakeOrderedAndProject with the total order (hamming, vec_id);
+    re-scoring joins only the broadcast shortlist. Sign bits compare
+    float≥0 exactly — no rounding margin exists in the whole decision
+    path."""
+    from .vectors import _DOT_DEC, _pos_explode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate("
+            " zip_with(embedding, sequence(0, size(embedding) - 1),"
+            "          (v, i) -> CASE WHEN v >= 0 THEN shiftleft(1L, i)"
+            "                         ELSE 0L END),"
+            " 0L, (acc, x) -> acc | x)"
+        ).alias("sig"),
+    )
+    # single-row query-signature fetch (the query-vector collect pattern
+    # of vec_knn_cosine/vec_ann_*): 8 bytes to the driver, inlined as a
+    # literal so the hamming scan plans as a pure map stage
+    qsig = sig.filter(F.col("vec_id") == 0).collect()[0]["sig"]
+    top = (
+        sig.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))).alias(
+                "hamming"
+            ),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_HAM_K)
+    )
+    qx = _pos_explode(e.filter(F.col("vec_id") == 0), "vec_id").select(
+        "pos", F.col("x").alias("qx")
+    )
+    ce = _pos_explode(
+        e.join(F.broadcast(top.select("vec_id")), "vec_id"), "vec_id"
+    )
+    dots = (
+        ce.join(F.broadcast(qx), "pos")
+        .select("vec_id", (F.col("x") * F.col("qx")).alias("px"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(F.col("px").cast(_DOT_DEC)), 6)
+            .cast("double")
+            .alias("cos_sim")
+        )
+    )
+    return top.join(dots, "vec_id").select("vec_id", "hamming", "cos_sim")
