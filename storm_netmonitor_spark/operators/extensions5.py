@@ -488,3 +488,213 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.join(dots, "vec_id").select("vec_id", "hamming", "cos_sim")
+
+
+#: MERGE change-feed partition of the order keyspace (orderkey % 100):
+#: [0,10) update, [10,12) delete, [12,14) insert-template. Constants keep
+#: every branch non-empty at all SFs.
+_MERGE_UPD, _MERGE_DEL, _MERGE_INS = 10, 12, 14
+#: inserted keys live far above the real keyspace (max o_orderkey ≈ 6·SF·1e6)
+_MERGE_KEY_OFFSET = 10_000_000
+
+
+@query(
+    "sink_merge_upsert",
+    oracle=f"""
+WITH ch AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 < {_MERGE_UPD} THEN 'U'
+              WHEN o_orderkey % 100 < {_MERGE_DEL} THEN 'D'
+              ELSE 'I' END AS op,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,6))
+                    * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE) AS new_price
+  FROM orders WHERE o_orderkey % 100 < {_MERGE_INS}
+),
+merged AS (
+  SELECT o.o_orderstatus, COALESCE(u.new_price, o.o_totalprice) AS price
+  FROM orders o
+  LEFT JOIN (SELECT o_orderkey, new_price FROM ch WHERE op = 'U') u
+    USING (o_orderkey)
+  WHERE NOT EXISTS (SELECT 1 FROM ch d
+                    WHERE d.op = 'D' AND d.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT 'N', new_price FROM ch WHERE op = 'I'
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {{total}}
+FROM merged GROUP BY o_orderstatus
+""".format(total=dsum_sql("price") + " AS total_price"),
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / upsert semantics (the warehouse MERGE INTO, which
+    Spark's SQL surface reserves for v2 catalogs): a deterministic
+    change feed derived from the order keyspace applies
+    matched-UPDATE (price × 1.1, exact decimal), matched-DELETE, and
+    not-matched-INSERT (status 'N') against ``orders``; the hashed
+    output is the per-status census of the merged table.
+
+    Spark-first MERGE shape: anti-join for deletes + left join for
+    updates + union for inserts — three key-partitioned ops Catalyst
+    pipelines into one shuffle round, each independently scalable (no
+    full-outer-join materialization of the whole table). The change
+    feed is a pushed-down filter scan of the base (95 TB of untouched
+    rows stream straight through the anti/left joins' partitions)."""
+    o = load_table(spark, sf_dir, "orders")
+    bump = F.expr(
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,6))"
+        " * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)"
+    )
+    mod = F.col("o_orderkey") % 100
+    ch = o.filter(mod < _MERGE_INS).select(
+        "o_orderkey",
+        F.when(mod < _MERGE_UPD, "U")
+        .when(mod < _MERGE_DEL, "D")
+        .otherwise("I")
+        .alias("op"),
+        bump.alias("new_price"),
+    )
+    upd = ch.filter(F.col("op") == "U").select("o_orderkey", "new_price")
+    dels = ch.filter(F.col("op") == "D").select("o_orderkey")
+    ins = ch.filter(F.col("op") == "I").select(
+        F.lit("N").alias("o_orderstatus"),
+        F.col("new_price").alias("price"),
+    )
+    merged = (
+        o.join(dels, "o_orderkey", "left_anti")
+        .join(upd, "o_orderkey", "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce("new_price", "o_totalprice").alias("price"),
+        )
+        .unionByName(ins)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("price").alias("total_price"),
+    )
+
+
+#: rolling-median window: current row + 6 preceding, lower median (the
+#: order statistic at ceil(n/2) — pure element selection, no float math)
+_ROLLMED_PRE = 6
+
+
+@query(
+    "win_rolling_median",
+    oracle=f"""
+SELECT event_id, user_id, value,
+       l[(len(l) + 1) // 2] AS roll_med
+FROM (
+  SELECT event_id, user_id, value,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN {_ROLLMED_PRE} PRECEDING AND CURRENT ROW
+         )) AS l
+  FROM events
+)
+""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-key median (robust smoother for noisy gauges — the
+    order-statistic counterpart of ``win_moving_avg``): lower median of
+    the last {6+1} values per user, ordered by (ts, event_id).
+
+    Spark-first: ``collect_list`` over a bounded rows frame keeps O(7)
+    state per row inside one user-keyed WindowExec; ``array_sort`` +
+    ``element_at`` select the order statistic with ZERO float
+    arithmetic — the median is an element of the input, so cross-engine
+    equality is structural, not numeric. One exchange total; the frame
+    bound (not the partition) caps per-row memory at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-_ROLLMED_PRE, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    med_idx = F.expr("CAST((size(roll_arr) + 1) DIV 2 AS INT)")
+    return (
+        e.select("event_id", "user_id", "value", arr.alias("roll_arr"))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.element_at(F.col("roll_arr"), med_idx).alias("roll_med"),
+        )
+    )
+
+
+def _ppl_buckets_oracle(sf_dir: str | None = None) -> str:
+    """Compose the bucket oracle ON TOP of the registered perplexity
+    oracle (single source of truth — if the LM twin changes, this op
+    follows automatically). Lazy so registration order only requires
+    corpus2 to be loaded by oracle_sql() time, which operators.load()
+    guarantees."""
+    from ..registry import resolve_oracle
+
+    base = resolve_oracle("text_perplexity_unigram", sf_dir)
+    return f"""
+WITH base AS ({base}),
+census AS (SELECT xent, COUNT(*) AS c FROM base GROUP BY xent),
+cum AS (
+  SELECT xent, SUM(c) OVER (ORDER BY xent) AS cum, SUM(c) OVER () AS n
+  FROM census
+),
+t AS (
+  SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN xent END) AS t1,
+         MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN xent END) AS t2
+  FROM cum
+)
+SELECT b.doc_id, b.n_tokens, b.xent,
+       CASE WHEN b.xent <= t.t1 THEN 'head'
+            WHEN b.xent <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base b, t
+"""
+
+
+@query("text_ppl_buckets", oracle=_ppl_buckets_oracle)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity terciles: every document lands in the
+    head / middle / tail third of the corpus by unigram cross-entropy —
+    the bucketing CCNet uses to mix "fluent", "typical", and "noisy"
+    slices into a pretraining corpus with controlled proportions.
+
+    Distributed-quantile shape: tercile thresholds come from a VALUE
+    CENSUS (group by xent, cumulative count), not a global sort of the
+    docs — the census frame is at most one row per distinct score, so
+    the single-partition cumulative window is reduced-frame-safe
+    (docs/PLANS.md), and ties share a bucket by construction. The two
+    threshold doubles ride to the driver via the model-scalar collect
+    precedent and inline into the final row-local CASE. Cross-engine
+    equality is structural: thresholds are xent VALUES (dratio-exact),
+    and bucketing compares them with no further arithmetic."""
+    from .corpus2 import text_perplexity_unigram
+
+    base = text_perplexity_unigram(spark, sf_dir).select(
+        "doc_id", "n_tokens", "xent"
+    )
+    census = base.groupBy("xent").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("xent").rowsBetween(Window.unboundedPreceding, 0)
+    cum = census.select(
+        "xent",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    row = cum.agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("xent"))
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("xent")
+            )
+        ).alias("t2"),
+    ).collect()[0]
+    bucket = (
+        F.when(F.col("xent") <= F.lit(row["t1"]), "head")
+        .when(F.col("xent") <= F.lit(row["t2"]), "middle")
+        .otherwise("tail")
+    )
+    return base.select("doc_id", "n_tokens", "xent", bucket.alias("bucket"))
