@@ -698,3 +698,132 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return base.select("doc_id", "n_tokens", "xent", bucket.alias("bucket"))
+
+
+def _pq_adc_oracle(sf_dir: str | None = None) -> str:
+    """ADC oracle composed ON TOP of the registered vec_pq_encode twin
+    (codes CTE = that oracle verbatim — single source of truth for the
+    encode semantics)."""
+    from ..registry import resolve_oracle
+    from .vectors import _PQ_CODES
+
+    codes = resolve_oracle("vec_pq_encode", sf_dir)
+    return f"""
+WITH codes AS ({codes}),
+q AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS qx
+  FROM embeddings WHERE vec_id = 0
+),
+seeds AS (
+  SELECT vec_id AS code, CAST((generate_subscripts(embedding, 1) - 1) // 8
+                              AS BIGINT) AS sub,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {_PQ_CODES}
+),
+dt AS (
+  SELECT s.sub, s.code,
+         CAST(ROUND(SUM(CAST((q.qx - s.x) * (q.qx - s.x)
+                             AS DECIMAL(28,12))), 6) AS DOUBLE) AS qd2
+  FROM seeds s JOIN q USING (pos)
+  GROUP BY s.sub, s.code
+),
+adc AS (
+  SELECT c.vec_id,
+         CAST(ROUND(SUM(CAST(dt.qd2 AS DECIMAL(28,6))), 6) AS DOUBLE)
+           AS adc_d2
+  FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+),
+top AS (
+  SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM top)
+),
+exact AS (
+  SELECT ev.vec_id,
+         CAST(ROUND(SUM(CAST((q.qx - ev.x) * (q.qx - ev.x)
+                             AS DECIMAL(28,12))), 6) AS DOUBLE) AS exact_d2
+  FROM ev JOIN q USING (pos)
+  GROUP BY ev.vec_id
+)
+SELECT t.vec_id, t.adc_d2, e.exact_d2
+FROM top t JOIN exact e USING (vec_id)
+"""
+
+
+@query("vec_pq_adc_topk", oracle=_pq_adc_oracle)
+def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the product-quantized
+    database — the FAISS IVF-PQ serving path: the query stays float, the
+    database is 4-bit codes, and per-vector distance is 8 LOOKUPS into a
+    subspace×code distance table instead of 64 multiplies. The top-10
+    ADC shortlist is then re-ranked with the exact decimal L2 — the
+    standard two-stage recall/precision trade.
+
+    Spark-first: the distance table is an 8×16 aggregate joined
+    broadcast onto the codes frame (codes come from the registered
+    ``vec_pq_encode`` — one encode semantics, two consumers); the ADC
+    sum accumulates the decimal-rounded table entries in DECIMAL so
+    8-term addition order cannot flip a ulp; top-k is
+    TakeOrderedAndProject; only the 10 survivors read their floats
+    back. At 100 TB the codes frame is 32× smaller than the floats —
+    the scan that matters touches codes only."""
+    from .vectors import _DOT_DEC, _PQ_CODES, _pos_explode, vec_pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = vec_pq_encode(spark, sf_dir).select("vec_id", "sub", "code")
+    q = _pos_explode(e.filter(F.col("vec_id") == 0), "vec_id").select(
+        "pos", F.col("x").alias("qx")
+    )
+    seeds = _pos_explode(
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_CODES)),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("code"),
+        F.expr("CAST((pos - 1) div 8 AS BIGINT)").alias("sub"),
+        "pos",
+        "x",
+    )
+    qdiff = F.col("qx") - F.col("x")
+    dt = (
+        seeds.join(F.broadcast(q), "pos")
+        .select("sub", "code", (qdiff * qdiff).alias("sq"))
+        .groupBy("sub", "code")
+        .agg(
+            F.round(F.sum(F.col("sq").cast(_DOT_DEC)), 6)
+            .cast("double")
+            .alias("qd2")
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dt), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(F.col("qd2").cast("decimal(28,6)")), 6)
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    top = adc.orderBy("adc_d2", "vec_id").limit(10)
+    ev = _pos_explode(
+        e.join(F.broadcast(top.select("vec_id")), "vec_id"), "vec_id"
+    )
+    ediff = F.col("qx") - F.col("x")
+    exact = (
+        ev.join(F.broadcast(q), "pos")
+        .select("vec_id", (ediff * ediff).alias("sq"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(F.col("sq").cast(_DOT_DEC)), 6)
+            .cast("double")
+            .alias("exact_d2")
+        )
+    )
+    return top.join(exact, "vec_id").select("vec_id", "adc_d2", "exact_d2")
