@@ -837,3 +837,124 @@ def stream_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = merged.collect()
     shutil.rmtree(partials_dir, ignore_errors=True)
     return spark.createDataFrame(rows, merged.schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_sketch_cms — LIVE count-min counters (the relational CMS's
+# streaming twin: per-batch counter partials merge by pure addition)
+# ---------------------------------------------------------------------------
+
+
+def _cms_oracle(sf_dir: str | None = None) -> str:
+    """The live twin must converge to the batch sketch exactly — same
+    oracle (resolved lazily so module import order never matters)."""
+    from ..registry import resolve_oracle
+
+    return resolve_oracle("agg_sketch_cms", sf_dir)
+
+
+@query("stream_sketch_cms", oracle=_cms_oracle)
+def stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE count-min sketch — the streaming twin of ``agg_sketch_cms``:
+    each micro-batch emits its own d×w counter partials plus exact
+    per-key count partials via foreachBatch; the published report merges
+    both by ADDITION (the CMS mergeability that makes the sketch a
+    streaming-native structure — commutative, associative, so any batch
+    arrival order and any retry-overwrite converge to the batch-exact
+    counters). Point-query estimates and the one-sided bound check are
+    then identical to the batch op, which is what the shared oracle
+    pins. Retry-idempotent: a replayed batch_id overwrites its own
+    partials subdirectory."""
+    import pyarrow.parquet as pq
+
+    from ..operators.extensions5 import _CMS_D, _cms_bucket
+
+    def build(d: str) -> str:
+        from .stateful import _read_events_arrow
+
+        t = _read_events_arrow(sf_dir)
+        n_parts = 4
+        step = (t.num_rows + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            f = os.path.join(d, f"p{i}.parquet")
+            pq.write_table(t.slice(i * step, step), f)
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return d
+
+    src = _stage_once("rollup_parts", sf_dir, build)
+    s = _stream_staged(spark, src, one_file_per_batch=True)
+
+    partials_dir = tempfile.mkdtemp(prefix="nm_cms_partials_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        base = os.path.join(partials_dir, f"batch_id={batch_id}")
+        bucket_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    _cms_bucket(F.col("event_type"), i).alias("bucket"),
+                )
+                for i in range(_CMS_D)
+            ]
+        )
+        (
+            batch_df.select(F.explode(bucket_structs).alias("rb"))
+            .select("rb.*")
+            .groupBy("row_i", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "sketch"))
+        )
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "exact"))
+        )
+
+    writer = (
+        s.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir())
+        .trigger(availableNow=True)
+    )
+    with _state_sized_shuffle(spark), _drain_tuned(spark, "append"):
+        q = writer.start()
+        q.awaitTermination()
+
+    sketch = (
+        spark.read.parquet(os.path.join(partials_dir, "batch_id=*", "sketch"))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    exact = (
+        spark.read.parquet(os.path.join(partials_dir, "batch_id=*", "exact"))
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n_exact"))
+    )
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                _cms_bucket(F.col("event_type"), i).alias("bucket"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    kb = exact.select(
+        "event_type", F.explode(bucket_structs).alias("rb")
+    ).select("event_type", "rb.*")
+    est = (
+        kb.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    out = exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") >= F.col("n_exact")).alias("lower_bound_ok"),
+    )
+    rows = out.collect()
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
