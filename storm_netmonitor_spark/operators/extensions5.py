@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.stable import dratio, dratio_sql, dsum, dsum_sql
+from ..functions.stable import (
+    dec_scaled_sql,
+    dratio,
+    dratio_sql,
+    dsum,
+    dsum_sql,
+)
 from ..io import load_table
 from ..registry import query
 
@@ -827,3 +833,65 @@ def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.join(exact, "vec_id").select("vec_id", "adc_d2", "exact_d2")
+
+
+@query(
+    "agg_key_skew_entropy",
+    oracle=f"""
+WITH cu AS (
+  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM cu GROUP BY 1),
+j AS (SELECT cu.event_type, cu.c, tot.n FROM cu JOIN tot USING (event_type))
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       {{entropy}} AS entropy_nats,
+       {{share}} AS top_share
+FROM j GROUP BY event_type
+""".format(
+        entropy=dratio_sql(
+            dec_scaled_sql("c * ln(CAST(n AS DOUBLE) / c)"), "MAX(n)"
+        ),
+        share=dratio_sql("MAX(c) * 1000000", "MAX(n)"),
+    ),
+)
+def agg_key_skew_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit: Shannon entropy (nats) of the per-key row
+    distribution within each event_type, plus the hottest key's share —
+    the diagnostic a 100 TB operator runs BEFORE keying a join or agg on
+    a column (low entropy / high top_share ⇒ salting or AQE skew-split
+    territory; the planted-skew ops demonstrate the cure, this op is
+    the detector).
+
+    Float discipline = the text_perplexity_unigram pattern exactly:
+    H = Σ c·ln(n/c) / n with each libm term decimal-6-accumulated and
+    the mean rounded by :func:`dratio`'s exact integer half-away (the
+    QUOTIENT hazard never forms); the per-term decimal-6 cast boundary
+    is audited by tools/margin_audit.py. top_share is a pure integer
+    rational. Shape: per-(type,key) count → broadcast per-type totals →
+    one reduced-frame agg; the (type,key) partial combine IS the skew
+    the op measures, but the combine emits one row per distinct key per
+    executor, so the hot key costs memory O(1) per task."""
+    from ..functions.stable import dec_scaled
+
+    e = load_table(spark, sf_dir, "events")
+    cu = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = cu.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    j = cu.join(F.broadcast(tot), "event_type")
+    term = F.col("c") * F.log(F.col("n").cast("double") / F.col("c"))
+    agg = j.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_keys"),
+        dec_scaled(term).alias("h_e6"),
+        F.max("c").alias("cmax"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_keys",
+        dratio(F.col("h_e6"), F.col("n_events")).alias("entropy_nats"),
+        dratio(F.col("cmax") * 1000000, F.col("n_events")).alias(
+            "top_share"
+        ),
+    )

@@ -245,6 +245,29 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
                  "min ppl·1e4 distance to a .5 rounding boundary "
                  "(scaled units; hazard scale ~6e-11)",
                  ppl_margin, ppl_margin >= 1e-6))
+
+    # --- agg_key_skew_entropy: same per-term libm→decimal-6 class as the
+    # ppl terms — each c·ln(n/c) is computed by the engine's libm before
+    # the decimal-6 cast (dratio removes the downstream quotient hazard).
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    ).to_pylist()
+    by_type: dict[str, Counter] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], Counter())[r["user_id"]] += 1
+    ent_margin = math.inf
+    for cnt in by_type.values():
+        n = sum(cnt.values())
+        for c in cnt.values():
+            scaled = c * math.log(n / c) * 1e6
+            ent_margin = min(
+                ent_margin, abs(scaled - math.floor(scaled) - 0.5)
+            )
+    rows.append(("agg_key_skew_entropy",
+                 "min entropy-term distance to a decimal-6 .5 boundary "
+                 "(scaled units; libm 1-ulp ≈ 1e-10 here)",
+                 ent_margin, ent_margin >= 1e-4))
     return rows
 
 
