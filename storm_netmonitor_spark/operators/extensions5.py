@@ -841,8 +841,11 @@ def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cu AS (
   SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
 ),
-tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM cu GROUP BY 1),
-j AS (SELECT cu.event_type, cu.c, tot.n FROM cu JOIN tot USING (event_type))
+j AS (
+  SELECT event_type, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM cu
+)
 SELECT event_type,
        CAST(MAX(n) AS BIGINT) AS n_events,
        CAST(COUNT(*) AS BIGINT) AS n_keys,
@@ -869,16 +872,21 @@ def agg_key_skew_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean rounded by :func:`dratio`'s exact integer half-away (the
     QUOTIENT hazard never forms); the per-term decimal-6 cast boundary
     is audited by tools/margin_audit.py. top_share is a pure integer
-    rational. Shape: per-(type,key) count → broadcast per-type totals →
-    one reduced-frame agg; the (type,key) partial combine IS the skew
-    the op measures, but the combine emits one row per distinct key per
-    executor, so the hot key costs memory O(1) per task."""
+    rational. Shape: per-(type,key) count → per-type totals carried by a
+    WINDOW over the counted frame (one scan — a join against a separate
+    totals agg would recompute the count subtree) → one reduced-frame
+    agg: two keyed exchanges total. The (type,key) partial combine IS
+    the skew the op measures, but the combine emits one row per
+    distinct key per executor, so the hot key costs memory O(1) per
+    task."""
     from ..functions.stable import dec_scaled
 
     e = load_table(spark, sf_dir, "events")
     cu = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
-    tot = cu.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
-    j = cu.join(F.broadcast(tot), "event_type")
+    j = cu.withColumn(
+        "n",
+        F.sum("c").over(Window.partitionBy("event_type")).cast("long"),
+    )
     term = F.col("c") * F.log(F.col("n").cast("double") / F.col("c"))
     agg = j.groupBy("event_type").agg(
         F.max("n").alias("n_events"),
