@@ -1025,6 +1025,48 @@ def mmr_diversify_over(
 # ---------------------------------------------------------------------------
 
 _TRI_K = 3  # neighbors per node in the kNN graph
+#: float-prefilter depth per node for the kNN-graph candidate kernel —
+#: ≫ _TRI_K so 6-decimal rounding ties at the exact cut cannot reach past
+#: the shortlist (margin-audited: per-node gap s[k-1] − s[depth-1] must
+#: exceed 2× the 1e-6 rounding quantum).
+_TRI_SHORTLIST = 16
+
+
+def _knn_candidates(pdf: pd.DataFrame, depth: int) -> pd.DataFrame:
+    """Per-label k-NN candidate kernel: strip-chunked gram scan
+    (bounded worker memory, _GRAM_CHUNK discipline) emitting each node's
+    ``depth`` most-similar neighbors by FLOAT sim as DIRECTED
+    (label, a_id, b_id) candidates. Unlike :func:`_gram_candidates`
+    (upper-triangle pair kernel), each strip row carries sims to ALL
+    columns, so a node's cut needs no cross-strip merge."""
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"label": [], "a_id": [], "b_id": []})
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    d = min(depth, n - 1)
+    a_parts, b_parts = [], []
+    for lo in range(0, n, _GRAM_CHUNK):
+        hi = min(lo + _GRAM_CHUNK, n)
+        strip = m[lo:hi] @ m.T
+        rows = np.arange(lo, hi)
+        strip[np.arange(hi - lo), rows] = -np.inf  # mask self-sims
+        # stable argsort on -sim ⇒ float ties fall to ascending position
+        # = ascending vec_id (ids are sorted); exactness comes from the
+        # decimal rescore downstream, not from this order
+        idx = np.argsort(-strip, axis=1, kind="stable")[:, :d]
+        a_parts.append(np.repeat(rows, d))
+        b_parts.append(idx.ravel())
+    a_idx = np.concatenate(a_parts)
+    b_idx = np.concatenate(b_parts)
+    return pd.DataFrame(
+        {
+            "label": pdf["label"].iloc[0],
+            "a_id": ids[a_idx],
+            "b_id": ids[b_idx],
+        }
+    )
 
 
 @query(
@@ -1087,53 +1129,36 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle exactly once).
 
     Shape at scale: the pairwise term is label-blocked and capped
-    (PAIRWISE_BLOCK_CAP — oversized blocks belong on the ANN route),
-    so sims are O(block²) per block, never corpus-quadratic; the edge
-    frame is O(nodes·k) SPARSE by construction, and the triangle
-    two-join runs on that sparse frame with (label, vertex) join keys —
-    the standard distributed triangle-count shape. The per-(label,a_id)
-    rank window shares the sims shuffle."""
+    (PAIRWISE_BLOCK_CAP — oversized blocks belong on the ANN route) and
+    runs as the strip-chunked BLAS gram kernel inside one grouped-pandas
+    stage (bounded worker memory; O(block²) flops but only
+    O(nodes·shortlist) rows ever leave the kernel — the r6 rewrite that
+    replaced a 100M-product-row exchange); the exact decimal rescore +
+    (sim DESC, b_id) rank on the candidate frame preserves the total
+    order the oracle recomputes, with the float shortlist cut
+    margin-audited. The edge frame is O(nodes·k) SPARSE by
+    construction, and the triangle two-join runs on that sparse frame
+    with (label, vertex) join keys — the standard distributed
+    triangle-count shape."""
     e = _cap_blocks(load_table(spark, sf_dir, "embeddings"))
-    # (label, id, pos, x) rows — label-aware pos-explode, used on both sides
-    pa = e.select(
-        "label",
-        F.col("vec_id").alias("a_id"),
-        F.posexplode("embedding").alias("pos0", "xf"),
-    ).select(
-        "label",
-        "a_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("xf").cast("double").alias("x"),
+    # per-node float shortlist via the chunked BLAS gram scan (r6 perf
+    # rewrite: the old pos-explode self-join pushed O(Σ block²·dim) product
+    # rows through an exchange — 100M rows / 18.5 s cold at sf0.1; the
+    # kernel's strip @ block.T sees each row's sims to ALL columns, so the
+    # per-node cut is complete within its strip), then the EXACT decimal
+    # rescore + rank picks the true (sim DESC, b_id) top-k from the
+    # 16-deep candidates — float-vs-decimal reorder at the cut is audited
+    # by tools/margin_audit.py (shortlist-gap row).
+    cand = e.groupBy("label").applyInPandas(
+        lambda pdf: _knn_candidates(pdf, _TRI_SHORTLIST),
+        "label int, a_id long, b_id long",
     )
-    pb = pa.select(
-        "label", F.col("a_id").alias("b_id"), "pos", F.col("x").alias("y")
-    )
-    dots = (
-        pa.join(pb, ["label", "pos"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "label", "a_id", "b_id", (F.col("x") * F.col("y")).alias("px")
-        )
-        .groupBy("label", "a_id", "b_id")
-        .agg(
-            F.round(F.sum(F.col("px").cast(_DOT_DEC)), 6)
-            .cast("double")
-            .alias("sim")
-        )
-    )
-    sym = dots.unionByName(
-        dots.select(
-            "label",
-            F.col("b_id").alias("a_id"),
-            F.col("a_id").alias("b_id"),
-            "sim",
-        )
-    )
+    sims = _rescore_pairs(e, cand)
     w = Window.partitionBy("label", "a_id").orderBy(
         F.desc("sim"), F.asc("b_id")
     )
     knn = (
-        sym.withColumn("rn", F.row_number().over(w))
+        sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TRI_K)
         .select("label", "a_id", "b_id")
     )

@@ -268,6 +268,37 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
                  "min entropy-term distance to a decimal-6 .5 boundary "
                  "(scaled units; libm 1-ulp ≈ 1e-10 here)",
                  ent_margin, ent_margin >= 1e-4))
+
+    # --- graph_knn_triangles: the 16-deep float shortlist must contain
+    # every pair that can tie the exact top-k after 6-decimal rounding —
+    # guaranteed when each node's float gap s[k-1] − s[depth-1] exceeds
+    # 2× the 1e-6 rounding quantum (see _TRI_SHORTLIST).
+    from storm_netmonitor_spark.operators.vectors import (
+        _TRI_K,
+        _TRI_SHORTLIST,
+    )
+
+    emb_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    lab_arr = np.array(emb_t.column("label").to_pylist())
+    emb = np.array(emb_t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = np.unique(lab_arr)
+    tri_margin = math.inf
+    for lb in labels:
+        block = emb[lab_arr == lb]
+        n = len(block)
+        if n < 2:
+            continue
+        g = block @ block.T
+        np.fill_diagonal(g, -np.inf)
+        s = -np.sort(-g, axis=1)
+        d = min(_TRI_SHORTLIST, n - 1)
+        tri_margin = min(
+            tri_margin, float((s[:, _TRI_K - 1] - s[:, d - 1]).min())
+        )
+    rows.append(("graph_knn_triangles",
+                 "min per-node float gap shortlist-kth vs shortlist-cut "
+                 "(must exceed 2e-6, twice the decimal-6 quantum)",
+                 tri_margin, tri_margin >= 2e-6))
     return rows
 
 
