@@ -44,6 +44,15 @@ Vectors (input: ``vec_id, embedding[, label]`` frames):
 - ``near_dup_cosine_pairs`` — blocked cosine near-dup pairs (sim ≥ 0.8)
 - ``semantic_dedup_summary`` — SemDeDup k-means-blocked duplicate counts
   (signature: ``(spark, emb, ...)`` — it trains the cluster model)
+- ``hamming_topk`` — binary-quantization (sign-signature popcount) top-k
+  with exact decimal-cosine re-rank
+
+Sketches / robust statistics:
+
+- ``cms_counters`` / ``cms_point_estimates`` — relational count-min
+  sketch: bounded-cardinality mergeable counters + min-row point query
+- ``rolling_median_over`` — bounded-frame rolling lower median (pure
+  order-statistic selection)
 """
 
 from __future__ import annotations
@@ -75,6 +84,12 @@ from .operators.events_analytics import (
     step_changepoint_over,
 )
 from .operators.scale_probes import replicate_rows, scoped_confs
+from .operators.extensions5 import (
+    cms_counters,
+    cms_point_estimates,
+    hamming_topk,
+    rolling_median_over,
+)
 from .operators.extensions4 import (
     _lttb_select as lttb_select,
     burn_rate_over,
@@ -91,6 +106,8 @@ __all__ = [
     "approx_quantile_estimates",
     "burn_rate_over",
     "burn_windows_over",
+    "cms_counters",
+    "cms_point_estimates",
     "concurrency_over",
     "connected_components",
     "counter_increase_by_key",
@@ -103,6 +120,7 @@ __all__ = [
     "exact_dedup_by_hash",
     "flaps_by_source",
     "gini_over",
+    "hamming_topk",
     "hll_sketch_estimates",
     "holt_fold_over",
     "interval_union_islands",
@@ -116,6 +134,7 @@ __all__ = [
     "path_trigrams_over",
     "replicate_rows",
     "rolling_actives_over",
+    "rolling_median_over",
     "scoped_confs",
     "semantic_dedup_summary",
     "step_changepoint_over",

@@ -49,6 +49,51 @@ def _cms_bucket(col, row_i: int):
     ).cast("int")
 
 
+def _cms_structs(col):
+    """The d (row_i, bucket) hash pairs for one key value, as an array of
+    structs ready to explode."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                _cms_bucket(col, i).alias("bucket"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+
+
+def cms_counters(df: DataFrame, key: str = "event_type") -> DataFrame:
+    """KERNEL — mergeable count-min counter frame ``(row_i, bucket, c)``
+    over ``df[key]``: a bounded-cardinality groupBy (≤ d·w = 1024 rows),
+    so map-side partials make every executor emit a constant-size
+    summary regardless of input rows. Two counter frames over disjoint
+    inputs merge by summing ``c`` on (row_i, bucket) — the property the
+    streaming twin exercises."""
+    return (
+        df.select(F.explode(_cms_structs(F.col(key))).alias("rb"))
+        .select("rb.*")
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_point_estimates(
+    counters: DataFrame, keys_df: DataFrame, key: str = "event_type"
+) -> DataFrame:
+    """KERNEL — point-query a counter frame for each key in ``keys_df``:
+    min over the d hash rows (the CMS estimate, one-sided ≥ truth).
+    Broadcasts the tiny counter table; output ``(key, cms_est)``."""
+    kb = keys_df.select(
+        key, F.explode(_cms_structs(F.col(key))).alias("rb")
+    ).select(key, "rb.*")
+    return (
+        kb.join(F.broadcast(counters), ["row_i", "bucket"])
+        .groupBy(key)
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
 def _cms_rows_sql() -> str:
     case = " ".join(
         f"WHEN {i} THEN {_cms_bucket_sql(i)}" for i in range(_CMS_D)
@@ -358,28 +403,8 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``count_min_sketch`` binary (Scala-only surface in PySpark), the
     counters stay queryable relational state."""
     e = load_table(spark, sf_dir, "events").select("event_type")
-    bucket_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                _cms_bucket(F.col("event_type"), i).alias("bucket"),
-            )
-            for i in range(_CMS_D)
-        ]
-    )
-    pairs = e.select(F.explode(bucket_structs).alias("rb")).select("rb.*")
-    sketch = pairs.groupBy("row_i", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    keys = e.distinct()
-    kb = keys.select(
-        "event_type", F.explode(bucket_structs).alias("rb")
-    ).select("event_type", "rb.*")
-    est = (
-        kb.join(F.broadcast(sketch), ["row_i", "bucket"])
-        .groupBy("event_type")
-        .agg(F.min("c").alias("cms_est"))
-    )
+    sketch = cms_counters(e)
+    est = cms_point_estimates(sketch, e.distinct())
     exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     return exact.join(est, "event_type").select(
         "event_type",
@@ -449,9 +474,19 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scoring joins only the broadcast shortlist. Sign bits compare
     float≥0 exactly — no rounding margin exists in the whole decision
     path."""
+    return hamming_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def hamming_topk(
+    e: DataFrame, query_id: int = 0, k: int = _HAM_K
+) -> DataFrame:
+    """KERNEL — binary-quantization top-k over a ``(vec_id, embedding)``
+    frame: sign-bit 64-bit signatures (row-local HOF), popcount hamming
+    to ``query_id``'s signature (inlined literal — pure map scan),
+    TakeOrderedAndProject cut at (hamming, vec_id), exact decimal-cosine
+    re-rank of the k survivors. Returns (vec_id, hamming, cos_sim)."""
     from .vectors import _DOT_DEC, _pos_explode
 
-    e = load_table(spark, sf_dir, "embeddings")
     sig = e.select(
         "vec_id",
         F.expr(
@@ -465,9 +500,9 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row query-signature fetch (the query-vector collect pattern
     # of vec_knn_cosine/vec_ann_*): 8 bytes to the driver, inlined as a
     # literal so the hamming scan plans as a pure map stage
-    qsig = sig.filter(F.col("vec_id") == 0).collect()[0]["sig"]
+    qsig = sig.filter(F.col("vec_id") == query_id).collect()[0]["sig"]
     top = (
-        sig.filter(F.col("vec_id") != 0)
+        sig.filter(F.col("vec_id") != query_id)
         .select(
             "vec_id",
             F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))).alias(
@@ -475,9 +510,9 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("hamming", "vec_id")
-        .limit(_HAM_K)
+        .limit(k)
     )
-    qx = _pos_explode(e.filter(F.col("vec_id") == 0), "vec_id").select(
+    qx = _pos_explode(e.filter(F.col("vec_id") == query_id), "vec_id").select(
         "pos", F.col("x").alias("qx")
     )
     ce = _pos_explode(
@@ -612,11 +647,21 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — the median is an element of the input, so cross-engine
     equality is structural, not numeric. One exchange total; the frame
     bound (not the partition) caps per-row memory at 100 TB."""
-    e = load_table(spark, sf_dir, "events")
+    return rolling_median_over(load_table(spark, sf_dir, "events"))
+
+
+def rolling_median_over(
+    e: DataFrame, n_pre: int = _ROLLMED_PRE
+) -> DataFrame:
+    """KERNEL — rolling lower median of ``value`` over the current +
+    ``n_pre`` preceding rows per user: bounded collect_list frame (O(n)
+    state/row in one keyed WindowExec) + pure order-statistic element
+    selection (zero float arithmetic). Contract: columns ``user_id, ts,
+    event_id, value``; returns those keys + ``roll_med``."""
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"), "event_id")
-        .rowsBetween(-_ROLLMED_PRE, 0)
+        .rowsBetween(-n_pre, 0)
     )
     arr = F.array_sort(F.collect_list("value").over(w))
     med_idx = F.expr("CAST((size(roll_arr) + 1) DIV 2 AS INT)")

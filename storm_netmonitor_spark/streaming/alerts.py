@@ -867,7 +867,7 @@ def stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials subdirectory."""
     import pyarrow.parquet as pq
 
-    from ..operators.extensions5 import _CMS_D, _cms_bucket
+    from ..operators.extensions5 import cms_counters, cms_point_estimates
 
     def build(d: str) -> str:
         from .stateful import _read_events_arrow
@@ -888,20 +888,8 @@ def stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         base = os.path.join(partials_dir, f"batch_id={batch_id}")
-        bucket_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row_i"),
-                    _cms_bucket(F.col("event_type"), i).alias("bucket"),
-                )
-                for i in range(_CMS_D)
-            ]
-        )
         (
-            batch_df.select(F.explode(bucket_structs).alias("rb"))
-            .select("rb.*")
-            .groupBy("row_i", "bucket")
-            .agg(F.count(F.lit(1)).alias("c"))
+            cms_counters(batch_df)
             .write.mode("overwrite")
             .parquet(os.path.join(base, "sketch"))
         )
@@ -932,23 +920,7 @@ def stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("n").cast("long").alias("n_exact"))
     )
-    bucket_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                _cms_bucket(F.col("event_type"), i).alias("bucket"),
-            )
-            for i in range(_CMS_D)
-        ]
-    )
-    kb = exact.select(
-        "event_type", F.explode(bucket_structs).alias("rb")
-    ).select("event_type", "rb.*")
-    est = (
-        kb.join(F.broadcast(sketch), ["row_i", "bucket"])
-        .groupBy("event_type")
-        .agg(F.min("c").alias("cms_est"))
-    )
+    est = cms_point_estimates(sketch, exact.select("event_type"))
     out = exact.join(est, "event_type").select(
         "event_type",
         "n_exact",
