@@ -1272,3 +1272,188 @@ def test_pq_encode_matches_numpy_argmin(spark):
         for r in QUERIES["vec_pq_encode"](spark, sf).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cms_counters_merge_and_lower_bound(keys):
+    """The relational CMS on arbitrary key streams: (1) counters over a
+    split input merged by addition equal counters over the whole input
+    (the mergeability the streaming twin relies on); (2) every point
+    estimate is ≥ the true count (one-sided guarantee)."""
+    from collections import Counter
+
+    from storm_netmonitor_spark.operators.extensions5 import (
+        cms_counters,
+        cms_point_estimates,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame([(k,) for k in keys], "event_type string")
+    half = len(keys) // 2
+    d1 = spark.createDataFrame(
+        [(k,) for k in keys[:half]] or [("__none__",)], "event_type string"
+    )
+    d2 = spark.createDataFrame(
+        [(k,) for k in keys[half:]] or [("__none__",)], "event_type string"
+    )
+    whole = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in cms_counters(df).collect()
+    }
+    merged: dict = {}
+    for part in (d1, d2):
+        for r in cms_counters(part).collect():
+            merged[(r["row_i"], r["bucket"])] = (
+                merged.get((r["row_i"], r["bucket"]), 0) + r["c"]
+            )
+    if half and half < len(keys):
+        assert merged == whole
+    exact = Counter(keys)
+    est = {
+        r["event_type"]: r["cms_est"]
+        for r in cms_point_estimates(
+            cms_counters(df), df.distinct()
+        ).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rolling_median_kernel_matches_scalar_reference(values):
+    """rolling_median_over equals the scalar lower-median walk on one
+    synthetic key (bounded 7-row frame, order statistic semantics)."""
+    import datetime as dt
+
+    from storm_netmonitor_spark.operators.extensions5 import (
+        rolling_median_over,
+    )
+
+    spark = _spark()
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["roll_med"]
+        for r in rolling_median_over(df).collect()
+    }
+    for i in range(len(values)):
+        win = sorted(float(v) for v in values[max(0, i - 6) : i + 1])
+        assert got[i] == win[(len(win) + 1) // 2 - 1]
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_hamming_topk_kernel_matches_bruteforce(vecs):
+    """hamming_topk equals the scalar sign-signature walk on arbitrary
+    small frames: same hamming distances, same (hamming, id) order."""
+    from storm_netmonitor_spark.operators.extensions5 import hamming_topk
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    import numpy as np
+
+    sigs = {
+        i: sum(
+            1 << p
+            for p, x in enumerate(np.array(v, dtype=np.float32))
+            if x >= 0
+        )
+        for i, v in enumerate(vecs)
+    }
+    want = sorted(
+        (bin(s ^ sigs[0]).count("1"), i)
+        for i, s in sigs.items()
+        if i != 0
+    )[:10]
+    got = sorted(
+        (r["hamming"], r["vec_id"])
+        for r in hamming_topk(df).collect()
+    )
+    assert got == want
+
+
+def test_knn_candidates_cover_bruteforce_topk(spark):
+    """_knn_candidates (the triangle census's BLAS prefilter) must contain
+    the exact float top-k neighbors of every node in its shortlist on the
+    real testdata — the containment the margin audit's gap row certifies
+    analytically, checked directly here."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from storm_netmonitor_spark.operators.vectors import (
+        _TRI_K,
+        _TRI_SHORTLIST,
+        _knn_candidates,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pylist()
+    by_label: dict = {}
+    for r in t:
+        by_label.setdefault(r["label"], []).append(r)
+    for lb, rows in sorted(by_label.items())[:3]:
+        pdf = pd.DataFrame(
+            {
+                "label": [lb] * len(rows),
+                "vec_id": [r["vec_id"] for r in rows],
+                "embedding": [r["embedding"] for r in rows],
+            }
+        )
+        cand = _knn_candidates(pdf, _TRI_SHORTLIST)
+        cand_set = set(zip(cand["a_id"], cand["b_id"]))
+        ids = sorted(r["vec_id"] for r in rows)
+        m = np.array(
+            [r["embedding"] for r in sorted(rows, key=lambda x: x["vec_id"])],
+            dtype=np.float64,
+        )
+        g = m @ m.T
+        np.fill_diagonal(g, -np.inf)
+        for i, a in enumerate(ids):
+            top = np.argsort(-g[i], kind="stable")[:_TRI_K]
+            for j in top:
+                assert (a, ids[j]) in cand_set
