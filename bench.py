@@ -87,6 +87,12 @@ EXTRA_REPORTED = [
     "sample_weighted_systematic",  # two-level prefix PPS draw
     "sql_recursive_cte",  # Spark 4 recursive CTE (vocab-sized walk)
     "ts_ewma_timedecay",  # minute-reduced libm-free decay fold
+    # round-6 continuation (§2.V)
+    "events_mttr",  # MTTR/MTBF: two window passes + agg on ONE exchange
+    "agg_sketch_cms",  # relational CMS: bounded-cardinality counter agg
+    "vec_hamming_topk",  # sign-signature pure-map scan + decimal re-rank
+    "sink_merge_upsert",  # MERGE via broadcast change feed (base unshuffled)
+    "agg_key_skew_entropy",  # skew detector: count + totals window + rollup
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
