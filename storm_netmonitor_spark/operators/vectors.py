@@ -1162,11 +1162,16 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TRI_K)
         .select("label", "a_id", "b_id")
     )
+    # Materialize the sparse O(nodes·k) edge frame ONCE: four consumers
+    # follow (the three triangle-join branches + the edge census), and
+    # without the lineage cut each would replay the grouped-pandas kernel
+    # + decimal rescore subtree — 4 python-eval stages in one plan and 4×
+    # the kernel's work (the plan guard in tests/test_plans.py pins this).
     edges = knn.select(
         "label",
         F.least("a_id", "b_id").alias("lo"),
         F.greatest("a_id", "b_id").alias("hi"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     tri = triangle_count_over(edges)
     nodes = e.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
