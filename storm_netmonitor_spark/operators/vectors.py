@@ -376,18 +376,15 @@ def _lloyd_round(
     return out
 
 
-def _ivf_oracle() -> str:
-    """Full SQL twin of the IVF pipeline (VERDICT r4 #5 — upgraded from
-    rows-only): the 5 Lloyd rounds, final cell assignment, nprobe cell
-    choice, and decimal top-10 are unrolled as one generated CTE chain.
-    The engine's Lloyd accumulates in float (numpy partials) while the
-    oracle uses SQL double sums — different orders — but every DECISION
-    the pipeline takes has enormous margin over the ~1e-13 accumulation
-    error (measured at sf0.01: min assign margin 2.3e-4 across all
-    rounds, probe margin 9.2e-3, shortlist cut margin 3.3e-4), so both
-    arithmetics choose identical cells/candidates, and every EMITTED
-    number is the order-independent decimal dot. CTEs are MATERIALIZED:
-    the round-over-round references otherwise inline exponentially."""
+def _ivf_cand_ctes() -> str:
+    """The IVF pipeline's CTE chain up to and including ``cand`` (the
+    probed-cell candidate set): 5 unrolled Lloyd rounds, final cell
+    assignment ``afin``, query-to-centroid dots ``qd``, nprobe choice
+    ``probe``, and ``cand``. Also defines ``e`` (pos-exploded corpus,
+    vec_id <> 0) and ``q`` (pos-exploded query vector, columns pos/qx)
+    for downstream reuse. Shared verbatim by ``_ivf_oracle`` and the
+    composed ``vec_ann_ivfpq`` twin — one source of truth for the
+    probe semantics."""
     head = f"""
 WITH e AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -442,7 +439,23 @@ WITH e AS MATERIALIZED (
   ) WHERE rn <= {IVF_NPROBE}
 ), cand AS MATERIALIZED (
   SELECT vec_id FROM afin WHERE cid IN (SELECT cid FROM probe)
-), dots AS MATERIALIZED (
+)"""
+    return head + "".join(rounds) + tail
+
+
+def _ivf_oracle() -> str:
+    """Full SQL twin of the IVF pipeline (VERDICT r4 #5 — upgraded from
+    rows-only): the 5 Lloyd rounds, final cell assignment, nprobe cell
+    choice, and decimal top-10 are unrolled as one generated CTE chain.
+    The engine's Lloyd accumulates in float (numpy partials) while the
+    oracle uses SQL double sums — different orders — but every DECISION
+    the pipeline takes has enormous margin over the ~1e-13 accumulation
+    error (measured at sf0.01: min assign margin 2.3e-4 across all
+    rounds, probe margin 9.2e-3, shortlist cut margin 3.3e-4), so both
+    arithmetics choose identical cells/candidates, and every EMITTED
+    number is the order-independent decimal dot. CTEs are MATERIALIZED:
+    the round-over-round references otherwise inline exponentially."""
+    return _ivf_cand_ctes() + f""", dots AS MATERIALIZED (
   SELECT vec_id, {_DOT_SUM_SQL} AS cos_sim
   FROM (SELECT e.vec_id, e.x * q.qx AS px
         FROM e JOIN q USING (pos)
@@ -452,7 +465,6 @@ WITH e AS MATERIALIZED (
 SELECT vec_id, cos_sim FROM dots
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10"""
-    return head + "".join(rounds) + tail
 
 
 @query("vec_ann_ivf", oracle=_ivf_oracle())
