@@ -705,6 +705,13 @@ FROM base b, t
 """
 
 
+#: xent census band width: 1/64 nat. Unigram cross-entropy is bounded by
+#: log(vocab)+smoothing slack (≈ 20 nats), so the band census is ≤ ~1300
+#: rows at ANY corpus size — a model-scalar-class frame (k-centroid
+#: precedent), never corpus-proportional.
+_PPL_BANDS_PER_NAT = 64
+
+
 @query("text_ppl_buckets", oracle=_ppl_buckets_oracle)
 def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity terciles: every document lands in the
@@ -712,40 +719,84 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketing CCNet uses to mix "fluent", "typical", and "noisy"
     slices into a pretraining corpus with controlled proportions.
 
-    Distributed-quantile shape: tercile thresholds come from a VALUE
-    CENSUS (group by xent, cumulative count), not a global sort of the
-    docs — the census frame is at most one row per distinct score, so
-    the single-partition cumulative window is reduced-frame-safe
-    (docs/PLANS.md), and ties share a bucket by construction. The two
-    threshold doubles ride to the driver via the model-scalar collect
-    precedent and inline into the final row-local CASE. Cross-engine
-    equality is structural: thresholds are xent VALUES (dratio-exact),
-    and bucketing compares them with no further arithmetic."""
+    Distributed-quantile shape (round-8 rework; the agg_weighted_median
+    band-census pattern): the old census keyed on the RAW continuous
+    score — distinct xent ≈ one row per document, so its unpartitioned
+    cumulative window funneled the whole corpus through one task.  Now a
+    two-level search: (1) an O(bands) 1/64-nat band census (map-side
+    combinable) rides to the driver via the model-scalar collect
+    precedent and locates, in plain exact integer arithmetic, the band
+    holding each tercile target rank plus the count of everything below
+    it; (2) ONLY those ≤ 2 bands' rows get a per-value census and an
+    in-band cumulative window PARTITIONED BY tercile id — ~1/bands of
+    the distinct scores per task at any corpus size, offset-adjusted so
+    the global rank is exact.  The two threshold doubles inline into the
+    final row-local CASE.  Cross-engine equality is structural:
+    thresholds are xent VALUES (dratio-exact), banding only partitions
+    the search (band boundaries never touch the result), and bucketing
+    compares values with no further arithmetic."""
     from .corpus2 import text_perplexity_unigram
 
     base = text_perplexity_unigram(spark, sf_dir).select(
         "doc_id", "n_tokens", "xent"
     )
-    census = base.groupBy("xent").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("xent").rowsBetween(Window.unboundedPreceding, 0)
-    cum = census.select(
-        "xent",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
+    band = F.floor(F.col("xent") * _PPL_BANDS_PER_NAT).cast("long")
+    banded = base.select("xent", band.alias("band"))
+    bands = sorted(
+        (r["band"], r["c"])
+        for r in banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
-    row = cum.agg(
-        F.min(
-            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("xent"))
-        ).alias("t1"),
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("xent")
-            )
-        ).alias("t2"),
-    ).collect()[0]
+    n = sum(c for _, c in bands)
+    t1 = t2 = None
+    if n > 0:
+        # target global ranks of the two tercile thresholds (matches the
+        # oracle's (n + 2) // 3 and (2n + 2) // 3 exactly)
+        targets = {1: (n + 2) // 3, 2: (2 * n + 2) // 3}
+        locate: dict[int, tuple[int, int]] = {}  # tid -> (band, offset)
+        for tid, rank in targets.items():
+            below = 0
+            for b, c in bands:
+                if below + c >= rank:
+                    locate[tid] = (b, below)
+                    break
+                below += c
+        b1, off1 = locate[1]
+        b2, off2 = locate[2]
+        # one scan of the ≤ 2 tercile bands; a band serving both terciles
+        # duplicates its rows per tid so each search is independent
+        if b1 == b2:
+            tid_arr = F.array(F.lit(1), F.lit(2))
+        else:
+            tid_arr = F.when(
+                F.col("band") == F.lit(b1), F.array(F.lit(1))
+            ).otherwise(F.array(F.lit(2)))
+        sel = banded.filter(F.col("band").isin(list({b1, b2}))).select(
+            F.explode(tid_arr).alias("tid"), "xent"
+        )
+        offset = F.when(F.col("tid") == 1, F.lit(off1)).otherwise(F.lit(off2))
+        target = F.when(F.col("tid") == 1, F.lit(targets[1])).otherwise(
+            F.lit(targets[2])
+        )
+        vc = sel.groupBy("tid", "xent").agg(F.count(F.lit(1)).alias("c"))
+        w_in = (
+            Window.partitionBy("tid")
+            .orderBy("xent")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = vc.withColumn("cw", offset + F.sum("c").over(w_in))
+        found = {
+            r["tid"]: r["thr"]
+            for r in run.filter(F.col("cw") >= target)
+            .groupBy("tid")
+            .agg(F.min("xent").alias("thr"))
+            .collect()
+        }
+        t1, t2 = found[1], found[2]
     bucket = (
-        F.when(F.col("xent") <= F.lit(row["t1"]), "head")
-        .when(F.col("xent") <= F.lit(row["t2"]), "middle")
+        F.when(F.col("xent") <= F.lit(t1), "head")
+        .when(F.col("xent") <= F.lit(t2), "middle")
         .otherwise("tail")
     )
     return base.select("doc_id", "n_tokens", "xent", bucket.alias("bucket"))

@@ -214,6 +214,44 @@ def test_ppl_buckets_are_ordered_terciles(spark):
         assert abs(len(b) - n / 3) <= 2
 
 
+def test_ppl_buckets_census_is_flat_under_scale(spark):
+    """The round-8 band-census rework's scale claim: a 10× corpus (500
+    docs at sf0.001 → 5000 at sf0.1) must NOT grow the tercile-search
+    census ~10× the way the old distinct-xent census did — band count is
+    bounded by the xent value range (≤ ~20 nats × 64 bands/nat),
+    independent of corpus size."""
+    from storm_netmonitor_spark.operators.corpus2 import (
+        text_perplexity_unigram,
+    )
+    from storm_netmonitor_spark.operators.extensions5 import (
+        _PPL_BANDS_PER_NAT,
+    )
+
+    import pyspark.sql.functions as F
+
+    sf_big = "/root/testdata/sf0.1"  # 10× the sf0.001 document count
+    stats = {}
+    for sf in (SF_SMOKE, sf_big):
+        base = text_perplexity_unigram(spark, sf).select("xent")
+        row = base.agg(
+            F.countDistinct("xent").alias("distinct_xent"),
+            F.countDistinct(
+                F.floor(F.col("xent") * _PPL_BANDS_PER_NAT)
+            ).alias("bands"),
+            F.count(F.lit(1)).alias("docs"),
+        ).collect()[0]
+        stats[sf] = row
+    small, big = stats[SF_SMOKE], stats[sf_big]
+    assert big["docs"] >= 10 * small["docs"]
+    # the OLD census was corpus-proportional: distinct xent tracks docs
+    assert big["distinct_xent"] >= 5 * small["distinct_xent"]
+    # the NEW census is flat: hard absolute bound at any SF, and 10× the
+    # docs must not even double the band count
+    for row in (small, big):
+        assert row["bands"] <= 20 * _PPL_BANDS_PER_NAT, row
+    assert big["bands"] <= 2 * small["bands"], (small, big)
+
+
 # ---------------------------------------------------------------------------
 # vec_pq_adc_topk — ADC recomputed with numpy for the returned rows
 # ---------------------------------------------------------------------------

@@ -591,6 +591,142 @@ def test_approx_distinct_split_paths_plan_no_expand(spark):
     assert p.count("BroadcastHashJoin") >= 1, p
 
 
+#: Ops whose plan MAY contain an UNPARTITIONED (SinglePartition) Window —
+#: each runs it over an explicitly bounded reduced frame, never the raw
+#: data (VERDICT r6/r7 audit; the bound is also stated in a comment at the
+#: window's construction site). Everything else must partition its windows
+#: or stay out of WindowExec entirely — an unpartitioned window funnels its
+#: whole input through ONE task, the canonical 100 TB single-task OOM.
+_GLOBAL_WINDOW_OK = {
+    "agg_pareto_talkers": "cumulative share over the per-user aggregate; "
+    "agg-below-window pinned by test_pareto_window_over_reduced_frame",
+    "events_concurrency_peak": "O(hour-buckets) carry census of the "
+    "two-level sweep-line prefix sum",
+    "events_new_sources_curve": "O(days) per-day first-seen census",
+    "fn_surrogate_key": "dimension-sized (lang × source) key frame",
+    "pipeline_interleave_sources": "limit-bounded _ILV_TAKE-row prefix "
+    "(TakeOrderedAndProject feeds the window)",
+    "pipeline_mixture_weights": "O(sources) share frame",
+    "sample_weighted_systematic": "O(bands) census of the band-census "
+    "prefix sum",
+    "text_perplexity_unigram": "O(vocab) token census",
+    "text_ppl_buckets": "inherits text_perplexity_unigram's O(vocab) "
+    "census; the tercile search itself is band-census (round-8 rework: "
+    "O(bands) driver census + per-tercile-band windows PARTITIONED by "
+    "tercile id — no corpus-proportional window remains)",
+    "text_word_freq_zipf": "O(vocab) word census",
+    "tpch_q11": "1-row scalar total over the per-part agg (value-share "
+    "threshold)",
+    "tpch_q15": "1-row max over the per-supplier revenue agg",
+    "ts_sla_burn_rate": "O(hours) error-rate census (range frame over "
+    "the hourly rollup)",
+}
+
+
+def _spec_first_arg(s: str, start: int) -> str:
+    """First argument of a ``windowspecdefinition(`` whose open paren is
+    at ``start`` — up to the first depth-0 comma or the closing paren."""
+    depth = 0
+    for i in range(start, len(s)):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return s[start:i]
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[start:i]
+    return s[start:]
+
+
+def _global_window_hits(text: str) -> list[str]:
+    """Occurrences of an UNPARTITIONED window spec in a plan rendering
+    (simple-mode explain or the UI store's formatted description): a
+    ``windowspecdefinition`` whose first argument is an ORDERING column
+    (``ASC/DESC NULLS``) or directly the frame (no partition, no order)
+    requires SinglePartition distribution; a plain leading expression is
+    the partition spec and distributes fine."""
+    hits = []
+    marker = "windowspecdefinition("
+    pos = 0
+    while True:
+        j = text.find(marker, pos)
+        if j < 0:
+            return hits
+        first = _spec_first_arg(text, j + len(marker)).strip()
+        if first.startswith("specifiedwindowframe(") or (
+            " ASC NULLS" in first or " DESC NULLS" in first
+        ):
+            hits.append(first[:90])
+        pos = j + len(marker)
+
+
+def _new_execution_descriptions(spark, before_ids) -> list[str]:
+    """Physical-plan descriptions of every SQL execution recorded since
+    ``before_ids`` — catches work an operator runs INSIDE its callable
+    (model-scalar collects), which never appears in the returned plan."""
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return [
+        lst.apply(i).physicalPlanDescription()
+        for i in range(lst.size())
+        if lst.apply(i).executionId() not in before_ids
+    ]
+
+
+def _execution_ids(spark) -> set:
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return {lst.apply(i).executionId() for i in range(lst.size())}
+
+
+def test_no_corpus_proportional_global_window_anywhere(spark):
+    """Blanket 100 TB guard (VERDICT r7 #2): NO batch operator may plan a
+    WindowExec over a SinglePartition exchange — the whole-input
+    one-task funnel — unless it is on the explicit reduced-frame
+    allowlist with a stated bound. Checks BOTH the returned DataFrame's
+    plan and any executions the callable runs internally (threshold
+    collects), via the SQL status store."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in _GLOBAL_WINDOW_OK or _is_streaming(fn):
+            continue
+        try:
+            before = _execution_ids(spark)
+            df = fn(spark, SF_CORRECT)
+            plans = [plan(df, mode="simple")]
+            plans += _new_execution_descriptions(spark, before)
+        except Exception as exc:  # pragma: no cover - surface name
+            offenders.append((name, f"explain failed: {exc}"))
+            continue
+        for p in plans:
+            hits = _global_window_hits(p)
+            if hits:
+                offenders.append((name, hits[:3]))
+                break
+    assert not offenders, offenders
+
+
+def test_global_window_allowlist_entries_are_live(spark):
+    """Every allowlist entry must name a registered op that actually
+    plans an unpartitioned window — a stale entry would quietly exempt a
+    future regression."""
+    stale = [n for n in _GLOBAL_WINDOW_OK if n not in QUERIES]
+    assert not stale, f"allowlist names unregistered ops: {stale}"
+    for name in sorted(_GLOBAL_WINDOW_OK):
+        fn = QUERIES[name]
+        before = _execution_ids(spark)
+        df = fn(spark, SF_CORRECT)
+        plans = [plan(df, mode="simple")]
+        plans += _new_execution_descriptions(spark, before)
+        assert any(_global_window_hits(p) for p in plans), (
+            f"{name} no longer plans an unpartitioned window — drop its "
+            f"allowlist entry"
+        )
+
+
 def test_simhash_band_layout_is_pigeonhole_total():
     """The SIMHASH_BANDS blocks must partition the 64 signature bits
     disjointly with MORE blocks than the hamming threshold — the
