@@ -93,6 +93,8 @@ EXTRA_REPORTED = [
     "vec_hamming_topk",  # sign-signature pure-map scan + decimal re-rank
     "sink_merge_upsert",  # MERGE via broadcast change feed (base unshuffled)
     "agg_key_skew_entropy",  # skew detector: count + totals window + rollup
+    # round-8 rework
+    "text_ppl_buckets",  # band-census terciles (threshold search in the call)
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -112,6 +114,10 @@ RERUN_FULL = {
     # steady-state refresh = the three delta joins (base partials cached
     # per session by design); rebuild per sample to time that refresh
     "incremental_join_view",
+    # the tercile band search (two driver collects) runs during DataFrame
+    # construction — timing only collect() would measure the row-local
+    # CASE projection, not the quantile work
+    "text_ppl_buckets",
 }
 
 WARMUPS = 1
@@ -171,16 +177,17 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
+    # KEY ORDER MATTERS (VERDICT r7 #3): the driver records a bounded TAIL
+    # of stdout, so whatever comes FIRST in this (insertion-ordered) object
+    # is what truncation eats — BENCH_r06/r07 lost the steady-median head
+    # that way. The BASELINE-comparable steady medians ("queries") and the
+    # gate metric ("value") therefore go LAST; the informational method /
+    # cold maps go first and are the sacrificial prefix.
     print(
         json.dumps(
             {
                 "metric": "suite_wall_seconds",
-                # the BASELINE-comparable total: headline queries only —
-                # EXTRA_REPORTED timings are informational rows in
-                # "queries" and must not inflate the gate metric
-                "value": round(sum(timings[n] for n in HEADLINE), 4),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 # measurement-method record (ADVICE r5): cross-round
                 # comparisons need the warmup counts and memo/cache state
@@ -195,6 +202,11 @@ def main() -> None:
                     "session_memo_entries_at_end": len(_SESSION_MEMO),
                 },
                 "cold_seconds": cold,
+                "queries": timings,
+                # the BASELINE-comparable total: headline queries only —
+                # EXTRA_REPORTED timings are informational rows in
+                # "queries" and must not inflate the gate metric
+                "value": round(sum(timings[n] for n in HEADLINE), 4),
             }
         )
     )

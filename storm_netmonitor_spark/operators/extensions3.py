@@ -1208,6 +1208,11 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 3
 _PR_CKPT_EVERY = 2
+#: Node cap for broadcasting the per-round weight frame: (long, long)
+#: rows ≈ 16 B data → ~4 MB serialized at the cap, inside the 10 MB
+#: broadcast default with headroom. Above it the edge pass falls back to
+#: a co-located shuffle join against src-partitioned cached edges.
+_PR_BROADCAST_MAX_NODES = 250_000
 _PR_DAMP = 0.85
 
 #: Contributions travel as FIXED-POINT LONGS: w(src) = floor(rank·1e18/d)
@@ -1333,12 +1338,22 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     production would iterate to tolerance with the same per-round shape."""
     art = _pagerank_edges_dir(spark, sf_dir)
     n_nodes = float(art["n_nodes"])  # staged scalar — no per-refresh action
+    # broadcast guard (VERDICT r7 #5): the per-round weight frame is
+    # per-NODE state — broadcasting it is right for this dim-sized graph
+    # but a driver/executor OOM on a billion-node one. Only hint the
+    # broadcast under the node cap; above it, stage the edges
+    # hash-partitioned by src ONCE so every round's edge pass shuffles
+    # only the O(nodes) weight frame to the cached edge partitioning.
+    small_graph = art["n_nodes"] <= _PR_BROADCAST_MAX_NODES
 
     # edges/degrees are the HOT maintained graph of a repeated rank
     # refresh: cache them per (session, input) so each of the 3 edge
     # passes scans memory, not parquet (measured −0.24 s/refresh at sf0.1)
     def stage_frames():
-        edges_df = spark.read.parquet(art["edges"]).cache()
+        e = spark.read.parquet(art["edges"])
+        if not small_graph:
+            e = e.repartition("src")
+        edges_df = e.cache()
         # the ranks frame CARRIES its node's degree: the per-round weight
         # is then a projection, not a ranks⋈deg join (2 joins/round not 3)
         base_df = (
@@ -1350,7 +1365,9 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         return edges_df, base_df
 
     edges, base = session_memo(
-        spark, ("pagerank_frames", os.path.abspath(sf_dir)), stage_frames,
+        spark,
+        ("pagerank_frames", os.path.abspath(sf_dir), small_graph),
+        stage_frames,
         sf_dir=sf_dir,
     )
 
@@ -1367,7 +1384,7 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("rank") * F.lit(scale) / F.col("d")).alias("w"),
         )
         contribs = (
-            edges.join(F.broadcast(w), "src")
+            edges.join(F.broadcast(w) if small_graph else w, "src")
             .groupBy("dst")
             .agg(F.sum("w").alias("contrib"))
         )

@@ -65,9 +65,12 @@ def load_all() -> None:
     streaming.load()
 
 
-def _load_driver_verdicts() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
+def _load_driver_verdicts() -> tuple[
+    frozenset[str], tuple[str, ...], frozenset[str], dict[str, int]
+]:
     """Derive the rotation state from the committed ``CORRECTNESS_r*.json``
-    files themselves — (passed ids, latest-red ids, latest-hash-green ids).
+    files themselves — (passed ids, latest-red ids, latest-hash-green ids,
+    latest-verdict round per id).
 
     Rounds 2 AND 3 both opened with a stale hand-maintained verified set
     (the top item of two consecutive verdicts): the driver writes its
@@ -88,13 +91,20 @@ def _load_driver_verdicts() -> tuple[frozenset[str], tuple[str, ...], frozenset[
 
     root = Path(__file__).resolve().parent.parent
     rounds = []
+    numbered: list[tuple[int, dict]] = []
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            rounds.append(json.loads(p.read_text()))
+            data = json.loads(p.read_text())
         except (OSError, ValueError):  # unreadable round file: skip it
             continue
+        rounds.append(data)
+        try:
+            num = int(p.stem.rsplit("_r", 1)[1])
+        except (IndexError, ValueError):
+            num = 0
+        numbered.append((num, data))
     passed, red = _fold_verdicts(rounds)
-    return passed, red, _fold_hash_green(rounds)
+    return passed, red, _fold_hash_green(rounds), _fold_latest_round(numbered)
 
 
 def _verdict_passes(rec: dict) -> bool:
@@ -126,6 +136,19 @@ def _fold_verdicts(rounds: list[dict]) -> tuple[frozenset[str], tuple[str, ...]]
                 failed.add(name)
                 passed.discard(name)
     return frozenset(passed), tuple(sorted(failed))
+
+
+def _fold_latest_round(numbered: list[tuple[int, dict]]) -> dict[str, int]:
+    """Round number of each id's LATEST driver verdict of any kind — the
+    re-verification age used to rotate stale greens back into the window
+    (VERDICT r7 #3: without it the back segment sat in registration order
+    and the driver re-checked the same head-50 every round while 48 ops'
+    verdicts predated the round-3 testdata regeneration forever)."""
+    latest: dict[str, int] = {}
+    for num, data in numbered:
+        for name in data:
+            latest[name] = max(num, latest.get(name, 0))
+    return latest
 
 
 def _fold_hash_green(rounds: list[dict]) -> frozenset[str]:
@@ -211,7 +234,18 @@ _DRIVER_VERIFIED_SNAPSHOT_R1_R3: frozenset[str] = frozenset(
     }
 )
 
-_derived_passed, _derived_red, _derived_hash_green = _load_driver_verdicts()
+(
+    _derived_passed,
+    _derived_red,
+    _derived_hash_green,
+    _derived_latest_round,
+) = _load_driver_verdicts()
+
+#: Latest-verdict round per id (0 = never driver-checked). Orders the
+#: already-verified BACK segment oldest-first so the capped window becomes
+#: a round-robin re-verification sweep instead of re-checking the same
+#: registration-order head every round.
+DRIVER_VERDICT_ROUND: dict[str, int] = _derived_latest_round
 
 #: Ids whose LATEST driver verdict is a FULL hash pass (strict subset of
 #: DRIVER_VERIFIED — rows-only passes are excluded). Oracle-upgraded ops
@@ -289,7 +323,10 @@ def driver_ordered(mapping: dict) -> dict:
     fixed-red rows first, prioritized never-checked rows next, remaining
     never-checked rows next (registration order), oracle-upgraded
     rows-only ops next (their no-oracle pass is superseded by a hash
-    oracle that has never run under the driver), already-verified last."""
+    oracle that has never run under the driver), already-verified last —
+    OLDEST latest-verdict first (ties: registration order), so a fully
+    green registry turns the window into a round-robin re-verification
+    sweep instead of re-checking the same head-50 forever."""
     front = [n for n in RECHECK_FIRST if n in mapping]
     prio = [
         n for n in PRIORITY_FIRST
@@ -306,8 +343,12 @@ def driver_ordered(mapping: dict) -> dict:
         if n in mapping and n not in placed and n not in DRIVER_HASH_GREEN
     ]
     placed |= set(upgraded)
-    back = [
-        n for n in mapping
-        if n in DRIVER_VERIFIED and n not in placed and n not in front
-    ]
+    reg_idx = {n: i for i, n in enumerate(mapping)}
+    back = sorted(
+        (
+            n for n in mapping
+            if n in DRIVER_VERIFIED and n not in placed and n not in front
+        ),
+        key=lambda n: (DRIVER_VERDICT_ROUND.get(n, 0), reg_idx[n]),
+    )
     return {n: mapping[n] for n in front + prio + mid + upgraded + back}

@@ -155,6 +155,16 @@ def test_bench_emits_one_json_line():
     payload = json.loads(lines[0])
     assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
+    # tail-truncation guard (VERDICT r7 #3): the driver records a bounded
+    # stdout TAIL, so the BASELINE-comparable steady medians and the gate
+    # value must be the LAST keys in the emitted object — a truncated
+    # capture then loses only the informational method/cold prefix
+    raw = lines[0]
+    assert (
+        raw.index('"cold_seconds"')
+        < raw.index('"queries"')
+        < raw.index('"value"')
+    ), raw[:200]
 
 
 def test_sorted_layout_clusters_row_groups(spark):
@@ -725,6 +735,42 @@ def test_global_window_allowlist_entries_are_live(spark):
             f"{name} no longer plans an unpartitioned window — drop its "
             f"allowlist entry"
         )
+
+
+def test_pagerank_broadcast_guard(spark, monkeypatch):
+    """VERDICT r7 #5: the per-round pagerank weight frame is per-NODE
+    state. Under the node cap it must hint-broadcast (this dim-sized
+    graph); with the cap forced to 0 — the billion-node stand-in — the
+    hint must disappear in favor of the co-located shuffle join, and the
+    fallback must produce IDENTICAL ranks."""
+    from storm_netmonitor_spark.operators import extensions3 as ext3
+
+    small = QUERIES["graph_pagerank_links"](spark, SF_CORRECT)
+    p_small = plan(small, mode="simple")
+    assert "BroadcastHashJoin" in p_small, p_small
+    rows_small = [tuple(r) for r in small.collect()]
+
+    confs = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k in confs:  # kill AUTO broadcasts so the hint is what's tested
+        spark.conf.set(k, "-1")
+    monkeypatch.setattr(ext3, "_PR_BROADCAST_MAX_NODES", 0)
+    try:
+        big = QUERIES["graph_pagerank_links"](spark, SF_CORRECT)
+        p_big = plan(big, mode="simple")
+        assert "BroadcastHashJoin" not in p_big, p_big
+        assert "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big, p_big
+        rows_big = [tuple(r) for r in big.collect()]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert rows_small == rows_big
 
 
 def test_simhash_band_layout_is_pigeonhole_total():

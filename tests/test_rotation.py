@@ -52,6 +52,41 @@ def _driver_passed_ids() -> set[str]:
     return passed
 
 
+def _latest_verdict_round() -> dict[str, int]:
+    """Independent re-parse of each id's latest driver-verdict round —
+    cross-checks registry._fold_latest_round."""
+    latest: dict[str, int] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        num = int(path.stem.rsplit("_r", 1)[1])
+        for name in json.loads(path.read_text()):
+            latest[name] = max(num, latest.get(name, 0))
+    return latest
+
+
+def test_back_segment_recycles_oldest_verdicts_first():
+    """VERDICT r7 #3: once the backlog is clear the window is pure
+    re-verification, so the already-green back segment must be ordered
+    oldest-latest-verdict first — otherwise the driver re-checks the
+    same registration-order head every round while other verdicts age
+    indefinitely (48 ops still predate the round-3 testdata regen)."""
+    passed = _driver_passed_ids()
+    latest = _latest_verdict_round()
+    upgraded_slack = {
+        n
+        for n in registry.ORACLE_UPGRADED
+        if n in registry.QUERIES and n not in registry.DRIVER_HASH_GREEN
+    }
+    spent = set(registry.RECHECK_FIRST) | upgraded_slack
+    back = [n for n in entrymod.queries() if n in passed and n not in spent]
+    ages = [latest.get(n, 0) for n in back]
+    assert ages == sorted(ages), (
+        "back segment not oldest-verdict-first: "
+        f"{[(n, latest.get(n, 0)) for n in back[:8]]} ..."
+    )
+    # derived map agrees with the independent parse
+    assert registry.DRIVER_VERDICT_ROUND == latest
+
+
 def test_correctness_files_exist():
     assert list(REPO.glob("CORRECTNESS_r*.json")), "driver correctness files missing"
 
