@@ -22,7 +22,7 @@ from ..functions.stable import (
     dsum,
     dsum_sql,
 )
-from ..io import load_table
+from ..io import load_table, session_memo
 from ..registry import query
 
 #: Count-min sketch geometry: d=4 independent rows, w=256 buckets. The
@@ -735,10 +735,28 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds are xent VALUES (dratio-exact), banding only partitions
     the search (band boundaries never touch the result), and bucketing
     compares values with no further arithmetic."""
+    import os
+
     from .corpus2 import text_perplexity_unigram
 
-    base = text_perplexity_unigram(spark, sf_dir).select(
-        "doc_id", "n_tokens", "xent"
+    # the scored frame is the HOT input of a repeated bucketing refresh
+    # and fans out to THREE actions (band census, threshold search, final
+    # projection): stage it once per (session, input) like pagerank's
+    # edge frames — 3 narrow columns, so memory-light; production at
+    # 100 TB would persist the scored table to disk instead of
+    # recomputing the tokenize+model-join pipeline per action
+    def stage_scores():
+        df = text_perplexity_unigram(spark, sf_dir).select(
+            "doc_id", "n_tokens", "xent"
+        ).cache()
+        df.count()  # materialize once at staging
+        return df
+
+    base = session_memo(
+        spark,
+        ("ppl_scores", os.path.abspath(sf_dir)),
+        stage_scores,
+        sf_dir=sf_dir,
     )
     band = F.floor(F.col("xent") * _PPL_BANDS_PER_NAT).cast("long")
     banded = base.select("xent", band.alias("band"))
