@@ -1,0 +1,99 @@
+"""Static source guards: driver-side data movement stays reviewed.
+
+The per-round scale audit (VERDICT r5–r7) hand-checks every ``.collect()``
+in operator code against the model-scalar rule: a collect may fetch a
+MODEL-sized artifact (k centroids, one query vector/signature, an O(bands)
+census, a post-drain memory-sink read) — never a data-proportional frame.
+This sweep pins the audited sites by (file, enclosing function, count) so
+any NEW driver-side collect fails the suite and forces the same review,
+instead of waiting for the next manual audit to find it.
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "storm_netmonitor_spark"
+
+#: Audited ``.collect()`` sites: {relative file: {outermost function: count}}.
+#: Every entry's bound class (why it is NOT data-proportional):
+#:   corpus.semantic_dedup_summary   — k seed centroids (model scalar)
+#:   extensions3.scan_cache_reuse    — 3×1-row cached-aggregate combine
+#:   extensions5.hamming_topk        — one 8-byte query signature
+#:   extensions5.text_ppl_buckets    — O(bands) census + 2 tercile doubles
+#:   scans.observe_metrics           — the observed job's own action
+#:   vectors._lloyd_round            — k partial-centroid rows per round
+#:   vectors.vec_ann_ivf             — k seeds + 1 query vector
+#:   vectors.vec_ann_lsh             — 1 query vector
+#:   streaming/alerts.*              — post-drain memory-sink reads
+_AUDITED_COLLECT_SITES = {
+    "operators/corpus.py": {"semantic_dedup_summary": 1},
+    "operators/extensions3.py": {"scan_cache_reuse": 1},
+    "operators/extensions5.py": {"hamming_topk": 1, "text_ppl_buckets": 2},
+    "operators/scans.py": {"observe_metrics": 1},
+    "operators/vectors.py": {
+        "_lloyd_round": 1,
+        "vec_ann_ivf": 2,
+        "vec_ann_lsh": 1,
+    },
+    "streaming/alerts.py": {
+        "stream_burn_rate": 1,
+        "stream_expectations_gate": 1,
+        "stream_histogram_log2": 1,
+        "stream_sketch_cms": 1,
+    },
+}
+
+
+def _collect_sites() -> dict[str, dict[str, int]]:
+    out: dict[str, dict[str, int]] = {}
+    for sub in ("operators", "streaming"):
+        for p in sorted((PKG / sub).glob("*.py")):
+            tree = ast.parse(p.read_text())
+            sites: dict[str, int] = {}
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack: list[str] = []
+
+                def visit_FunctionDef(self, node):
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Attribute(self, node):
+                    if node.attr == "collect" and self.stack:
+                        fn = self.stack[0]
+                        sites[fn] = sites.get(fn, 0) + 1
+                    self.generic_visit(node)
+
+            V().visit(tree)
+            if sites:
+                out[f"{sub}/{p.name}"] = sites
+    return out
+
+
+def test_collect_sites_are_exactly_the_audited_set():
+    actual = _collect_sites()
+    new = {
+        (f, fn): n
+        for f, fns in actual.items()
+        for fn, n in fns.items()
+        if n > _AUDITED_COLLECT_SITES.get(f, {}).get(fn, 0)
+    }
+    assert not new, (
+        "NEW driver-side .collect() site(s) — audit each against the "
+        f"model-scalar rule, then add it with its bound class: {new}"
+    )
+    gone = {
+        (f, fn): n
+        for f, fns in _AUDITED_COLLECT_SITES.items()
+        for fn, n in fns.items()
+        if actual.get(f, {}).get(fn, 0) < n
+    }
+    assert not gone, (
+        f"audited collect sites no longer exist — prune the registry: {gone}"
+    )
