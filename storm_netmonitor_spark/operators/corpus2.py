@@ -123,26 +123,40 @@ def text_word_freq_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cumulative coverage, plus rank×share (≈constant under Zipf's law,
     so deviations flag synthetic or boilerplate-heavy corpora). The word
     count is a partial-aggregated shuffle over the vocabulary (tiny vs
-    corpus); the rank/cumulative windows then run over VOCAB-sized data,
-    where a single-partition window is correct at any corpus scale —
-    vocabulary grows ~log(corpus), not with it. Integer-ratio doubles are
-    identical across engines; rounded in decimal space."""
+    corpus); the top-30 cut then happens BEFORE any window via
+    orderBy+limit (TakeOrderedAndProject), so the rank/cumulative windows
+    see a 30-row frame at any corpus scale — web-noise vocabularies grow
+    with the corpus, so windowing the full vocab was a funnel (round-8
+    rework; prefix property makes the limited-frame cum identical to the
+    global one). Integer-ratio doubles are identical across engines;
+    rounded in decimal space."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.expr(_TOKS)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+    # round-8 rework: the rank/cumulative windows used to run over the
+    # WHOLE vocab — reduced but not bounded (noisy web vocab grows with
+    # the corpus). The top-30 cut happens FIRST via orderBy+limit
+    # (TakeOrderedAndProject: per-partition top-30 + driver merge, no
+    # global sort), and since cumulative coverage at rank k is the sum of
+    # the top-k counts, the windows over the 30-row frame reproduce the
+    # global rnk/cum exactly. The corpus total (≡ Σ n) comes from a
+    # row-local size() scan as a 1-row broadcast scalar.
+    top = freq.orderBy(F.desc("n"), F.asc("word")).limit(30)
+    total_row = d.select(
+        F.size(F.expr(_TOKS)).cast("long").alias("nt")
+    ).agg(F.sum("nt").cast("long").alias("total"))
     w_rank = Window.orderBy(F.desc("n"), F.asc("word"))
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = freq.select(
+    ranked = top.crossJoin(F.broadcast(total_row)).select(
         "word",
         "n",
         F.row_number().over(w_rank).cast("bigint").alias("rnk"),
-        F.sum("n").over(w_all).alias("total"),
+        F.col("total"),
         F.sum("n").over(w_cum).alias("cum"),
-    ).where(F.col("rnk") <= 30)
+    )
     n_d = F.col("n").cast("double")
     return ranked.select(
         "word",
@@ -338,10 +352,11 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: the (doc, word) pre-aggregation collapses repeated
     words BEFORE the model join, so the join carries one row per
-    distinct word per doc, not one per token; the LM frame is
-    vocab-sized (grows ~log corpus), so the single-partition total
-    window is corpus-scale-safe (text_word_freq_zipf precedent) and the
-    model join auto-broadcasts under the threshold — beyond it, the
+    distinct word per doc, not one per token; the corpus token total is
+    a 1-row broadcast scalar computed from a row-local size() scan
+    (round-8 rework — the vocab frame is reduced but not bounded, so the
+    former total-over-() window was a funnel), and the model join
+    auto-broadcasts under the threshold — beyond it, the
     stopword-skewed join key is exactly what AQE skew-split handles.
     Float discipline: each −ln p term is decimal-accumulated and the
     per-doc mean is rounded with dratio's EXACT integer half-away — not
@@ -358,9 +373,16 @@ def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     lm = dw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
-    lm2 = lm.withColumn(
-        "total", F.sum("cw").over(Window.partitionBy()).cast("long")
-    )
+    # corpus token total (≡ Σ cw, exactly — every token occurrence counts
+    # once in cw) from a ROW-LOCAL size() scan: no explode, no vocab
+    # shuffle, one map-side-combined row. Round-8 rework: the vocab frame
+    # is reduced but NOT bounded (noisy web vocab grows with the corpus),
+    # so the former total-over-() window was a single-task funnel; the
+    # 1-row broadcast attach keeps the cw/total doubles bit-identical.
+    total_row = d.select(
+        F.size(F.expr(_TOKS)).cast("long").alias("nt")
+    ).agg(F.sum("nt").cast("long").alias("total"))
+    lm2 = lm.crossJoin(F.broadcast(total_row))
     term = F.col("c") * -F.log(F.col("cw").cast("double") / F.col("total"))
     scored = (
         dw.join(lm2, "w")

@@ -845,30 +845,64 @@ def agg_pareto_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto set (NM core: the smallest set of talkers carrying 50 % of
     total traffic): per-source exact-decimal totals, ranked by volume,
     kept while the cumulative share BEFORE the row is under the threshold
-    (so the crossing row is included). The global window runs over the
-    per-source AGGREGATE frame (O(sources) rows after one keyed shuffle) —
-    the reduced-frame rule; decimal cumulative sums keep the running share
-    order-exact in both engines. At open cardinality the
-    agg_heavy_hitters_approx sketch is the preface that bounds this
-    frame."""
+    (so the crossing row is included).
+
+    Shape at scale (round-8 rework): the per-source frame is REDUCED but
+    not BOUNDED — O(sources) grows with SF, so the former global ordered
+    window was a single-task funnel of the whole frame. The rank and
+    running sum are now a TWO-LEVEL DISTRIBUTED PREFIX SUM (the
+    events_concurrency_peak pattern on the rank axis): range-partition
+    the totals on the (total DESC, user_id) sort key — a parallel
+    sampled exchange, each partition a contiguous slice of the global
+    order — localCheckpoint to freeze partition ids (and truncate the
+    agg lineage), reduce each partition to ONE (count, sum) census row,
+    prefix those O(shuffle-partitions) carries on the census frame, and
+    broadcast them back so the cumulative window runs PARTITIONED BY
+    partition id with the carry added. Decimal sums are associative, so
+    cum/rnk are bit-identical to the single-scan oracle; the grand total
+    rides the same census. At open cardinality the
+    agg_heavy_hitters_approx sketch is the preface that bounds the
+    OUTPUT (the scan itself no longer needs bounding)."""
     e = load_table(spark, sf_dir, "events")
     totals = e.groupBy("user_id").agg(
         F.sum(F.col("value").cast("double").cast("decimal(28,6)")).alias(
             "total_dec"
         )
     )
-    w_all = Window.partitionBy()
-    w_cum = Window.partitionBy().orderBy(
+    part = totals.repartitionByRange(
+        F.col("total_dec").desc(), F.col("user_id")
+    ).localCheckpoint()
+    part = part.withColumn("pid", F.spark_partition_id())
+    census = part.groupBy("pid").agg(
+        F.sum("total_dec").alias("psum"),
+        F.count(F.lit(1)).alias("pcnt"),
+    )
+    w_prev = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # O(shuffle partitions) census — the only unpartitioned windows
+    carry = census.select(
+        "pid",
+        F.coalesce(
+            F.sum("psum").over(w_prev), F.lit(0).cast("decimal(28,6)")
+        ).alias("cum0"),
+        F.coalesce(F.sum("pcnt").over(w_prev), F.lit(0)).alias("rnk0"),
+        F.sum("psum").over(Window.partitionBy()).alias("grand"),
+    )
+    w_in = Window.partitionBy("pid").orderBy(
         F.col("total_dec").desc(), F.col("user_id")
     )
-    ranked = totals.select(
+    ranked = part.join(F.broadcast(carry), "pid").select(
         "user_id",
         "total_dec",
-        F.sum("total_dec").over(w_all).alias("grand"),
-        F.sum("total_dec").over(
-            w_cum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        "grand",
+        (
+            F.col("cum0")
+            + F.sum("total_dec").over(
+                w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
         ).alias("cum"),
-        F.row_number().over(w_cum).alias("rnk"),
+        (F.col("rnk0") + F.row_number().over(w_in)).alias("rnk"),
     )
     return ranked.filter(
         (F.col("cum") - F.col("total_dec")).cast("double")

@@ -445,11 +445,13 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 top supplier — revenue view + scalar-max subquery. The max is an
-    unpartitioned window over the ALREADY-AGGREGATED per-supplier rows
-    (100 rows per 10k suppliers of lineitem), not over raw lineitem — the
-    aggregate-then-rank order matters at scale. Decimal-stable revenue
-    makes the equality-with-max exact, not ULP-lucky."""
+    """Q15 top supplier — revenue view + scalar-max subquery. The max is a
+    1-ROW aggregate broadcast-cross-joined back (round-8 rework: the
+    per-supplier frame is REDUCED but not BOUNDED — O(suppliers) grows
+    with SF, so the former scalar-over-() window funneled a
+    supplier-scale frame through one task; the agg map-side-combines).
+    Decimal-stable revenue makes the equality-with-max exact, not
+    ULP-lucky."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -458,9 +460,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_rev()).alias("total_revenue")
     )
-    top = rev.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     return (
         F.broadcast(top)
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
@@ -809,11 +812,13 @@ WHERE part_value > (
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 important stock (adapted: no partsupp, so a part's "stock value"
     held by ASIA suppliers = the extended price they shipped of it). The
-    HAVING-over-global-sum threshold is an unpartitioned window over the
-    ALREADY-AGGREGATED per-part frame (O(parts) rows, same rule as q15/
-    mixture weights — legal only because the frame is provably reduced).
-    Part values are decimal-summed so the global total and every boundary
-    comparison are engine- and partition-order-exact."""
+    HAVING-over-global-sum threshold is a 1-ROW scalar aggregate
+    broadcast-cross-joined back (round-8 rework: the per-part frame is
+    REDUCED but not BOUNDED — O(parts) grows with SF, so the former
+    scalar-over-() window was a single-task funnel of a parts-scale
+    frame; the agg path map-side-combines to one row per partition
+    first). Part values are decimal-summed so the global total and every
+    boundary comparison are engine- and partition-order-exact."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -828,13 +833,13 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(dsum("l_extendedprice").alias("part_value"))
     )
-    total = (
+    total = val.agg(
         F.sum(F.col("part_value").cast("decimal(28,6)"))
-        .over(Window.partitionBy())
         .cast("double")
+        .alias("total")
     )
     return (
-        val.withColumn("total", total)
+        val.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > 0.001 * F.col("total"))
         .select("ps_partkey", "part_value")
     )

@@ -95,6 +95,15 @@ _CARTESIAN_OK = {
     "vec_batch_knn",
     "scan_cache_reuse",  # three 1-row aggregates combined by 1×1 joins
     "agg_sla_availability",  # 1-row observation-span scalar broadcast
+    # round-8 scalar-subquery reworks: a 1-row broadcast aggregate
+    # attached by cross/theta join (BNLJ with a 1-row inner side),
+    # replacing scalar-over-() windows that funneled SF-growing reduced
+    # frames (per-part values, web vocab) through one task. (q15's
+    # equality folds into a broadcast EQUI-join, so it needs no entry.)
+    "tpch_q11",
+    "text_perplexity_unigram",  # corpus token total (row-local scan)
+    "text_word_freq_zipf",  # corpus token total (row-local scan)
+    "text_ppl_buckets",  # cached perplexity build plan renders its BNLJ
 }
 
 
@@ -455,9 +464,29 @@ def test_round4_additions_plan_shapes(spark):
         p = plan(QUERIES[name](spark, SF_CORRECT))
         n_ex = len(re.findall(r"\(\d+\) Exchange", p))
         assert n_ex == 1, f"{name}: {n_ex} exchanges\n{p}"
+    # q11/q15 (round-8 rework): the global total/max threshold is a 1-row
+    # broadcast scalar aggregate cross-joined back — a BNLJ with a 1-row
+    # inner side and NO window funnel (their former scalar-over-() windows
+    # funneled SF-growing reduced frames through one task)
+    import re as _re
+
+    # q11: value-share is an INEQUALITY against the scalar → theta BNLJ
+    # with the 1-row side broadcast
+    p = plan(QUERIES["tpch_q11"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in p, f"q11 lost the scalar:\n{p}"
+    assert "windowspecdefinition" not in p, f"q11 re-grew a window:\n{p}"
+    n_ex = len(_re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex <= 3, f"tpch_q11: {n_ex} keyed exchanges\n{p}"
+    # q15: EQUALITY with the scalar max — Catalyst folds the filter into
+    # the cross join, making it a broadcast equi-join (max + supplier = 2)
+    p = plan(QUERIES["tpch_q15"](spark, SF_CORRECT))
+    assert p.count("BroadcastHashJoin") >= 2, f"q15 lost the scalar:\n{p}"
+    assert "windowspecdefinition" not in p, f"q15 re-grew a window:\n{p}"
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    n_ex = len(_re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex <= 3, f"tpch_q15: {n_ex} keyed exchanges\n{p}"
     for name, max_ex, min_bhj in (
         ("tpch_q02", 2, 2),
-        ("tpch_q11", 2, 1),
         ("tpch_q12", 2, 1),
         ("tpch_q16", 3, 2),
         ("tpch_q20", 2, 3),
@@ -567,7 +596,16 @@ def test_extensions4_batch3_plan_shapes(spark):
 #: per-supplier result) — the range exchange partitions O(rows-after-
 #: aggregation), not the data. Everything else must use keyed exchanges
 #: or TakeOrderedAndProject.
-_GLOBAL_SORT_OK = frozenset({"sort_multicol", "vec_semantic_dedup", "tpch_q20"})
+_GLOBAL_SORT_OK = frozenset({
+    "sort_multicol",
+    "vec_semantic_dedup",
+    "tpch_q20",
+    # round-8 rework: the rank-axis two-level prefix sum range-partitions
+    # the per-user totals so each task scans a contiguous slice of the
+    # global order — a PARALLEL sampled exchange feeding partitioned
+    # windows, not a single-reducer sort (the funnel it replaced)
+    "agg_pareto_talkers",
+})
 
 
 def test_no_accidental_global_sort_anywhere(spark):
@@ -608,8 +646,9 @@ def test_approx_distinct_split_paths_plan_no_expand(spark):
 #: or stay out of WindowExec entirely — an unpartitioned window funnels its
 #: whole input through ONE task, the canonical 100 TB single-task OOM.
 _GLOBAL_WINDOW_OK = {
-    "agg_pareto_talkers": "cumulative share over the per-user aggregate; "
-    "agg-below-window pinned by test_pareto_window_over_reduced_frame",
+    "agg_pareto_talkers": "O(shuffle-partitions) carry census of the "
+    "two-level prefix sum (round-8 rework; the per-user cumulative "
+    "window is PARTITIONED by range-partition id)",
     "events_concurrency_peak": "O(hour-buckets) carry census of the "
     "two-level sweep-line prefix sum",
     "events_new_sources_curve": "O(days) per-day first-seen census",
@@ -619,15 +658,8 @@ _GLOBAL_WINDOW_OK = {
     "pipeline_mixture_weights": "O(sources) share frame",
     "sample_weighted_systematic": "O(bands) census of the band-census "
     "prefix sum",
-    "text_perplexity_unigram": "O(vocab) token census",
-    "text_ppl_buckets": "inherits text_perplexity_unigram's O(vocab) "
-    "census; the tercile search itself is band-census (round-8 rework: "
-    "O(bands) driver census + per-tercile-band windows PARTITIONED by "
-    "tercile id — no corpus-proportional window remains)",
-    "text_word_freq_zipf": "O(vocab) word census",
-    "tpch_q11": "1-row scalar total over the per-part agg (value-share "
-    "threshold)",
-    "tpch_q15": "1-row max over the per-supplier revenue agg",
+    "text_word_freq_zipf": "30-row limit-bounded frame "
+    "(TakeOrderedAndProject feeds the rank/cum windows; round-8 rework)",
     "ts_sla_burn_rate": "O(hours) error-rate census (range frame over "
     "the hourly rollup)",
 }
