@@ -46,7 +46,17 @@ _AUDITED_COLLECT_SITES = {
 }
 
 
-def _collect_sites() -> dict[str, dict[str, int]]:
+#: Audited single-partition funnel sites (``coalesce(1)`` /
+#: ``repartition(1)``): two are tiny FIXTURE stagings (one small CSV file
+#: on purpose), one re-ranks a constant-size kNN shortlist.
+_AUDITED_ONE_PARTITION_SITES = {
+    "operators/scans.py": {"source_csv_permissive": 1},  # messy-CSV fixture
+    "operators/vectors.py": {"mmr_diversify_over": 1},  # k·k shortlist
+    "streaming/windows.py": {"source_stream_csv": 1},  # CSV-source fixture
+}
+
+
+def _attr_sites(attrs: frozenset[str]) -> dict[str, dict[str, int]]:
     out: dict[str, dict[str, int]] = {}
     for sub in ("operators", "streaming"):
         for p in sorted((PKG / sub).glob("*.py")):
@@ -65,7 +75,7 @@ def _collect_sites() -> dict[str, dict[str, int]]:
                 visit_AsyncFunctionDef = visit_FunctionDef
 
                 def visit_Attribute(self, node):
-                    if node.attr == "collect" and self.stack:
+                    if node.attr in attrs and self.stack:
                         fn = self.stack[0]
                         sites[fn] = sites.get(fn, 0) + 1
                     self.generic_visit(node)
@@ -74,6 +84,72 @@ def _collect_sites() -> dict[str, dict[str, int]]:
             if sites:
                 out[f"{sub}/{p.name}"] = sites
     return out
+
+
+def _collect_sites() -> dict[str, dict[str, int]]:
+    return _attr_sites(frozenset({"collect"}))
+
+
+def _one_partition_sites() -> dict[str, dict[str, int]]:
+    """``<df>.coalesce(1)`` / ``<df>.repartition(1)`` call sites — NOT the
+    SQL function ``F.coalesce(col, ...)`` (disambiguated by the single
+    literal-1 argument)."""
+    out: dict[str, dict[str, int]] = {}
+    for sub in ("operators", "streaming"):
+        for p in sorted((PKG / sub).glob("*.py")):
+            tree = ast.parse(p.read_text())
+            sites: dict[str, int] = {}
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack: list[str] = []
+
+                def visit_FunctionDef(self, node):
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    f = node.func
+                    if (
+                        isinstance(f, ast.Attribute)
+                        and f.attr in ("coalesce", "repartition")
+                        and self.stack
+                        and len(node.args) == 1
+                        and isinstance(node.args[0], ast.Constant)
+                        and node.args[0].value == 1
+                    ):
+                        fn = self.stack[0]
+                        sites[fn] = sites.get(fn, 0) + 1
+                    self.generic_visit(node)
+
+            V().visit(tree)
+            if sites:
+                out[f"{sub}/{p.name}"] = sites
+    return out
+
+
+def test_one_partition_sites_are_exactly_the_audited_set():
+    actual = _one_partition_sites()
+    new = {
+        (f, fn): n
+        for f, fns in actual.items()
+        for fn, n in fns.items()
+        if n > _AUDITED_ONE_PARTITION_SITES.get(f, {}).get(fn, 0)
+    }
+    assert not new, (
+        "NEW coalesce(1)/repartition(1) funnel site(s) — a single-task "
+        f"stage at scale; audit and pin with its bound: {new}"
+    )
+    gone = {
+        (f, fn): n
+        for f, fns in _AUDITED_ONE_PARTITION_SITES.items()
+        for fn, n in fns.items()
+        if actual.get(f, {}).get(fn, 0) < n
+    }
+    assert not gone, f"audited sites no longer exist — prune: {gone}"
 
 
 def test_collect_sites_are_exactly_the_audited_set():
