@@ -769,6 +769,50 @@ def test_global_window_allowlist_entries_are_live(spark):
         )
 
 
+def test_round8_funnel_purge_shapes(spark):
+    """Structural pins for the round-8 reworks that the blanket sweeps
+    cannot express (they see WHETHER a global window exists, not the
+    size of its frame):
+
+    - zipf: the top-30 cut must happen BEFORE the rank/cum windows —
+      TakeOrderedAndProject in the plan, and in execution order (node
+      ids count bottom-up) below every Window;
+    - perplexity: the token total must come from the row-local size()
+      scan — exactly the TWO pre-existing explodes of the doc-word
+      fan-out (join side + model side), no third for the total, and no
+      Sort anywhere (nothing orders the vocab);
+    - pareto: range partitioning feeds a PARTITIONED cumulative window
+      (spark_partition_id key) with the O(partitions) carry broadcast
+      back."""
+    import re
+
+    p = plan(QUERIES["text_word_freq_zipf"](spark, SF_CORRECT))
+    take_ids = [int(m) for m in re.findall(r"\((\d+)\) TakeOrderedAndProject", p)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", p)]
+    assert take_ids and win_ids, p
+    assert max(take_ids) < min(win_ids), (take_ids, win_ids)
+
+    p = plan(QUERIES["text_perplexity_unigram"](spark, SF_CORRECT))
+    n_explode = len(re.findall(r"\(\d+\) Generate", p))
+    assert n_explode == 2, f"{n_explode} explodes (total must be size()):\n{p}"
+    assert not re.findall(r"\(\d+\) Sort\b", p), f"vocab got sorted:\n{p}"
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row total attach
+
+    p = plan(QUERIES["agg_pareto_talkers"](spark, SF_CORRECT))
+    assert "SPARK_PARTITION_ID" in p.upper(), p
+    assert "BroadcastHashJoin" in p, p  # carry joins back by pid
+    # the per-user cumulative window is keyed on pid, never global: every
+    # windowspecdefinition in the LIVE plan (checkpoint truncates the
+    # totals lineage) either has a partition column or sits on the
+    # O(partitions) census
+    from tests.test_plans import _global_window_hits
+
+    hits = _global_window_hits(plan(
+        QUERIES["agg_pareto_talkers"](spark, SF_CORRECT), mode="simple"
+    ))
+    assert len(hits) <= 3, hits  # census-only: cum0/rnk0/grand
+
+
 def test_pagerank_broadcast_guard(spark, monkeypatch):
     """VERDICT r7 #5: the per-round pagerank weight frame is per-NODE
     state. Under the node cap it must hint-broadcast (this dim-sized
