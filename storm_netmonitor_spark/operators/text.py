@@ -160,8 +160,14 @@ WHERE rn <= 3
 """,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document — tf × ln(N/df) with joins only
-    (corpus stats broadcast); deterministic (score desc, word) tiebreak."""
+    """Top-3 TF-IDF terms per document — tf × ln(N/df) with joins only;
+    deterministic (score desc, word) tiebreak. The word-keyed DF join is
+    deliberately UNHINTED (round 8; the text_perplexity_unigram model
+    join rule): the DF frame is vocab-sized — reduced but not bounded on
+    web corpora — so Spark's size stats pick broadcast while it is small
+    and a shuffle join beyond the threshold; forcing the hint would OOM
+    a billion-word vocab onto every executor. Only the 1-row corpus
+    count is hint-broadcast."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(_tokens()).alias("word")
@@ -172,7 +178,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully lazy (no driver-side d.count() action / extra eager scan)
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
