@@ -164,16 +164,26 @@ def test_bench_emits_one_json_line():
     payload = json.loads(lines[0])
     assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
-    # tail-truncation guard (VERDICT r7 #3): the driver records a bounded
-    # stdout TAIL, so the BASELINE-comparable steady medians and the gate
-    # value must be the LAST keys in the emitted object — a truncated
-    # capture then loses only the informational method/cold prefix
     raw = lines[0]
-    assert (
-        raw.index('"cold_seconds"')
-        < raw.index('"queries"')
-        < raw.index('"value"')
-    ), raw[:200]
+    # tail-capture guard (VERDICT r8 #1): the driver records only the LAST
+    # 2,000 chars of stdout and parses the last JSON line in that window —
+    # the stdout line must therefore (a) fit the window with margin, (b)
+    # keep the gate "value" last so even a partial tail retains it, and
+    # (c) carry no method/cold bulk (that detail lives in stderr + the
+    # BENCH_DETAIL.json sidecar)
+    assert len(raw) <= 1900, f"stdout bench line is {len(raw)}B > 1900B budget"
+    assert '"cold_seconds"' not in raw and '"method"' not in raw
+    assert raw.index('"queries"') < raw.index('"value"'), raw[:200]
+    # the sidecar detail record stays method-honest (ADVICE r5)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    assert set(detail) >= {"method", "cold_seconds", "queries", "value"}
+    assert detail["value"] == payload["value"]
+    assert detail["queries"] == payload["queries"]
 
 
 def test_sorted_layout_clusters_row_groups(spark):
