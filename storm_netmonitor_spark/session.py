@@ -45,6 +45,47 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
 }
 
+#: Streaming state store provider (SURVEY §1.1's Storm-state mapping).
+#: The default HDFSBackedStateStoreProvider keeps EVERY key's state as JVM
+#: objects on executor heap — for the stateful family (stream_stateful_
+#: counter, stream_counter_rate, stream_dedup, stream_alert_suppress, the
+#: session windows) at 100 TB / high-cardinality keys that is the canonical
+#: Structured-Streaming OOM. RocksDB keeps state in native memory + local
+#: disk with bounded heap, and measured locally it is not slower (sf0.01
+#: tumbling drain median 0.75 s RocksDB vs 0.84 s HDFS; full stateful
+#: family re-verified green under it). Gated on the rocksdbjni jar actually
+#: shipping with the installed Spark (it does in this build — probed at
+#: import, not assumed), with ``NM_STREAM_STATE_PROVIDER=hdfs`` as the
+#: operational kill-switch.
+_STATE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
+
+def _rocksdb_jar_present() -> bool:
+    import glob
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "rocksdbjni-*.jar")))
+
+
+_state_provider = os.environ.get("NM_STREAM_STATE_PROVIDER", "rocksdb").lower()
+if _state_provider in _STATE_PROVIDERS and (
+    _state_provider != "rocksdb" or _rocksdb_jar_present()
+):
+    RUNTIME_CONFS["spark.sql.streaming.stateStore.providerClass"] = (
+        _STATE_PROVIDERS[_state_provider]
+    )
+
 
 def apply_runtime_confs(spark: SparkSession) -> None:
     """Apply required runtime confs to an externally-created session."""

@@ -169,3 +169,94 @@ def test_cached_stream_df_memoizes_per_session_and_input(spark):
     c = cached_stream_df(spark, ("op_x", "inB"), build)
     assert a is b and a is not c
     assert len(calls) == 2
+
+
+def test_rocksdb_state_store_is_default_and_writes_rocksdb_artifacts(spark):
+    """VERDICT r8 #2: the stateful family must run on the RocksDB state
+    store (bounded executor heap — the default HDFS-backed provider keeps
+    every key's state as JVM objects on heap, the canonical 100 TB
+    Structured-Streaming OOM). Pin (a) the session conf is the RocksDB
+    provider, (b) a real stateful drain leaves RocksDB checkpoint
+    artifacts (version zips, not the HDFS provider's .delta files), and
+    (c) the drained result matches the batch rendering of the same
+    aggregation."""
+    import glob
+    import uuid
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.session import _STATE_PROVIDERS
+    from storm_netmonitor_spark.streaming.core import events_stream
+
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == _STATE_PROVIDERS["rocksdb"]
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="nm_rocks_ckpt_")
+    stream = (
+        events_stream(spark, SF_CORRECT, columns=("ts", "event_type"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "nm_rocks_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # RocksDB provider checkpoints state as <version>.zip snapshots (and
+    # optionally .changelog files); the HDFS provider writes .delta/.snapshot
+    zips = glob.glob(os.path.join(ckpt, "state", "**", "*.zip"), recursive=True)
+    deltas = glob.glob(
+        os.path.join(ckpt, "state", "**", "*.delta"), recursive=True
+    )
+    assert zips and not deltas, (
+        f"expected RocksDB state artifacts under {ckpt}/state "
+        f"(zips={len(zips)}, deltas={len(deltas)})"
+    )
+
+    got = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in (
+            load_table(spark, SF_CORRECT, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert got == want
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_state_provider_env_kill_switch():
+    """NM_STREAM_STATE_PROVIDER=hdfs must revert RUNTIME_CONFS to the
+    on-heap provider (operational escape hatch if a deployment's RocksDB
+    native lib misbehaves) — checked in a subprocess because the choice is
+    made at import time. No JVM is started; this is a pure-import check."""
+    import subprocess
+    import sys
+
+    code = (
+        "from storm_netmonitor_spark.session import RUNTIME_CONFS, _STATE_PROVIDERS;"
+        "p = RUNTIME_CONFS['spark.sql.streaming.stateStore.providerClass'];"
+        "assert p == _STATE_PROVIDERS['hdfs'], p"
+    )
+    env = dict(os.environ, NM_STREAM_STATE_PROVIDER="hdfs")
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
