@@ -11,6 +11,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from storm_netmonitor_spark.registry import QUERIES
 
 from .conftest import SF_CORRECT
@@ -115,21 +117,48 @@ def _is_streaming(fn) -> bool:
     return fn.__module__.startswith("storm_netmonitor_spark.streaming")
 
 
-def test_no_accidental_cartesian_anywhere(spark):
+@pytest.fixture(scope="session")
+def registry_plans(spark):
+    """One plan-build pass over every registered non-streaming operator,
+    shared by the three registry-wide sweeps (cartesian / global-sort /
+    global-window): ``name -> {"simple", "formatted", "internal"}`` where
+    ``internal`` is the physical-plan descriptions of any SQL executions
+    the callable ran inside itself (model-scalar collects). Building each
+    of the 282 DataFrames once instead of once per sweep cuts the sweeps'
+    combined wall from ~266 s to one ~100 s pass (round 9 — the fast-tier
+    prerequisite). One simple-mode explain per op: every node name the
+    sweeps look for (CartesianProduct, BroadcastNestedLoopJoin,
+    rangepartitioning, windowspecdefinition) renders in simple mode."""
+    out = {}
+    for name, fn in sorted(QUERIES.items()):
+        if _is_streaming(fn):
+            continue
+        entry = {}
+        try:
+            before = _execution_ids(spark)
+            df = fn(spark, SF_CORRECT)
+            entry["simple"] = plan(df, mode="simple")
+            entry["internal"] = _new_execution_descriptions(spark, before)
+        except Exception as exc:  # pragma: no cover - surface name
+            entry["error"] = f"explain failed: {exc}"
+        out[name] = entry
+    return out
+
+
+@pytest.mark.fast
+def test_no_accidental_cartesian_anywhere(registry_plans):
     """Blanket 100 TB guard: NO registered batch operator may plan a
     CartesianProduct or BroadcastNestedLoopJoin (quadratic shapes that die
     at scale), except the intentional cross join."""
     offenders = []
-    for name, fn in sorted(QUERIES.items()):
-        if name in _CARTESIAN_OK or _is_streaming(fn):
+    for name, entry in registry_plans.items():
+        if name in _CARTESIAN_OK:
             continue
-        try:
-            p = plan(fn(spark, SF_CORRECT))
-        except Exception as exc:  # pragma: no cover - surface name
-            offenders.append((name, f"explain failed: {exc}"))
+        if "error" in entry:
+            offenders.append((name, entry["error"]))
             continue
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-            if bad in p:
+            if bad in entry["simple"]:
                 offenders.append((name, bad))
     assert not offenders, offenders
 
@@ -618,22 +647,21 @@ _GLOBAL_SORT_OK = frozenset({
 })
 
 
-def test_no_accidental_global_sort_anywhere(spark):
+@pytest.mark.fast
+def test_no_accidental_global_sort_anywhere(registry_plans):
     """Blanket 100 TB guard: a rangepartitioning Exchange funnels data
     through a sampled global sort — the single-reducer-adjacent shape
     that every top-k in this engine avoids via TakeOrderedAndProject and
     every scan avoids via the two-level prefix sum. No batch operator
     may plan one outside the explicit allowlist."""
     offenders = []
-    for name, fn in sorted(QUERIES.items()):
-        if name in _GLOBAL_SORT_OK or _is_streaming(fn):
+    for name, entry in registry_plans.items():
+        if name in _GLOBAL_SORT_OK:
             continue
-        try:
-            p = plan(fn(spark, SF_CORRECT), mode="simple")
-        except Exception as exc:  # pragma: no cover - surface name
-            offenders.append((name, f"explain failed: {exc}"))
+        if "error" in entry:
+            offenders.append((name, entry["error"]))
             continue
-        if "rangepartitioning" in p:
+        if "rangepartitioning" in entry["simple"]:
             offenders.append((name, "rangepartitioning exchange"))
     assert not offenders, offenders
 
@@ -734,7 +762,8 @@ def _execution_ids(spark) -> set:
     return {lst.apply(i).executionId() for i in range(lst.size())}
 
 
-def test_no_corpus_proportional_global_window_anywhere(spark):
+@pytest.mark.fast
+def test_no_corpus_proportional_global_window_anywhere(registry_plans):
     """Blanket 100 TB guard (VERDICT r7 #2): NO batch operator may plan a
     WindowExec over a SinglePartition exchange — the whole-input
     one-task funnel — unless it is on the explicit reduced-frame
@@ -742,18 +771,13 @@ def test_no_corpus_proportional_global_window_anywhere(spark):
     plan and any executions the callable runs internally (threshold
     collects), via the SQL status store."""
     offenders = []
-    for name, fn in sorted(QUERIES.items()):
-        if name in _GLOBAL_WINDOW_OK or _is_streaming(fn):
+    for name, entry in registry_plans.items():
+        if name in _GLOBAL_WINDOW_OK:
             continue
-        try:
-            before = _execution_ids(spark)
-            df = fn(spark, SF_CORRECT)
-            plans = [plan(df, mode="simple")]
-            plans += _new_execution_descriptions(spark, before)
-        except Exception as exc:  # pragma: no cover - surface name
-            offenders.append((name, f"explain failed: {exc}"))
+        if "error" in entry:
+            offenders.append((name, entry["error"]))
             continue
-        for p in plans:
+        for p in [entry["simple"]] + entry["internal"]:
             hits = _global_window_hits(p)
             if hits:
                 offenders.append((name, hits[:3]))
@@ -761,18 +785,17 @@ def test_no_corpus_proportional_global_window_anywhere(spark):
     assert not offenders, offenders
 
 
-def test_global_window_allowlist_entries_are_live(spark):
+@pytest.mark.fast
+def test_global_window_allowlist_entries_are_live(registry_plans):
     """Every allowlist entry must name a registered op that actually
     plans an unpartitioned window — a stale entry would quietly exempt a
     future regression."""
     stale = [n for n in _GLOBAL_WINDOW_OK if n not in QUERIES]
     assert not stale, f"allowlist names unregistered ops: {stale}"
     for name in sorted(_GLOBAL_WINDOW_OK):
-        fn = QUERIES[name]
-        before = _execution_ids(spark)
-        df = fn(spark, SF_CORRECT)
-        plans = [plan(df, mode="simple")]
-        plans += _new_execution_descriptions(spark, before)
+        entry = registry_plans[name]
+        assert "error" not in entry, (name, entry)
+        plans = [entry["simple"]] + entry["internal"]
         assert any(_global_window_hits(p) for p in plans), (
             f"{name} no longer plans an unpartitioned window — drop its "
             f"allowlist entry"

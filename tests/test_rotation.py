@@ -13,11 +13,15 @@ These tests pin, against the CORRECTNESS_r*.json files themselves, that
 
 from __future__ import annotations
 
+import pytest
+
 import json
 from pathlib import Path
 
 import __spark_entry__ as entrymod
 from storm_netmonitor_spark import registry
+
+pytestmark = pytest.mark.fast
 
 REPO = Path(entrymod.__file__).resolve().parent
 WINDOW = 50

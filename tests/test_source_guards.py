@@ -11,8 +11,12 @@ instead of waiting for the next manual audit to find it.
 
 from __future__ import annotations
 
+import pytest
+
 import ast
 from pathlib import Path
+
+pytestmark = pytest.mark.fast
 
 PKG = Path(__file__).resolve().parent.parent / "storm_netmonitor_spark"
 
