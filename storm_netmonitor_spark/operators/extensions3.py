@@ -862,7 +862,17 @@ def agg_pareto_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum/rnk are bit-identical to the single-scan oracle; the grand total
     rides the same census. At open cardinality the
     agg_heavy_hitters_approx sketch is the preface that bounds the
-    OUTPUT (the scan itself no longer needs bounding)."""
+    OUTPUT (the scan itself no longer needs bounding).
+
+    Trade-off (ADVICE r8): ``localCheckpoint`` is EAGER — the
+    aggregation + range exchange run at DataFrame-construction time (so
+    any collect()-only timing misses them; if this op ever joins the
+    bench's reported set it belongs in ``RERUN_FULL`` for the same
+    reason as text_ppl_buckets) — and checkpointed partitions are not
+    fault-tolerant: an executor loss invalidates the frame instead of
+    recomputing lineage. At the 100 TB design point a production run
+    would use ``checkpoint()`` to durable storage (same plan shape, one
+    extra write) if mid-query executor churn is expected."""
     e = load_table(spark, sf_dir, "events")
     totals = e.groupBy("user_id").agg(
         F.sum(F.col("value").cast("double").cast("decimal(28,6)")).alias(

@@ -90,19 +90,22 @@ def _load_driver_verdicts() -> tuple[
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    rounds = []
     numbered: list[tuple[int, dict]] = []
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(p.read_text())
         except (OSError, ValueError):  # unreadable round file: skip it
             continue
-        rounds.append(data)
         try:
             num = int(p.stem.rsplit("_r", 1)[1])
         except (IndexError, ValueError):
             num = 0
         numbered.append((num, data))
+    # ALL THREE folds are latest-verdict-wins, so they must share NUMERIC
+    # round ordering — the lexical glob order above breaks at r100 vs r99
+    # with the 2-digit zero-padded naming (ADVICE r8).
+    numbered.sort(key=lambda t: t[0])
+    rounds = [data for _, data in numbered]
     passed, red = _fold_verdicts(rounds)
     return passed, red, _fold_hash_green(rounds), _fold_latest_round(numbered)
 

@@ -33,6 +33,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # timestamps read as session-TZ TIMESTAMP; session TZ is pinned UTC
     # above, so wall-clock values match DuckDB exactly (SURVEY §7.4.3).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Every operator is developed and hash-verified under Spark 4's ANSI
+    # default; pin it so a host session running with the legacy setting
+    # cannot silently flip NULL semantics — e.g. size(NULL) returns -1
+    # (not NULL) under ansi=false, which would skew the row-local
+    # size()-based corpus token totals in corpus2.py vs the DuckDB oracle
+    # (ADVICE r8).
+    "spark.sql.ansi.enabled": "true",
     # Adaptive execution: runtime broadcast-join conversion, skew-join
     # splitting, partition coalescing — the main scale levers.
     "spark.sql.adaptive.enabled": "true",
