@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Multi-executor smoke preflight (VERDICT r8 #3): run a representative
+slice of the registry — one-plus op per §2 family, including a streaming
+drain, the pagerank loop, ANN, and the session-memo/localCheckpoint
+machinery — under ``local-cluster[2,2,2048]`` and compare each against
+its DuckDB oracle.
+
+Everything else in this repo runs ``local[N]`` (driver and executors in
+ONE JVM), where broadcast serialization, closure shipping, Python-worker
+environments on executors, and localCheckpoint block placement are
+invisible. local-cluster spawns two REAL executor JVMs (2 cores / 2 GiB
+each) against the in-process master — the closest a single machine gets
+to the 1000-executor deployment without a resource manager.
+
+Usage:
+    python tools/preflight_local_cluster.py [SF_DIR]
+
+Default sf0.01. Exits non-zero on any mismatch.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+import duckdb  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+#: One per §2 family plus every machinery family that behaves differently
+#: with real executors: broadcast joins, iterative localCheckpoint loops,
+#: session-memoized trained artifacts, Arrow/pandas workers, streaming
+#: state stores (RocksDB opens PER EXECUTOR here), applyInPandas, and the
+#: two-level prefix-sum census pattern.
+SLICE = [
+    "scan_filtered",          # 2.A scan + pushdown
+    "project_computed",       # 2.B projection
+    "join_star_multiway",     # 2.C broadcast star join (real broadcast ship)
+    "join_bucketed_colocated",  # 2.C bucketed SMJ (bucket files on executors)
+    "agg_group_pricing",      # 2.D partial agg
+    "agg_pareto_talkers",     # census prefix sum + localCheckpoint
+    "win_topk_group",         # 2.E window
+    "limit_global_topk",      # 2.F TakeOrdered
+    "set_except",             # 2.G
+    "fn_json_map",            # 2.H
+    "stream_tumbling",        # 2.I drain — RocksDB store on executors
+    "stream_stateful_counter",  # 2.I applyInPandasWithState on executors
+    "udf_pandas_scalar",      # 2.J Arrow worker
+    "udf_grouped_map",        # 2.J applyInPandas
+    "text_exact_dedup",       # 2.K digest dedup
+    "text_near_dedup_minhash",  # 2.K banding self-join
+    "vec_knn_cosine",         # 2.K broadcast query vector
+    "vec_ann_ivf",            # session-memo trained centroids (executor-built)
+    "vec_semantic_dedup",     # k-means + per-cluster BLAS gram via mapInPandas
+    "multimodal_chunk_dedup", # binary chunking, digests-only shuffle
+    "tpch_q08",               # 2.N heavy multi-broadcast join
+    "events_funnel",          # 2.O keyed conditional windows
+    "agg_incremental_rollup", # 2.P incremental
+    "graph_pagerank_links",   # 2.Q iterative loop + checkpoint cadence
+    "sample_weighted_systematic",  # band-census prefix PPS draw
+    "text_ppl_buckets",       # band-census terciles (driver census collects)
+]
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,2,2048]")
+    .appName("nm-preflight-local-cluster")
+    .config("spark.ui.enabled", "false")
+    # executors are separate JVMs here: keep their Python workers pointed
+    # at this interpreter (driver + executors share the host env)
+    .config("spark.executorEnv.PYSPARK_PYTHON", sys.executable)
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as m  # noqa: E402
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+    )
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"dec:{v}"
+    except ImportError:
+        pass
+    return v
+
+
+def _row_key(r):
+    return tuple((x is None, str(type(x)), str(x)) for x in r)
+
+
+qd, od = m.queries(), m.oracle_sql()
+t_all = time.time()
+bad = []
+for name in SLICE:
+    t0 = time.time()
+    try:
+        df = qd[name](spark, SF)
+        cols = sorted(df.columns)
+        rows = sorted(
+            (tuple(canon(r[c]) for c in cols) for r in df.collect()),
+            key=_row_key,
+        )
+    except Exception as exc:  # noqa: BLE001 — report and continue
+        bad.append((name, f"SPARK {type(exc).__name__}: {str(exc)[:200]}"))
+        continue
+    if name not in od:
+        if not rows:
+            bad.append((name, "rows-only op returned 0 rows"))
+        else:
+            print(f"OK-rowsonly {name}: {len(rows)} rows "
+                  f"{time.time() - t0:.1f}s", flush=True)
+        continue
+    try:
+        cur = con.execute(od[name])
+        ocols = [d[0] for d in cur.description]
+        idx = [ocols.index(c) for c in sorted(ocols)]
+        ora = sorted(
+            (tuple(canon(r[i]) for i in idx) for r in cur.fetchall()),
+            key=_row_key,
+        )
+    except Exception as exc:  # noqa: BLE001
+        bad.append((name, f"ORACLE {type(exc).__name__}: {str(exc)[:200]}"))
+        continue
+    if sorted(ocols) != cols:
+        bad.append((name, f"cols spark={cols} oracle={sorted(ocols)}"))
+    elif rows != ora:
+        diff = [(a, b) for a, b in zip(rows, ora) if a != b][:1]
+        bad.append(
+            (name, f"values differ rows={len(rows)}/{len(ora)} first={diff}")
+        )
+    else:
+        print(f"OK {name}: {len(rows)} rows {time.time() - t0:.1f}s",
+              flush=True)
+print(f"TOTAL {time.time() - t_all:.1f}s slice={len(SLICE)}")
+print("BAD:", bad if bad else "none")
+sys.exit(1 if bad else 0)
