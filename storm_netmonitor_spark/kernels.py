@@ -53,6 +53,9 @@ Sketches / robust statistics:
   sketch: bounded-cardinality mergeable counters + min-row point query
 - ``rolling_median_over`` — bounded-frame rolling lower median (pure
   order-statistic selection)
+- ``ppl_tercile_buckets_over`` — CCNet perplexity-tercile bucketing via
+  the two-level band-census quantile search (degenerate-shape behavior
+  hypothesis-pinned)
 """
 
 from __future__ import annotations
@@ -88,6 +91,7 @@ from .operators.extensions5 import (
     cms_counters,
     cms_point_estimates,
     hamming_topk,
+    ppl_tercile_buckets_over,
     rolling_median_over,
 )
 from .operators.extensions4 import (
@@ -134,6 +138,7 @@ __all__ = [
     "path_trigrams_over",
     "replicate_rows",
     "rolling_actives_over",
+    "ppl_tercile_buckets_over",
     "rolling_median_over",
     "scoped_confs",
     "semantic_dedup_summary",

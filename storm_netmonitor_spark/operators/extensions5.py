@@ -758,8 +758,50 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_scores,
         sf_dir=sf_dir,
     )
-    band = F.floor(F.col("xent") * _PPL_BANDS_PER_NAT).cast("long")
-    banded = base.select("xent", band.alias("band"))
+    return ppl_tercile_buckets_over(base)
+
+
+def ppl_tercile_buckets_over(base: DataFrame) -> DataFrame:
+    """KERNEL — CCNet tercile bucketing of an already-scored frame.
+    Contract: columns ``doc_id, n_tokens, xent``; returns those plus
+    ``bucket`` ∈ {head, middle, tail}. Factored out of
+    ``text_ppl_buckets`` (holt_fold_over convention) so the property
+    suite can drive the two-level band search with arbitrary — including
+    degenerate — score distributions (VERDICT r8 #6).
+
+    Degenerate-shape behavior (hypothesis-pinned in
+    ``tests/test_properties.py``):
+
+    - all-equal scores: one band holds the whole corpus, but the in-band
+      pass censuses per DISTINCT value first (``groupBy(tid, xent)``), so
+      the tercile window sees ONE row — bounded. The true degradation
+      bound is distinct-values-in-the-located-band per task (all-distinct
+      single-band input degrades to O(n) in one tercile partition —
+      detectable, never silent: it is the documented worst case of the
+      1/64-nat banding, reachable only if the corpus' score spread is
+      under 1/64 nat).
+    - n < 3 docs: thresholds follow the oracle's exact integer rank
+      formula — n=1 buckets its doc head; n=2 head/middle (head/head if
+      equal).
+    - non-finite / NULL xent: EXCLUDED from the band census and threshold
+      search (a NaN band would poison the integer rank walk; ±inf·64
+      overflows the band long under ANSI), then bucketed by the same
+      comparison semantics as everything else: NaN/NULL/+inf compare
+      false against both thresholds → tail (broken-scorer docs are
+      "noisy" by definition); -inf ≤ t1 → head."""
+    finite = (
+        F.col("xent").isNotNull()
+        & ~F.isnan(F.col("xent"))
+        & (F.abs(F.col("xent")) != F.lit(float("inf")))
+    )
+    # clamp the BANDING input so xent·64 can't overflow the long cast
+    # under ANSI (real cross-entropies are ≤ ~20 nats; a pathological
+    # finite score just lumps into the edge band — band boundaries only
+    # partition the search, the in-band pass orders by the actual xent)
+    _CLAMP = 1.4e17
+    clamped = F.least(F.greatest(F.col("xent"), F.lit(-_CLAMP)), F.lit(_CLAMP))
+    band = F.floor(clamped * _PPL_BANDS_PER_NAT).cast("long")
+    banded = base.filter(finite).select("xent", band.alias("band"))
     bands = sorted(
         (r["band"], r["c"])
         for r in banded.groupBy("band")

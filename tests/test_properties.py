@@ -8,6 +8,8 @@ deadline=None because JVM scheduling jitter would otherwise flake."""
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -1457,3 +1459,121 @@ def test_knn_candidates_cover_bruteforce_topk(spark):
             top = np.argsort(-g[i], kind="stable")[:_TRI_K]
             for j in top:
                 assert (a, ids[j]) in cand_set
+
+
+# ---------------------------------------------------------------------------
+# Band-census quantile family — degenerate distributions (VERDICT r8 #6).
+# The 10×-corpus test pins growth; these pin adversarial SHAPE: all-equal
+# scores (one band holds the whole corpus), n < 3, and non-finite values.
+
+
+def _ref_tercile_buckets(scores: list[float | None]) -> list[str]:
+    """Pure-Python mirror of the oracle's exact integer rank formula:
+    t1 = k1-th order statistic of the FINITE scores (k1 = (n+2)//3),
+    t2 = k2-th (k2 = (2n+2)//3); bucket by value comparison, where any
+    comparison involving NaN/NULL is false (→ tail) and -inf ≤ t1 → head."""
+    finite = sorted(v for v in scores if v is not None and math.isfinite(v))
+    n = len(finite)
+    t1 = finite[(n + 2) // 3 - 1] if n else None
+    t2 = finite[(2 * n + 2) // 3 - 1] if n else None
+
+    def bucket(v):
+        if v is None or t1 is None or math.isnan(v):
+            return "tail"
+        if v <= t1:
+            return "head"
+        if v <= t2:
+            return "middle"
+        return "tail"
+
+    return [bucket(v) for v in scores]
+
+
+_score_lists = st.one_of(
+    # all-equal: one band holds the whole corpus
+    st.tuples(
+        st.floats(
+            min_value=-30.0, max_value=30.0, allow_nan=False, allow_infinity=False
+        ),
+        st.integers(min_value=1, max_value=25),
+    ).map(lambda t: [t[0]] * t[1]),
+    # tiny corpora: n in {0, 1, 2}
+    st.lists(
+        st.floats(
+            min_value=0.0, max_value=25.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=0,
+        max_size=2,
+    ),
+    # general, WITH non-finite injections and sub-band spreads
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=0.0,
+                max_value=25.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            # spread far below 1/64 nat: many distinct values, one band
+            st.floats(min_value=5.0, max_value=5.0078125),
+            st.sampled_from(
+                [float("nan"), float("inf"), float("-inf"), None, 1e300]
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(scores=_score_lists)
+def test_ppl_tercile_buckets_degenerate_shapes(scores):
+    """ppl_tercile_buckets_over matches the oracle rank formula on
+    degenerate distributions: all-equal scores (the whole corpus in ONE
+    band — the in-band pass must still terminate via the per-value
+    census), n < 3 docs, sub-band spreads (< 1/64 nat), and NaN/±inf/
+    NULL/overflow-magnitude scores (excluded from the threshold search,
+    bucketed tail except -inf → head)."""
+    from storm_netmonitor_spark.kernels import ppl_tercile_buckets_over
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, 1, v) for i, v in enumerate(scores)],
+        "doc_id long, n_tokens long, xent double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_tercile_buckets_over(df).collect()
+    }
+    want = dict(enumerate(_ref_tercile_buckets(scores)))
+    assert got == want
+
+
+def test_weighted_median_degenerate_shapes():
+    """weighted_median_over on the shapes hypothesis rarely lands on:
+    every row identical (one band, one distinct value), a single row,
+    and all mass on one band boundary."""
+    from storm_netmonitor_spark.operators.aggregations import (
+        weighted_median_over,
+    )
+
+    spark = _spark()
+    cases = {
+        # all-equal: median IS the value, one band
+        "allequal": ([("A", 7, 3)] * 20, ("A", 7, 60, 1)),
+        # single row
+        "single": ([("B", 123456, 1)], ("B", 123456, 1, 1)),
+        # exact band boundary value (cents = band width)
+        "boundary": ([("C", 100_000, 2), ("C", 99_999, 1)], ("C", 100_000, 3, 2)),
+    }
+    for label, (rows, (flag, med, tot, n_bands)) in cases.items():
+        got = {
+            r["flag"]: (r["median_cents"], r["tot"], r["n_bands"])
+            for r in weighted_median_over(
+                spark.createDataFrame(rows, "flag string, cents long, w long")
+            ).collect()
+        }
+        assert got == {flag: (med, tot, n_bands)}, (label, got)

@@ -25,7 +25,8 @@ PKG = Path(__file__).resolve().parent.parent / "storm_netmonitor_spark"
 #:   corpus.semantic_dedup_summary   — k seed centroids (model scalar)
 #:   extensions3.scan_cache_reuse    — 3×1-row cached-aggregate combine
 #:   extensions5.hamming_topk        — one 8-byte query signature
-#:   extensions5.text_ppl_buckets    — O(bands) census + 2 tercile doubles
+#:   extensions5.ppl_tercile_buckets_over — O(bands) census + 2 tercile
+#:     doubles (the kernel factored out of text_ppl_buckets, round 9)
 #:   scans.observe_metrics           — the observed job's own action
 #:   vectors._lloyd_round            — k partial-centroid rows per round
 #:   vectors.vec_ann_ivf             — k seeds + 1 query vector
@@ -34,7 +35,7 @@ PKG = Path(__file__).resolve().parent.parent / "storm_netmonitor_spark"
 _AUDITED_COLLECT_SITES = {
     "operators/corpus.py": {"semantic_dedup_summary": 1},
     "operators/extensions3.py": {"scan_cache_reuse": 1},
-    "operators/extensions5.py": {"hamming_topk": 1, "text_ppl_buckets": 2},
+    "operators/extensions5.py": {"hamming_topk": 1, "ppl_tercile_buckets_over": 2},
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,
