@@ -56,6 +56,9 @@ Sketches / robust statistics:
 - ``ppl_tercile_buckets_over`` — CCNet perplexity-tercile bucketing via
   the two-level band-census quantile search (degenerate-shape behavior
   hypothesis-pinned)
+- ``pagerank_over`` — PageRank iterated to tolerance (fixed-point LONG
+  contributions, broadcast-guarded edge pass, checkpointed lineage; the
+  production facade of the fixed-iteration registry op)
 """
 
 from __future__ import annotations
@@ -87,6 +90,7 @@ from .operators.events_analytics import (
     step_changepoint_over,
 )
 from .operators.scale_probes import replicate_rows, scoped_confs
+from .operators.extensions3 import pagerank_over
 from .operators.extensions5 import (
     cms_counters,
     cms_point_estimates,
@@ -138,6 +142,7 @@ __all__ = [
     "path_trigrams_over",
     "replicate_rows",
     "rolling_actives_over",
+    "pagerank_over",
     "ppl_tercile_buckets_over",
     "rolling_median_over",
     "scoped_confs",

@@ -1360,6 +1360,114 @@ def _pagerank_edges_dir(spark: SparkSession, sf_dir: str) -> str:
     return _PR_EDGE_CACHE[key]
 
 
+#: Teleport mass as an EXPLICIT literal: computing it as ``1.0 - 0.85``
+#: yields 0.15000000000000002 in IEEE arithmetic, which would silently
+#: break byte-stability against the oracle's ``CAST(0.15 AS DOUBLE)``.
+_PR_TELEPORT = 0.15
+
+
+def _pagerank_round(
+    edges: DataFrame,
+    base: DataFrame,
+    ranks: DataFrame,
+    n_nodes: float,
+    broadcast_weights: bool,
+    damp: float = _PR_DAMP,
+    teleport: float = _PR_TELEPORT,
+) -> DataFrame:
+    """ONE power-iteration round — the per-round shape shared by the
+    fixed-iteration registry op and the iterate-to-tolerance kernel
+    (``pagerank_over``): per-NODE fixed-point weight projection (O(nodes)
+    divisions, row-local — the degree rides in the ranks frame), then the
+    edge pass is a (broadcast under the node cap) join + LONG sum — see
+    the _PR_SCALE note — and the damped recombination against ``base``."""
+    scale = float(_PR_SCALE)
+    w = ranks.select(
+        F.col("node").alias("src"),
+        F.floor(F.col("rank") * F.lit(scale) / F.col("d")).alias("w"),
+    )
+    contribs = (
+        edges.join(F.broadcast(w) if broadcast_weights else w, "src")
+        .groupBy("dst")
+        .agg(F.sum("w").alias("contrib"))
+    )
+    return base.join(contribs, base.node == contribs.dst, "left").select(
+        "node",
+        "d",
+        (
+            F.lit(teleport) / F.lit(n_nodes)
+            + F.lit(damp)
+            * (
+                F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+                / F.lit(scale)
+            )
+        ).alias("rank"),
+    )
+
+
+def pagerank_over(
+    edges: DataFrame,
+    *,
+    damp: float = _PR_DAMP,
+    teleport: float | None = None,
+    tol: float | None = 1e-9,
+    max_iter: int = 40,
+    broadcast_weights: bool | None = None,
+    ckpt_every: int = _PR_CKPT_EVERY,
+) -> tuple[DataFrame, int]:
+    """KERNEL — PageRank iterated to CONVERGENCE (VERDICT r8 #7: the
+    production facade of ``graph_pagerank_links``, which stays pinned at
+    3 iterations for oracle byte-stability). Contract: ``edges`` with
+    long columns ``(src, dst)`` where every node appears as a ``src``
+    (symmetric graphs satisfy this trivially; for directed graphs add
+    self-loops or pre-drop dangling sinks). Returns ``(ranks, n_iters)``
+    where ``ranks`` has ``(node, rank)``.
+
+    Same per-round shape as the registry op (``_pagerank_round``):
+    fixed-point LONG contributions, broadcast-or-shuffled edge pass
+    (auto-chosen by the ``_PR_BROADCAST_MAX_NODES`` cap unless forced),
+    ``localCheckpoint`` cadence bounding lineage. The convergence probe
+    is ONE driver scalar per round — max |Δrank| over the node frame, a
+    model-scalar collect (audited in tests/test_source_guards.py) — so
+    iterating to tolerance costs one extra O(nodes) aggregate per round
+    on top of the fixed-iteration shape. ``tol=None`` runs exactly
+    ``max_iter`` rounds (the registry op's behavior with the probe off)."""
+    if teleport is None:
+        teleport = _PR_TELEPORT if damp == _PR_DAMP else 1.0 - damp
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    base = deg.select(F.col("src").alias("node"), "d").localCheckpoint()
+    n_nodes = float(base.count())
+    if broadcast_weights is None:
+        broadcast_weights = n_nodes <= _PR_BROADCAST_MAX_NODES
+    ranks = base.select(
+        "node", "d", (F.lit(1.0) / F.lit(n_nodes)).alias("rank")
+    )
+    iters = 0
+    for i in range(max_iter):
+        new = _pagerank_round(
+            edges, base, ranks, n_nodes, broadcast_weights, damp, teleport
+        )
+        if (i + 1) % ckpt_every == 0 or tol is not None:
+            # with the probe on, every round is checkpointed: the delta
+            # join below would otherwise re-execute BOTH lineages, and a
+            # long convergence run would grow an unbounded plan
+            new = new.localCheckpoint()
+        iters = i + 1
+        if tol is not None:
+            delta = (
+                new.select("node", F.col("rank").alias("r2"))
+                .join(ranks.select("node", F.col("rank").alias("r1")), "node")
+                .agg(F.max(F.abs(F.col("r2") - F.col("r1"))).alias("dmax"))
+                .collect()[0]["dmax"]
+            )
+            ranks = new
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks = new
+    return ranks.select("node", "rank"), iters
+
+
 @query("graph_pagerank_links", oracle=_pagerank_oracle())
 def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part↔supplier link graph (NORTH: link-graph
@@ -1418,32 +1526,8 @@ def graph_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = base.select(
         "node", "d", (F.lit(1.0) / F.lit(n_nodes)).alias("rank")
     )
-    scale = float(_PR_SCALE)
     for i in range(_PR_ITERS):
-        # per-NODE fixed-point weight; O(nodes) divisions (row-local —
-        # the degree rides in the frame), then the edge pass is a
-        # broadcast join + LONG sum (see _PR_SCALE note)
-        w = ranks.select(
-            F.col("node").alias("src"),
-            F.floor(F.col("rank") * F.lit(scale) / F.col("d")).alias("w"),
-        )
-        contribs = (
-            edges.join(F.broadcast(w) if small_graph else w, "src")
-            .groupBy("dst")
-            .agg(F.sum("w").alias("contrib"))
-        )
-        ranks = base.join(
-            contribs, base.node == contribs.dst, "left"
-        ).select(
-            "node",
-            "d",
-            (
-                F.lit(0.15) / F.lit(n_nodes)
-                + F.lit(0.85)
-                * (F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
-                   / F.lit(scale))
-            ).alias("rank"),
-        )
+        ranks = _pagerank_round(edges, base, ranks, n_nodes, small_graph)
         # lineage truncation every OTHER round: the checkpoint job is the
         # dominant per-round fixed cost at test scale (measured: every-1
         # 1.56 s, every-2 1.08 s, none 1.16 s — values identical), while

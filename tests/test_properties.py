@@ -1577,3 +1577,87 @@ def test_weighted_median_degenerate_shapes():
             ).collect()
         }
         assert got == {flag: (med, tot, n_bands)}, (label, got)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_over — iterate-to-tolerance kernel vs a fixed-point reference
+# (VERDICT r8 #7; the registry op stays pinned at 3 iterations for the
+# unrolled SQL oracle — this pins the production facade's convergence).
+
+
+def _ref_pagerank(
+    edges: list[tuple[int, int]],
+    damp: float,
+    teleport: float,
+    tol: float | None,
+    max_iter: int,
+) -> tuple[dict[int, float], int]:
+    """Pure-Python mirror of the kernel's EXACT arithmetic: per-node
+    fixed-point weight floor(rank·1e18/d) (Python float IS the same IEEE
+    double), integer contribution sums, damped double recombination,
+    max|Δrank| stop rule."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    nodes = sorted(deg)
+    n = float(len(nodes))
+    scale = 1e18
+    ranks = {v: 1.0 / n for v in nodes}
+    iters = 0
+    for i in range(max_iter):
+        w = {v: math.floor(ranks[v] * scale / deg[v]) for v in nodes}
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += w[s]
+        new = {
+            v: teleport / n + damp * (float(contrib.get(v, 0)) / scale)
+            for v in nodes
+        }
+        iters = i + 1
+        delta = max(abs(new[v] - ranks[v]) for v in nodes)
+        ranks = new
+        if tol is not None and delta <= tol:
+            break
+    return ranks, iters
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_pagerank_over_matches_fixed_point_reference(data):
+    """pagerank_over (tol-driven) returns bit-identical ranks AND the
+    same iteration count as the sequential fixed-point reference, on
+    arbitrary small symmetric graphs; tol=None runs exactly max_iter."""
+    from storm_netmonitor_spark.operators.extensions3 import pagerank_over
+
+    n_nodes = data.draw(st.integers(min_value=2, max_value=12))
+    pairs = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n_nodes - 1),
+                st.integers(min_value=0, max_value=n_nodes - 1),
+            ).filter(lambda t: t[0] != t[1]),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    # symmetrize + dedup: every node that appears does so as a src
+    edges = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    tol = data.draw(st.sampled_from([None, 1e-4, 1e-7]))
+    max_iter = data.draw(st.integers(min_value=1, max_value=8))
+
+    want, want_iters = _ref_pagerank(edges, 0.85, 0.15, tol, max_iter)
+
+    spark = _spark()
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ranks, iters = pagerank_over(
+        edf, tol=tol, max_iter=max_iter, ckpt_every=2
+    )
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert iters == want_iters
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == want[v], (v, got[v], want[v])

@@ -24,6 +24,8 @@ PKG = Path(__file__).resolve().parent.parent / "storm_netmonitor_spark"
 #: Every entry's bound class (why it is NOT data-proportional):
 #:   corpus.semantic_dedup_summary   — k seed centroids (model scalar)
 #:   extensions3.scan_cache_reuse    — 3×1-row cached-aggregate combine
+#:   extensions3.pagerank_over       — one max|Δrank| scalar per round
+#:     (the iterate-to-tolerance convergence probe)
 #:   extensions5.hamming_topk        — one 8-byte query signature
 #:   extensions5.ppl_tercile_buckets_over — O(bands) census + 2 tercile
 #:     doubles (the kernel factored out of text_ppl_buckets, round 9)
@@ -34,7 +36,7 @@ PKG = Path(__file__).resolve().parent.parent / "storm_netmonitor_spark"
 #:   streaming/alerts.*              — post-drain memory-sink reads
 _AUDITED_COLLECT_SITES = {
     "operators/corpus.py": {"semantic_dedup_summary": 1},
-    "operators/extensions3.py": {"scan_cache_reuse": 1},
+    "operators/extensions3.py": {"scan_cache_reuse": 1, "pagerank_over": 1},
     "operators/extensions5.py": {"hamming_topk": 1, "ppl_tercile_buckets_over": 2},
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
