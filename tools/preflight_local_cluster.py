@@ -13,9 +13,13 @@ each) against the in-process master — the closest a single machine gets
 to the 1000-executor deployment without a resource manager.
 
 Usage:
-    python tools/preflight_local_cluster.py [SF_DIR]
+    python tools/preflight_local_cluster.py [SF_DIR]          # 26-op slice
+    python tools/preflight_local_cluster.py --full [SF_DIR]   # ALL 282 ops
+    python tools/preflight_local_cluster.py START END [SF_DIR]  # a window
 
-Default sf0.01. Exits non-zero on any mismatch.
+Default sf0.01. Exits non-zero on any mismatch. ``--full`` walks the
+whole ``driver_ordered`` registry — the strongest multi-executor claim a
+single machine can make.
 """
 from __future__ import annotations
 
@@ -30,7 +34,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 import duckdb  # noqa: E402
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = sys.argv[1:]
+FULL = "--full" in _args
+if FULL:
+    _args.remove("--full")
+WINDOW = None
+if len(_args) >= 2 and _args[0].isdigit() and _args[1].isdigit():
+    WINDOW = (int(_args[0]), int(_args[1]))
+    _args = _args[2:]
+SF = _args[0] if _args else "/root/testdata/sf0.01"
 
 #: One per §2 family plus every machinery family that behaves differently
 #: with real executors: broadcast joins, iterative localCheckpoint loops,
@@ -114,9 +126,15 @@ def _row_key(r):
 
 
 qd, od = m.queries(), m.oracle_sql()
+if FULL:
+    RUN = list(qd)
+elif WINDOW is not None:
+    RUN = list(qd)[WINDOW[0] : WINDOW[1]]
+else:
+    RUN = SLICE
 t_all = time.time()
 bad = []
-for name in SLICE:
+for name in RUN:
     t0 = time.time()
     try:
         df = qd[name](spark, SF)
@@ -156,6 +174,6 @@ for name in SLICE:
     else:
         print(f"OK {name}: {len(rows)} rows {time.time() - t0:.1f}s",
               flush=True)
-print(f"TOTAL {time.time() - t_all:.1f}s slice={len(SLICE)}")
+print(f"TOTAL {time.time() - t_all:.1f}s slice={len(RUN)}")
 print("BAD:", bad if bad else "none")
 sys.exit(1 if bad else 0)
