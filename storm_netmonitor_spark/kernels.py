@@ -139,11 +139,11 @@ __all__ = [
     "near_dup_cosine_pairs",
     "near_dup_minhash_pairs",
     "near_dup_simhash_pairs",
+    "pagerank_over",
     "path_trigrams_over",
+    "ppl_tercile_buckets_over",
     "replicate_rows",
     "rolling_actives_over",
-    "pagerank_over",
-    "ppl_tercile_buckets_over",
     "rolling_median_over",
     "scoped_confs",
     "semantic_dedup_summary",
