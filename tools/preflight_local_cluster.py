@@ -16,6 +16,11 @@ Usage:
     python tools/preflight_local_cluster.py [SF_DIR]          # 26-op slice
     python tools/preflight_local_cluster.py --full [SF_DIR]   # ALL 282 ops
     python tools/preflight_local_cluster.py START END [SF_DIR]  # a window
+    python tools/preflight_local_cluster.py --recovery [SF_DIR]
+        # exactly-once RocksDB checkpoint recovery with real executors:
+        # stop a stateful aggregation mid-stream, restart from the SAME
+        # checkpoint (state reloads into executor-side RocksDB stores),
+        # assert the final totals equal the batch aggregation
 
 Default sf0.01. Exits non-zero on any mismatch. ``--full`` walks the
 whole ``driver_ordered`` registry — the strongest multi-executor claim a
@@ -38,6 +43,9 @@ _args = sys.argv[1:]
 FULL = "--full" in _args
 if FULL:
     _args.remove("--full")
+RECOVERY = "--recovery" in _args
+if RECOVERY:
+    _args.remove("--recovery")
 WINDOW = None
 if len(_args) >= 2 and _args[0].isdigit() and _args[1].isdigit():
     WINDOW = (int(_args[0]), int(_args[1]))
@@ -124,6 +132,98 @@ def canon(v):
 def _row_key(r):
     return tuple((x is None, str(type(x)), str(x)) for x in r)
 
+
+def run_recovery() -> int:
+    """Exactly-once recovery drill under real executors: phase-1 live
+    trigger commits ≥1 batch against a RocksDB checkpoint and stops
+    mid-stream; phase-2 restarts from the SAME checkpoint (executor-side
+    stores reload their version from it — possibly on the OTHER
+    executor) and drains the rest. Totals must equal the batch
+    aggregation: nothing lost, nothing double-counted."""
+    import glob
+    import tempfile
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.session import apply_runtime_confs
+    from storm_netmonitor_spark.streaming.stateful import _read_events_arrow
+
+    apply_runtime_confs(spark)
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    assert "RocksDB" in prov, f"expected the RocksDB provider, got {prov}"
+
+    t = _read_events_arrow(SF)
+    src = tempfile.mkdtemp(prefix="nm_rec_src_")
+    step = (t.num_rows + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), os.path.join(src, f"p{i}.parquet"))
+    ckpt = tempfile.mkdtemp(prefix="nm_rec_ckpt_")
+
+    schema = spark.read.parquet(src).schema
+
+    def start(name, trigger_kwargs, max_files=None):
+        r = spark.readStream.schema(schema)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", str(max_files))
+        df = (
+            r.parquet(src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    q1 = start("nm_lc_rec_p1", {"processingTime": "200 milliseconds"}, 1)
+    try:
+        deadline = _t.time() + 90
+        while _t.time() < deadline:
+            p = q1.lastProgress
+            if p is not None and p["batchId"] >= 1:
+                break
+            _t.sleep(0.25)
+        else:
+            raise TimeoutError("phase-1 batch never committed")
+    finally:
+        q1.stop()
+        q1.awaitTermination()
+
+    # the checkpoint must hold RocksDB artifacts, not HDFS-provider deltas
+    zips = glob.glob(os.path.join(ckpt, "state", "**", "*.zip"), recursive=True)
+    assert zips, f"no RocksDB state snapshots under {ckpt}/state"
+
+    q2 = start("nm_lc_rec_p2", {"availableNow": True})
+    q2.awaitTermination()
+
+    got = {
+        r["event_type"]: r["n"] for r in spark.table("nm_lc_rec_p2").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"recovered totals: {sorted(got.items())}")
+    if got != want:
+        print(f"BAD: recovered totals drifted vs batch: {want}")
+        return 1
+    print("OK recovery: exactly-once totals match batch; "
+          f"{len(zips)} RocksDB snapshot(s) in checkpoint")
+    return 0
+
+
+if RECOVERY:
+    sys.exit(run_recovery())
 
 qd, od = m.queries(), m.oracle_sql()
 if FULL:
