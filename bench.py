@@ -136,6 +136,30 @@ WARMUPS = 1
 WARMUPS_RERUN = 3
 RUNS = 3
 
+#: Stdout-line byte budget: the driver records only the LAST 2,000 chars
+#: of stdout and parses the last JSON line in that window (VERDICT r8 #1)
+#: — 1,900 leaves margin for a stray trailing newline or prompt echo.
+STDOUT_LINE_BUDGET = 1900
+
+
+def _fit_stdout_line(compact: dict) -> tuple[str, bool]:
+    """Serialize the gate payload, dropping EXTRA_REPORTED rows (newest
+    first) if the line would overflow the driver's tail capture — the
+    HEADLINE gate rows and the "value" key must never truncate. The full
+    queries map always survives in the sidecar/stderr detail record.
+    Returns (line, was_trimmed)."""
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) <= STDOUT_LINE_BUDGET:
+        return line, False
+    trimmed = dict(compact["queries"])
+    for name in reversed(EXTRA_REPORTED):
+        trimmed.pop(name, None)
+        compact["queries"] = trimmed
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= STDOUT_LINE_BUDGET:
+            break
+    return line, True
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -218,19 +242,8 @@ def main() -> None:
         },
         cold_seconds=cold,
     )
-    line = json.dumps(compact, separators=(",", ":"))
-    # hard budget: the driver tail is 2,000 chars — if the reported set
-    # ever grows past it, drop EXTRA_REPORTED rows from the stdout line
-    # (newest first) before the HEADLINE gate rows ever truncate; the
-    # full map always survives in the sidecar/stderr detail record
-    if len(line) > 1900:
-        trimmed = dict(timings)
-        for name in reversed(EXTRA_REPORTED):
-            if len(line) <= 1900:
-                break
-            trimmed.pop(name, None)
-            compact["queries"] = trimmed
-            line = json.dumps(compact, separators=(",", ":"))
+    line, was_trimmed = _fit_stdout_line(compact)
+    if was_trimmed:
         print(
             "bench: stdout line trimmed to fit the driver tail capture; "
             "full queries map is in BENCH_DETAIL.json",

@@ -911,3 +911,49 @@ def test_simhash_band_layout_is_pigeonhole_total():
     assert len(SIMHASH_BANDS) >= SIMHASH_MAX_HAMMING + 1, (
         "need > threshold blocks for guaranteed recall"
     )
+
+
+@pytest.mark.fast
+def test_bench_stdout_trimming_preserves_gate_rows():
+    """The bench stdout line must fit the driver's 2,000-char tail
+    capture even if the reported set grows: _fit_stdout_line drops
+    EXTRA_REPORTED rows (newest first) but NEVER a HEADLINE gate row or
+    the 'value' key. Pure-python; no Spark."""
+    import json as _json
+    import os
+    import sys as _sys
+
+    sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if sys_path_root not in _sys.path:
+        _sys.path.insert(0, sys_path_root)
+    import bench
+
+    # current real shape fits untrimmed
+    timings = {n: 0.1234 for n in bench.HEADLINE + bench.EXTRA_REPORTED}
+    compact = {
+        "metric": "suite_wall_seconds",
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": dict(timings),
+        "value": 1.2345,
+    }
+    line, trimmed = bench._fit_stdout_line(dict(compact))
+    assert not trimmed and len(line) <= bench.STDOUT_LINE_BUDGET
+    assert set(_json.loads(line)["queries"]) == set(timings)
+
+    # synthetic overflow: pad every EXTRA row's key — trimming must kick
+    # in, keep ALL headline rows + value, and fit the budget
+    fat = {n: 0.1234 for n in bench.HEADLINE}
+    fat.update({n + "_padded_" + "x" * 40: 0.1234 for n in bench.EXTRA_REPORTED})
+    # map padded names back through EXTRA_REPORTED for the drop loop
+    orig_extra = bench.EXTRA_REPORTED
+    bench.EXTRA_REPORTED = [n + "_padded_" + "x" * 40 for n in orig_extra]
+    try:
+        over = dict(compact, queries=dict(fat))
+        line, trimmed = bench._fit_stdout_line(over)
+    finally:
+        bench.EXTRA_REPORTED = orig_extra
+    assert trimmed and len(line) <= bench.STDOUT_LINE_BUDGET
+    payload = _json.loads(line)
+    assert payload["value"] == 1.2345
+    assert set(bench.HEADLINE) <= set(payload["queries"])
