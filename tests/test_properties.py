@@ -1661,3 +1661,27 @@ def test_pagerank_over_matches_fixed_point_reference(data):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == want[v], (v, got[v], want[v])
+
+
+def test_ppl_tercile_buckets_all_nonfinite():
+    """Non-empty frame whose scores are ALL non-finite: the threshold
+    search sees an empty census (t1 = t2 = NULL) and every document —
+    including -inf, whose ≤-comparison against a NULL threshold is NULL —
+    lands in 'tail'. Deterministic pin of the edge hypothesis only
+    sometimes generates."""
+    from storm_netmonitor_spark.kernels import ppl_tercile_buckets_over
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [
+            (0, 1, float("nan")),
+            (1, 1, float("inf")),
+            (2, 1, float("-inf")),
+            (3, 1, None),
+        ],
+        "doc_id long, n_tokens long, xent double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"] for r in ppl_tercile_buckets_over(df).collect()
+    }
+    assert got == {0: "tail", 1: "tail", 2: "tail", 3: "tail"}
