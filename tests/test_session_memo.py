@@ -77,3 +77,78 @@ def test_clear_session_memo_scopes_to_session():
     session_memo(s1, ("a",), lambda: calls.append(1) or 99)
     assert calls == [1]
     clear_session_memo(s2)
+
+
+# ---------------------------------------------------------------------------
+# Cross-process disk-artifact store (VERDICT r9 #3) — pure unit tests:
+# the json/dir variants need no Spark, so they run in the fast tier.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.mark.fast
+def test_disk_artifact_json_trains_once_then_reads(tmp_path, monkeypatch):
+    from storm_netmonitor_spark.io import disk_artifact_json
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(d, "events.parquet", b"v1")
+    calls = []
+
+    def build():
+        calls.append(1)
+        # floats must survive the round-trip bit-exactly (shortest repr)
+        return {"cents": [[0.1, 2.0 / 3.0, 1e-300]], "k": 3}
+
+    first = disk_artifact_json("m", "v1", d, build, extra=(3,))
+    second = disk_artifact_json("m", "v1", d, build, extra=(3,))
+    assert calls == [1] and first == second
+    assert second["cents"][0][1] == 2.0 / 3.0  # bit-exact float round-trip
+
+
+@pytest.mark.fast
+def test_disk_artifact_key_covers_fingerprint_version_and_extra(
+    tmp_path, monkeypatch
+):
+    from storm_netmonitor_spark.io import disk_artifact_json
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(d, "events.parquet", b"v1")
+    calls = []
+    build = lambda: calls.append(1) or len(calls)
+
+    disk_artifact_json("m", "v1", d, build)
+    disk_artifact_json("m", "v2", d, build)  # version bump retrains
+    disk_artifact_json("m", "v1", d, build, extra=(8,))  # hyperparam retrains
+    _write(d, "events.parquet", b"v2-regenerated")  # input rewrite retrains
+    disk_artifact_json("m", "v1", d, build)
+    assert len(calls) == 4
+
+
+@pytest.mark.fast
+def test_disk_artifact_dir_publishes_atomically(tmp_path, monkeypatch):
+    from storm_netmonitor_spark.io import disk_artifact_dir
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(d, "events.parquet", b"v1")
+
+    def stage(staging):
+        _write(staging, "part.bin", b"model")
+
+    p1 = disk_artifact_dir("g", "v1", d, stage)
+    # second call must NOT re-stage (builder raising proves it's not run)
+    def boom(_):
+        raise AssertionError("re-staged a published artifact")
+
+    p2 = disk_artifact_dir("g", "v1", d, boom)
+    assert p1 == p2
+    assert open(os.path.join(p2, "part.bin"), "rb").read() == b"model"
+    # no stray staging dirs left behind
+    leftovers = [x for x in os.listdir(os.path.dirname(p2)) if ".tmp." in x]
+    assert leftovers == []
