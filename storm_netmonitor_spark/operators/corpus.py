@@ -298,20 +298,18 @@ SEMDEDUP_ITERS = 3
 SEMDEDUP_TAU = 0.95
 
 
-def semantic_dedup_summary(
+def semdedup_assignment(
     spark: SparkSession,
     emb: DataFrame,
     k: int | None = None,
     iters: int = SEMDEDUP_ITERS,
-    tau: float = SEMDEDUP_TAU,
     cache_key: str | None = None,
 ) -> DataFrame:
-    """Core SemDeDup: k-means cluster the embeddings (distributed Lloyd,
-    only the K×dim model collected — same pattern as ``vec_ann_ivf``),
-    then WITHIN each cluster mark the higher ``vec_id`` of every pair with
-    cosine ≥ tau as a duplicate. Returns one row per cluster:
-    (cluster, n_vecs, n_dups). Exposed as a helper so the planted-pair
-    semantics test can run it over a constructed frame.
+    """The SemDeDup CLUSTERING stage, shared by the census op and the
+    pair-level kernel: k-means the embeddings (distributed Lloyd, only
+    the K×dim model collected — same pattern as ``vec_ann_ivf``) and
+    return the clustered frame ``(k, vec_id, embedding)`` with the
+    assignment checkpointed once.
 
     The one driver-side action (``emb.count()``) sizes K for the index
     build — legitimate: this is build-time accounting, amortized exactly
@@ -360,6 +358,23 @@ def semantic_dedup_summary(
         .select("vec_id", "k")
         .localCheckpoint()
     )
+    return emb.join(assign, "vec_id").select("k", "vec_id", "embedding")
+
+
+def semantic_dedup_summary(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int | None = None,
+    iters: int = SEMDEDUP_ITERS,
+    tau: float = SEMDEDUP_TAU,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Core SemDeDup: cluster via :func:`semdedup_assignment`, then
+    WITHIN each cluster mark the higher ``vec_id`` of every pair with
+    cosine ≥ tau as a duplicate. Returns one row per cluster:
+    (cluster, n_vecs, n_dups). Exposed as a helper so the planted-pair
+    semantics test can run it over a constructed frame."""
+    ve = semdedup_assignment(spark, emb, k=k, iters=iters, cache_key=cache_key)
     # pairwise WITHIN cluster as a per-cluster BLAS census: each group
     # is the cluster's (≈CLUSTER_TARGET × dim) matrix, scanned in
     # _GRAM_CHUNK row strips (one strip @ cluster.T matmul each) —
@@ -371,7 +386,6 @@ def semantic_dedup_summary(
     # and the tau decision margin (≥0.35 on the testdata, audited by
     # tools/margin_audit.py) dwarfs any float-order difference — the SQL
     # oracle's decimal census agrees exactly.
-    ve = emb.join(assign, "vec_id").select("k", "vec_id", "embedding")
 
     def census(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -411,6 +425,49 @@ def semantic_dedup_summary(
         .applyInPandas(census, "cluster int, n_vecs long, n_dups long")
         .orderBy("cluster")
     )
+
+
+def semantic_dup_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """PAIR-level SemDeDup (the §2.W joined-modality dedup's vec edge
+    source): the same clustering + strip-scan as the census, but
+    EMITTING each within-cluster pair with cosine ≥ tau as an undirected
+    edge ``(a_id, b_id)``, a_id < b_id. O(cluster·k) output rows, same
+    bounded worker memory; the tau margin (≥0.35, margin-audited) makes
+    the float decision identical to the oracle's decimal one."""
+    ve = semdedup_assignment(spark, emb, cache_key=cache_key)
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []})
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        a_parts, b_parts = [], []
+        col_idx = np.arange(n)[None, :]
+        for lo in range(0, n - 1, _GRAM_CHUNK):
+            hi = min(lo + _GRAM_CHUNK, n - 1)
+            strip = m[lo:hi] @ m.T
+            upper = col_idx > np.arange(lo, hi)[:, None]
+            r, c = np.nonzero(upper & (strip >= tau))
+            a_parts.append(ids[r + lo])
+            b_parts.append(ids[c])
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(a_parts),
+                "b_id": np.concatenate(b_parts),
+            }
+        )
+
+    return ve.groupBy("k").applyInPandas(pairs, "a_id long, b_id long")
 
 
 # ---------------------------------------------------------------------------
