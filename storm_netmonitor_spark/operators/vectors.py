@@ -473,6 +473,51 @@ ORDER BY cos_sim DESC, vec_id
 LIMIT 10"""
 
 
+def ivf_index(spark: SparkSession, sf_dir: str):
+    """The TRAINED IVF index — (cached corpus handle, K×dim centroid
+    model) — shared by the registered ``vec_ann_ivf`` and the §2.W
+    streaming-serve candidate (one index semantics, two consumers).
+
+    - cache: the corpus is re-scanned once per Lloyd iteration — on a
+      cluster this is the persisted training set of the index build;
+    - scatter(…, 8): every Lloyd round is an Arrow pass, and
+      per-partition Python round-trips dominate at this width;
+    - the K×dim centroid MODEL persists across PROCESSES (VERDICT r9
+      #3): the driver's harness and any production scheduler use a fresh
+      session per run, and at 100 TB the Lloyd re-train is the whole job
+      — a fresh process reads the seeded, fingerprint-keyed artifact
+      instead (json float round-trip is bit-exact, so downstream hashes
+      are unchanged)."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def train():
+        corpus = scatter(
+            e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"), 8
+        ).cache()
+
+        def lloyd():
+            # deterministic init: the first K non-query vectors are the
+            # seeds
+            seeds = corpus.filter(F.col("vec_id").between(1, IVF_K)).orderBy(
+                "vec_id"
+            )
+            cents = [
+                [float(x) for x in r["embedding"]] for r in seeds.collect()
+            ]
+            for _ in range(IVF_ITERS):
+                cents = _lloyd_round(spark, corpus, cents)
+            return cents
+
+        cents = disk_artifact_json(
+            "ivf_cents", "v1", sf_dir, lloyd, extra=(IVF_K, IVF_ITERS)
+        )
+        return corpus, cents
+
+    return session_memo(
+        spark, ("ivf_index", os.path.abspath(sf_dir)), train, sf_dir=sf_dir
+    )
+
+
 @query("vec_ann_ivf", oracle=_ivf_oracle())
 def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor — the 100 TB scale path next to the
@@ -493,48 +538,7 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_semantics.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    # cache: the corpus is re-scanned once per Lloyd iteration — on a
-    # cluster this is the persisted training set of the index build.
-    # scatter: the K row-local fold dots per vector are interpreted HOF
-    # work; a single-row-group scan would run them all on one task
-    # 8 fat partitions, not core count: every Lloyd round is an Arrow
-    # pass, and per-partition Python round-trips dominate at this width
-    # the trained index (cached corpus handle + K×dim centroid model) is
-    # a WRITE-ONCE artifact reused by every query — train it once per
-    # (session, input) instead of per call (5 Lloyd Arrow passes, ~1.5 s
-    # of the per-call wall at sf0.1; production persists the centroids)
-    def train():
-        corpus = scatter(
-            e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"), 8
-        ).cache()
-
-        def lloyd():
-            # deterministic init: the first K non-query vectors are the
-            # seeds
-            seeds = corpus.filter(F.col("vec_id").between(1, IVF_K)).orderBy(
-                "vec_id"
-            )
-            cents = [
-                [float(x) for x in r["embedding"]] for r in seeds.collect()
-            ]
-            for _ in range(IVF_ITERS):
-                cents = _lloyd_round(spark, corpus, cents)
-            return cents
-
-        # the K×dim centroid MODEL additionally persists across PROCESSES
-        # (VERDICT r9 #3): the driver's harness and any production
-        # scheduler use a fresh session per run, and at 100 TB the Lloyd
-        # re-train is the whole job — a fresh process reads the seeded,
-        # fingerprint-keyed artifact instead (json float round-trip is
-        # bit-exact, so downstream hashes are unchanged)
-        cents = disk_artifact_json(
-            "ivf_cents", "v1", sf_dir, lloyd, extra=(IVF_K, IVF_ITERS)
-        )
-        return corpus, cents
-
-    corpus, cents = session_memo(
-        spark, ("ivf_index", os.path.abspath(sf_dir)), train, sf_dir=sf_dir
-    )
+    corpus, cents = ivf_index(spark, sf_dir)
 
     # the query vector is one row — fetched like the LSH query row; probing
     # is model-side math (K dots on the driver), not a Spark job

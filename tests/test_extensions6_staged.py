@@ -68,3 +68,58 @@ def test_joined_dedup_components_refine_both_modalities(spark):
     assert all(len(v) == 1 for v in by_text.values())
     # and the joined clustering is at least as coarse
     assert len(set(joined.values())) <= len(set(text_only.values()))
+
+
+def test_stream_ann_serve_matches_oracle(spark):
+    from storm_netmonitor_spark.operators.extensions6 import (
+        stream_ann_serve,
+        stream_ann_serve_oracle,
+    )
+
+    _assert_staged_parity(stream_ann_serve, stream_ann_serve_oracle(), spark)
+
+
+def test_stream_ann_serve_agrees_with_registered_op(spark):
+    """qid 0 is the registered op's canonical query: its served top-10
+    must equal vec_ann_ivf's output row-for-row (one index semantics,
+    two consumers), and every query's probe choice must carry a healthy
+    margin (the float-vs-SQL-double accumulation difference is ~1e-13;
+    demand 6 orders of magnitude)."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.operators.extensions6 import (
+        IVF_NPROBE,
+        STREAM_ANN_QUERY_IDS,
+        stream_ann_serve,
+    )
+    from storm_netmonitor_spark.operators.vectors import (
+        ivf_index,
+        vec_ann_ivf,
+    )
+    from storm_netmonitor_spark.io import load_table
+
+    served = stream_ann_serve(spark, SF)
+    q0 = sorted(
+        (r["vec_id"], r["cos_sim"])
+        for r in served.filter(F.col("qid") == 0).collect()
+    )
+    reg = sorted(
+        (r["vec_id"], r["cos_sim"]) for r in vec_ann_ivf(spark, SF).collect()
+    )
+    assert q0 == reg
+
+    _, cents = ivf_index(spark, SF)
+    e = load_table(spark, SF, "embeddings")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(
+            F.col("vec_id").isin(*STREAM_ANN_QUERY_IDS)
+        ).collect()
+    }
+    for qid, qvec in qvecs.items():
+        dots = sorted(
+            (sum(c[i] * qvec[i] for i in range(len(qvec))) for c in cents),
+            reverse=True,
+        )
+        margin = dots[IVF_NPROBE - 1] - dots[IVF_NPROBE]
+        assert margin > 1e-7, f"probe margin too tight for qid {qid}: {margin}"
