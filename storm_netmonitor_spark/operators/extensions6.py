@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import disk_artifact_frame, load_table, session_memo
+from ..io import disk_artifact_frame, load_table, scatter, session_memo
 from .vectors import (
     _DOT_SUM_SQL,
     IVF_ITERS,
@@ -447,3 +447,162 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# text_minhash_index_merge — incremental maintenance of the banded index
+# ---------------------------------------------------------------------------
+
+#: The standing index covers doc_id < split, the delta is doc_id >= split;
+#: split = 4/5 of the id space, computed from the corpus so the op needs
+#: no per-SF constant (both engines compute it identically in integer
+#: arithmetic).
+_MERGE_SPLIT_NUM = 4
+_MERGE_SPLIT_DEN = 5
+
+
+def text_minhash_index_merge_oracle() -> str:
+    """Full-recompute twin: the registered ``text_near_dedup_minhash``
+    contract ("every pair with exact word-3-shingle Jaccard ≥ 0.5") holds
+    for the MERGED corpus, so the newly-discovered pairs are exactly the
+    full pair set restricted to pairs TOUCHING the delta — doc_b ≥ split
+    (doc_b is the larger id, so a pair with doc_b < split is base-only)."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(tk[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh
+  FROM tk
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), split AS (
+  SELECT (MAX(doc_id) + 1) * {_MERGE_SPLIT_NUM} // {_MERGE_SPLIT_DEN} AS v
+  FROM documents
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM sh
+)
+SELECT doc_a, doc_b,
+       ROUND(ninter / (sa.n + sb.n - ninter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE ROUND(ninter / (sa.n + sb.n - ninter), 4) >= 0.5
+  AND doc_b >= (SELECT v FROM split)
+"""
+
+
+def _banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH index rows for a doc frame
+    (signature + banding, zero shuffles; shared by the standing-index
+    staging and the delta path)."""
+    from .text import MINHASH_BANDS, MINHASH_SEEDS, minhash_signatures
+
+    sig = minhash_signatures(docs)
+    rows_per_band = len(MINHASH_SEEDS) // MINHASH_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                        F.lit(b),
+                    ).alias("band_hash"),
+                )
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+
+
+def text_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash index maintenance (SURVEY §2.W): MERGE the
+    delta (doc_id ≥ split) into the STANDING banded index (doc_id <
+    split, read from the artifact store — its signatures are NOT
+    recomputed) and emit the newly-discovered verified duplicate pairs —
+    exactly the pairs a full re-run would add, which is what the
+    full-recompute oracle pins.
+
+    Shape at scale: signature+banding for the DELTA ONLY (row-local,
+    zero shuffles — the maintenance cost is O(|delta|), not O(corpus));
+    new candidates = delta bands ⋈ (standing ∪ delta) bands per bucket
+    (the bilinear-delta discipline of ``incremental_join_view`` applied
+    to the dedup index: the standing×standing term never re-runs); exact
+    shingle-Jaccard verification only on those candidates, with the
+    shingle arrays of the non-delta side read as needed."""
+    from ..functions.stable import dround
+    from .text import _with_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    split = (int(max_id) + 1) * _MERGE_SPLIT_NUM // _MERGE_SPLIT_DEN
+
+    base_docs = d.filter(F.col("doc_id") < split)
+    delta_docs = d.filter(F.col("doc_id") >= split)
+
+    # the STANDING index is a maintained artifact: staged once per input
+    # fingerprint, read (not recomputed) by every merge
+    standing = session_memo(
+        spark,
+        ("minhash_band_index", os.path.abspath(sf_dir), split),
+        lambda: disk_artifact_frame(
+            spark,
+            "minhash_band_index",
+            "v1",
+            sf_dir,
+            lambda: _banded(scatter(base_docs)),
+            extra=(split,),
+        ),
+        sf_dir=sf_dir,
+    )
+    delta = _banded(scatter(delta_docs))
+
+    merged = standing.unionByName(delta)
+    a = delta.alias("a")
+    b = merged.alias("b")
+    # delta ⋈ merged, pair ordered (lo, hi): catches delta-base AND
+    # delta-delta pairs exactly once each (doc_a < doc_b dedups the
+    # delta-delta double-match)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_tbl = _with_shingles(scatter(d))
+    sh_a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    sh_b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    n_inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(
+                n_inter
+                / (F.size("sa") + F.size("sb") - n_inter).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

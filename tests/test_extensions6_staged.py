@@ -123,3 +123,46 @@ def test_stream_ann_serve_agrees_with_registered_op(spark):
         )
         margin = dots[IVF_NPROBE - 1] - dots[IVF_NPROBE]
         assert margin > 1e-7, f"probe margin too tight for qid {qid}: {margin}"
+
+
+def test_text_minhash_index_merge_matches_oracle(spark):
+    from storm_netmonitor_spark.operators.extensions6 import (
+        text_minhash_index_merge,
+        text_minhash_index_merge_oracle,
+    )
+
+    _assert_staged_parity(
+        text_minhash_index_merge, text_minhash_index_merge_oracle(), spark
+    )
+
+
+def test_index_merge_equals_full_rerun_delta(spark):
+    """Incrementality contract: the merge's newly-discovered pairs must be
+    EXACTLY the registered full op's pairs restricted to those touching
+    the delta (doc_b >= split) — nothing lost by skipping the
+    standing×standing term, nothing invented by the band-bucket join."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators.extensions6 import (
+        _MERGE_SPLIT_DEN,
+        _MERGE_SPLIT_NUM,
+        text_minhash_index_merge,
+    )
+    from storm_netmonitor_spark.operators.text import text_near_dedup_minhash
+
+    d = load_table(spark, SF, "documents")
+    max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    split = (int(max_id) + 1) * _MERGE_SPLIT_NUM // _MERGE_SPLIT_DEN
+
+    merged = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in text_minhash_index_merge(spark, SF).collect()
+    )
+    full_delta = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in text_near_dedup_minhash(spark, SF)
+        .filter(F.col("doc_b") >= split)
+        .collect()
+    )
+    assert merged == full_delta and len(merged) > 0
