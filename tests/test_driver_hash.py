@@ -26,6 +26,13 @@ from storm_netmonitor_spark.registry import ORACLES, QUERIES, resolve_oracle
 
 from .parity import duck_connect
 
+#: Registry-wide per-op loop (282 cases): the SLOW tier. The same
+#: coverage is independently runnable via tools/preflight_driver_window
+#: (the driver-shaped vanilla-session sweep), so the "not slow" middle
+#: tier keeps every kernel/plan/property/streaming test while dropping
+#: only this loop.
+pytestmark = pytest.mark.slow
+
 SF_SMALL = "/root/testdata/sf0.001"
 
 

@@ -10,6 +10,13 @@ from storm_netmonitor_spark.registry import ORACLES, QUERIES
 from .conftest import SF_CORRECT
 from .parity import assert_parity
 
+#: Registry-wide per-op loop (282 cases): the SLOW tier. The same
+#: coverage is independently runnable via tools/preflight_driver_window
+#: (the driver-shaped vanilla-session sweep), so the "not slow" middle
+#: tier keeps every kernel/plan/property/streaming test while dropping
+#: only this loop.
+pytestmark = pytest.mark.slow
+
 
 def _hash_checked_ids():
     return sorted(k for k in QUERIES if k in ORACLES)

@@ -22,26 +22,39 @@ PKG = Path(__file__).resolve().parent.parent / "storm_netmonitor_spark"
 
 #: Audited ``.collect()`` sites: {relative file: {outermost function: count}}.
 #: Every entry's bound class (why it is NOT data-proportional):
-#:   corpus.semantic_dedup_summary   — k seed centroids (model scalar)
+#:   corpus.semdedup_assignment      — k seed centroids (model scalar;
+#:     the clustering stage factored out of semantic_dedup_summary, r10)
 #:   extensions3.scan_cache_reuse    — 3×1-row cached-aggregate combine
 #:   extensions3.pagerank_over       — one max|Δrank| scalar per round
 #:     (the iterate-to-tolerance convergence probe)
 #:   extensions5.hamming_topk        — one 8-byte query signature
 #:   extensions5.ppl_tercile_buckets_over — O(bands) census + 2 tercile
 #:     doubles (the kernel factored out of text_ppl_buckets, round 9)
+#:   extensions6.stream_ann_serve    — per-batch query rows (a handful of
+#:     served vectors — the registered op's single-row-fetch precedent)
+#:     + the post-drain result read-back (O(queries·topk) rows)
+#:   extensions6.text_minhash_index_merge — 1 max-doc-id scalar (the
+#:     split point both engines compute identically)
 #:   scans.observe_metrics           — the observed job's own action
 #:   vectors._lloyd_round            — k partial-centroid rows per round
-#:   vectors.vec_ann_ivf             — k seeds + 1 query vector
+#:   vectors.ivf_index               — k seed centroids (the trained-index
+#:     stage factored out of vec_ann_ivf, r10)
+#:   vectors.vec_ann_ivf             — 1 query vector
 #:   vectors.vec_ann_lsh             — 1 query vector
 #:   streaming/alerts.*              — post-drain memory-sink reads
 _AUDITED_COLLECT_SITES = {
-    "operators/corpus.py": {"semantic_dedup_summary": 1},
+    "operators/corpus.py": {"semdedup_assignment": 1},
     "operators/extensions3.py": {"scan_cache_reuse": 1, "pagerank_over": 1},
     "operators/extensions5.py": {"hamming_topk": 1, "ppl_tercile_buckets_over": 2},
+    "operators/extensions6.py": {
+        "stream_ann_serve": 2,
+        "text_minhash_index_merge": 1,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,
-        "vec_ann_ivf": 2,
+        "ivf_index": 1,
+        "vec_ann_ivf": 1,
         "vec_ann_lsh": 1,
     },
     "streaming/alerts.py": {
