@@ -125,11 +125,12 @@ else:
     )
 
 
-#: Spark applications whose executors already have the package, keyed by
-#: applicationId (stable for the app's lifetime; id(session) could be
-#: reused by a new object after GC — ADVICE r9). Only marked after a
-#: SUCCESSFUL addPyFile so a transient failure is retried, not cached.
-_PYFILES_SHIPPED: set[str] = set()
+#: The shipped marker lives as an attribute ON the session object
+#: (``_nm_pkg_shipped``): it dies with the object, so a recycled id()
+#: can never inherit it (ADVICE r9), and checking it is a plain
+#: attribute read — no per-call Py4J round trip (an applicationId
+#: lookup here measurably taxed every load_table call). Only set after
+#: a SUCCESSFUL ship so a transient failure is retried, not cached.
 _PKG_ZIP: str | None = None
 
 
@@ -170,17 +171,16 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     r8 #3 predicted). ``addPyFile`` distributes the package zip to every
     node and prepends it to the workers' ``sys.path`` — the runtime
     equivalent of ``spark-submit --py-files``."""
+    if getattr(spark, "_nm_pkg_shipped", False):
+        return
     try:
         sc = spark.sparkContext
-        app_id = sc.applicationId
-        if app_id in _PYFILES_SHIPPED:
-            return
         master = sc.master
         if master != "local" and not master.startswith("local["):
             sc.addPyFile(_package_zip())
         # Marked ONLY on success (or on local[N], where shipping is a
         # no-op by design) — a failed ship stays retryable.
-        _PYFILES_SHIPPED.add(app_id)
+        spark._nm_pkg_shipped = True
     except Exception:
         # Context already stopped or file re-added with different
         # contents — the query will surface any real import failure;
@@ -188,8 +188,18 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
         pass
 
 
-def apply_runtime_confs(spark: SparkSession) -> None:
-    """Apply required runtime confs to an externally-created session."""
+def apply_runtime_confs(spark: SparkSession, force: bool = False) -> None:
+    """Apply required runtime confs to an externally-created session.
+
+    Idempotent per session OBJECT (attribute-marked): this runs on every
+    ``load_table`` call, and each ``conf.set`` is a Py4J round trip — at
+    9 confs that is a measurable per-query tax for sub-100 ms operators.
+    Nothing in this engine unsets a pinned conf mid-session; a pipeline
+    that deliberately flips one (``scale_probes.scoped_confs`` restores
+    what it scopes) can pass ``force=True`` to re-pin."""
+    if not force and getattr(spark, "_nm_confs_applied", False):
+        ensure_package_on_executors(spark)
+        return
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
@@ -197,6 +207,7 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             # Conf not settable at runtime in this build — ignore; the
             # build-time path in get_spark() covers our own sessions.
             pass
+    spark._nm_confs_applied = True
     ensure_package_on_executors(spark)
 
 
