@@ -166,3 +166,23 @@ def test_index_merge_equals_full_rerun_delta(spark):
         .collect()
     )
     assert merged == full_delta and len(merged) > 0
+
+
+def test_staged_plan_shapes(spark):
+    """The staged candidates escape the registry-wide plan sweeps until
+    they register (r11) — pin their scale shapes here: no cartesian
+    product anywhere, and the merge's candidate join keys on the band
+    bucket (an equi-join, broadcast or shuffled — never nested-loop)."""
+    from storm_netmonitor_spark.operators.extensions6 import (
+        multimodal_joined_dedup,
+        text_minhash_index_merge,
+    )
+    from tests.test_plans import plan
+
+    merge_plan = plan(text_minhash_index_merge(spark, SF), mode="simple")
+    assert "CartesianProduct" not in merge_plan
+    assert "BroadcastNestedLoopJoin" not in merge_plan
+
+    joined_plan = plan(multimodal_joined_dedup(spark, SF), mode="simple")
+    assert "CartesianProduct" not in joined_plan
+    assert "BroadcastNestedLoopJoin" not in joined_plan
