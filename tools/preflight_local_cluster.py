@@ -21,6 +21,9 @@ Usage:
         # stop a stateful aggregation mid-stream, restart from the SAME
         # checkpoint (state reloads into executor-side RocksDB stores),
         # assert the final totals equal the batch aggregation
+    python tools/preflight_local_cluster.py --staged [SF_DIR]
+        # the UNREGISTERED SURVEY 2.W round-11 candidates against their
+        # oracles under real executors — the pre-registration gate
     python tools/preflight_local_cluster.py --chaos [SF_DIR]
         # executor-LOSS drill (VERDICT r9 #4): SIGKILL a real executor
         # JVM mid-query and assert each recovery class behaves as
@@ -60,6 +63,9 @@ if RECOVERY:
 CHAOS = "--chaos" in _args
 if CHAOS:
     _args.remove("--chaos")
+STAGED = "--staged" in _args
+if STAGED:
+    _args.remove("--staged")
 WINDOW = None
 if len(_args) >= 2 and _args[0].isdigit() and _args[1].isdigit():
     WINDOW = (int(_args[0]), int(_args[1]))
@@ -453,7 +459,23 @@ if CHAOS:
     sys.exit(run_chaos())
 
 qd, od = m.queries(), m.oracle_sql()
-if FULL:
+if STAGED:
+    # The UNREGISTERED §2.W round-11 candidates: the registration gate
+    # requires each to pass under real executor JVMs BEFORE the
+    # registering commit — this mode is that gate, runnable today.
+    from storm_netmonitor_spark.operators import extensions6 as e6
+
+    qd = {
+        "multimodal_joined_dedup": e6.multimodal_joined_dedup,
+        "stream_ann_serve": e6.stream_ann_serve,
+        "text_minhash_index_merge": e6.text_minhash_index_merge,
+    }
+    od = {
+        "multimodal_joined_dedup": e6.multimodal_joined_dedup_oracle(),
+        "stream_ann_serve": e6.stream_ann_serve_oracle(),
+        "text_minhash_index_merge": e6.text_minhash_index_merge_oracle(),
+    }
+if FULL or STAGED:
     RUN = list(qd)
 elif WINDOW is not None:
     RUN = list(qd)[WINDOW[0] : WINDOW[1]]
