@@ -43,6 +43,9 @@ Vectors (input: ``vec_id, embedding[, label]`` frames):
 - ``knn_cosine`` — exact top-k by decimal-stable cosine
 - ``near_dup_cosine_pairs`` — blocked cosine near-dup pairs (sim ≥ 0.8)
 - ``semantic_dedup_summary`` — SemDeDup k-means-blocked duplicate counts
+- ``semantic_dup_pairs`` — SemDeDup pair-level edges (cos ≥ tau within
+  cluster; the joined-modality dedup's vec edge source)
+- ``semdedup_assignment`` — the clustering stage alone
   (signature: ``(spark, emb, ...)`` — it trains the cluster model)
 - ``hamming_topk`` — binary-quantization (sign-signature popcount) top-k
   with exact decimal-cosine re-rank
@@ -65,7 +68,12 @@ from __future__ import annotations
 
 from .functions.stable import dec_scaled, dec_scaled_sql, dratio, dratio_sql
 from .operators.aggregations import approx_distinct_estimates, weighted_median_over
-from .operators.corpus import connected_components, semantic_dedup_summary
+from .operators.corpus import (
+    connected_components,
+    semantic_dedup_summary,
+    semantic_dup_pairs,
+    semdedup_assignment,
+)
 from .operators.extras import approx_quantile_estimates
 from .operators.surface import hll_sketch_estimates
 from .streaming.windows import stream_distinct_estimates
@@ -147,6 +155,8 @@ __all__ = [
     "rolling_median_over",
     "scoped_confs",
     "semantic_dedup_summary",
+    "semantic_dup_pairs",
+    "semdedup_assignment",
     "step_changepoint_over",
     "stream_distinct_estimates",
     "triangle_count_over",
