@@ -209,6 +209,39 @@ def disk_artifact_frame(
     return spark.read.parquet(path)
 
 
+def prune_artifacts(max_age_days: float = 14.0) -> int:
+    """Drop artifact-store entries older than ``max_age_days`` (mtime of
+    the json file / published directory). The store is content-keyed, so
+    entries for regenerated inputs are never read again — without
+    pruning they accumulate forever on a long-lived host. Returns the
+    number of entries removed. ``.tmp.<pid>`` staging leftovers from
+    crashed builders are removed on a 1-hour age threshold (never
+    immediately — a CONCURRENT builder's live staging dir must survive
+    its own publish window)."""
+    import shutil
+    import time
+
+    root = artifact_root()
+    now = time.time()
+    cutoff = now - max_age_days * 86400.0
+    tmp_cutoff = now - 3600.0
+    removed = 0
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        try:
+            limit = tmp_cutoff if ".tmp." in name else cutoff
+            if os.path.getmtime(path) >= limit:
+                continue
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
+            removed += 1
+        except OSError:
+            pass  # concurrently pruned or being published — skip
+    return removed
+
+
 def disk_artifact_dir(
     name: str,
     version: str,

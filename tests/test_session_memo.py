@@ -152,3 +152,31 @@ def test_disk_artifact_dir_publishes_atomically(tmp_path, monkeypatch):
     # no stray staging dirs left behind
     leftovers = [x for x in os.listdir(os.path.dirname(p2)) if ".tmp." in x]
     assert leftovers == []
+
+
+@pytest.mark.fast
+def test_prune_artifacts_age_thresholds(tmp_path, monkeypatch):
+    """Old entries prune; fresh entries and RECENT .tmp stagings (a
+    concurrent builder's live dir) survive; stale .tmp leftovers go."""
+    import time
+
+    from storm_netmonitor_spark.io import artifact_root, prune_artifacts
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    root = artifact_root()
+    old = time.time() - 30 * 86400
+    recent = time.time()
+
+    _write(root, "m-v1-aaaa.json")          # old json → pruned
+    os.utime(os.path.join(root, "m-v1-aaaa.json"), (old, old))
+    _write(root, "m-v1-bbbb.json")          # fresh json → kept
+    os.makedirs(os.path.join(root, "g-v1-cccc"))  # old dir → pruned
+    os.utime(os.path.join(root, "g-v1-cccc"), (old, old))
+    os.makedirs(os.path.join(root, "g-v1-dddd.tmp.123"))  # stale tmp → pruned
+    os.utime(os.path.join(root, "g-v1-dddd.tmp.123"), (old, old))
+    os.makedirs(os.path.join(root, "g-v1-eeee.tmp.456"))  # live tmp → kept
+    os.utime(os.path.join(root, "g-v1-eeee.tmp.456"), (recent, recent))
+
+    assert prune_artifacts(max_age_days=14) == 3
+    left = sorted(os.listdir(root))
+    assert left == ["g-v1-eeee.tmp.456", "m-v1-bbbb.json"]
