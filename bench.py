@@ -188,8 +188,14 @@ def main() -> None:
     # (reduced-frame WindowExec, streaming-AQE notices — see session.py)
     quiet_expected_warnings(spark)
 
-    from storm_netmonitor_spark.io import _SESSION_MEMO
+    from storm_netmonitor_spark.io import _SESSION_MEMO, artifact_root
 
+    # method honesty (r10): cold_seconds depend on whether the trained-
+    # artifact store is populated — a fresh host re-trains, a warm one
+    # reads. Record the store state so cross-round cold comparisons are
+    # interpretable.
+    art_root = artifact_root()
+    art_entries_at_start = len(os.listdir(art_root))
     memo_at_start = len(_SESSION_MEMO)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -248,6 +254,8 @@ def main() -> None:
             "sample_stat": "median",
             "session_memo_entries_at_start": memo_at_start,
             "session_memo_entries_at_end": len(_SESSION_MEMO),
+            "artifact_store_entries_at_start": art_entries_at_start,
+            "artifact_store_entries_at_end": len(os.listdir(art_root)),
         },
         cold_seconds=cold,
     )
