@@ -349,6 +349,49 @@ def test_semantic_dedup_planted_duplicate(spark):
     assert sum(n for _, n, _ in out1) == 41
 
 
+def test_semantic_dup_pairs_consistent_with_census(spark):
+    """The pair-level kernel (r10, the joined-modality dedup's vec edge
+    source) must agree EXACTLY with the census op on the real corpus:
+    per cluster, n_dups == |distinct higher vec_ids appearing in pairs|,
+    pairs are ordered (a<b), and the planted-pair shape from the census
+    test reproduces at pair granularity."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators.corpus import (
+        semantic_dedup_summary,
+        semantic_dup_pairs,
+        semdedup_assignment,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    import os
+
+    key = os.path.abspath(SF_CORRECT)
+    census = {
+        r["cluster"]: r["n_dups"]
+        for r in semantic_dedup_summary(spark, emb, cache_key=key).collect()
+    }
+    pairs = semantic_dup_pairs(spark, emb, cache_key=key)
+    rows = pairs.collect()
+    assert all(r["a_id"] < r["b_id"] for r in rows)
+    assign = {
+        r["vec_id"]: r["k"]
+        for r in semdedup_assignment(spark, emb, cache_key=key)
+        .select("vec_id", "k")
+        .collect()
+    }
+    per_cluster: dict = {}
+    for r in rows:
+        assert assign[r["a_id"]] == assign[r["b_id"]]  # within-cluster only
+        per_cluster.setdefault(assign[r["b_id"]], set()).add(r["b_id"])
+    got = {c: len(v) for c, v in per_cluster.items()}
+    want = {c: n for c, n in census.items() if n > 0}
+    assert got == want
+
+
 def test_connected_components_chain_transitivity(spark):
     """A~B and B~C must land in one component even though A and C share no
     edge; disconnected pairs stay separate; singletons label themselves."""
