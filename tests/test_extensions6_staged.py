@@ -186,3 +186,41 @@ def test_staged_plan_shapes(spark):
     joined_plan = plan(multimodal_joined_dedup(spark, SF), mode="simple")
     assert "CartesianProduct" not in joined_plan
     assert "BroadcastNestedLoopJoin" not in joined_plan
+
+
+def test_disk_artifact_frame_roundtrip_is_bit_exact(spark, tmp_path, monkeypatch):
+    """Doubles and longs must survive the parquet publish+read bit-exactly
+    — the property every artifact-served op's hash stability rests on."""
+    import math
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import disk_artifact_frame
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    d = str(tmp_path / "in")
+    _os.makedirs(d)
+    with open(_os.path.join(d, "x.parquet"), "wb") as fh:
+        fh.write(b"fingerprint-source")
+
+    vals = [
+        (1, 0.1), (2, 2.0 / 3.0), (3, 1e-300), (4, -0.0),
+        (5, math.pi), (6, float("inf")), (7, 6.02214076e23),
+    ]
+
+    def build():
+        return spark.createDataFrame(vals, "k long, v double")
+
+    out1 = disk_artifact_frame(spark, "rt", "v1", d, build)
+    got = sorted((r["k"], r["v"]) for r in out1.collect())
+    assert got == sorted(vals)  # Python float == is bitwise for finite reprs
+    # -0.0 sign must survive too (== can't see it)
+    neg = [v for k, v in got if k == 4][0]
+    assert math.copysign(1.0, neg) == -1.0
+    # second read serves the published copy (builder not re-run)
+    out2 = disk_artifact_frame(
+        spark, "rt", "v1", d,
+        lambda: (_ for _ in ()).throw(AssertionError("re-built")),
+    )
+    assert sorted((r["k"], r["v"]) for r in out2.collect()) == got
