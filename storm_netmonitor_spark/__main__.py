@@ -4,6 +4,7 @@ Usage:
     python -m storm_netmonitor_spark list [substring]
     python -m storm_netmonitor_spark run <query_id> [--sf-dir DIR] [--limit N]
     python -m storm_netmonitor_spark explain <query_id> [--sf-dir DIR]
+    python -m storm_netmonitor_spark prune-artifacts [--max-age-days N]
 
 The reference tool is operated from a shell; this is the equivalent
 surface here — every SURVEY §2 operator is invocable by id against any
@@ -30,7 +31,20 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             p.add_argument("--limit", type=int, default=20)
 
+    p_prune = sub.add_parser(
+        "prune-artifacts",
+        help="drop trained-artifact store entries older than --max-age-days",
+    )
+    p_prune.add_argument("--max-age-days", type=float, default=14.0)
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "prune-artifacts":
+        from .io import artifact_root, prune_artifacts
+
+        n = prune_artifacts(max_age_days=args.max_age_days)
+        print(f"pruned {n} entr{'y' if n == 1 else 'ies'} from {artifact_root()}")
+        return 0
 
     from . import registry
 
