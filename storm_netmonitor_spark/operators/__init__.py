@@ -34,6 +34,7 @@ _MODULES = (
     "scale_probes",
     "quality",
     "extensions5",
+    "extensions6",
 )
 
 

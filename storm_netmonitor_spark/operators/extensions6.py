@@ -1,15 +1,15 @@
-"""Round-11 candidate operators, PRE-STAGED (SURVEY §2.W; VERDICT r9 #7).
+"""Round-11 operators — the §2.W batch, REGISTERED (VERDICT r10 #1).
 
-NOTHING in this module is registered: the registry is frozen at 282 for
-round 10, so there is no ``@query`` decorator here — each candidate ships
-as a plain callable plus a module-level oracle builder, wired into
-``tests/test_extensions6_staged.py`` for the same vanilla-session +
-DuckDB-hash verification the driver will run once they ARE registered in
-round 11. Registration then is a 3-line diff per op.
+Staged unregistered through round 10 (plain callables + oracle builders,
+registry frozen at 282), these three passed BOTH halves of the
+registration gate all round — vanilla-session DuckDB hash parity in
+``tests/test_extensions6_staged.py`` and ``tools/preflight_local_cluster
+--staged`` under real executor JVMs — so round 11 registers them with
+the standard ``@query`` decorator (registry 282 → 285).
 
-Capability anchor: SURVEY §2.W (the three proposed ops compose EXISTING
-audited kernels — the IVF router, the banded/shingled pair CTEs, the
-SemDeDup clustering, connected components — into the serving/incremental/
+Capability anchor: SURVEY §2.W (the three ops compose EXISTING audited
+kernels — the IVF router, the banded/shingled pair CTEs, the SemDeDup
+clustering, connected components — into the serving/incremental/
 joined-modality shapes a production corpus pipeline runs).
 """
 
@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import disk_artifact_frame, load_table, scatter, session_memo
+from ..registry import query
 from .vectors import (
     _DOT_SUM_SQL,
     IVF_ITERS,
@@ -138,6 +139,7 @@ FROM reach GROUP BY node
 """
 
 
+@query("multimodal_joined_dedup", oracle=multimodal_joined_dedup_oracle())
 def multimodal_joined_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joined-modality dedup (SURVEY §2.W): a pair is duplicate iff its
     TEXT is near-duplicate (word-3-gram Jaccard ≥ {NGRAM_JACCARD_MIN},
@@ -319,6 +321,7 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_ann_serve", oracle=stream_ann_serve_oracle())
 def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN serving (SURVEY §2.W): a micro-batched stream of
     query vectors, each batch answered with its IVF top-{STREAM_ANN_TOPK}
@@ -527,6 +530,7 @@ def _banded(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
 
 
+@query("text_minhash_index_merge", oracle=text_minhash_index_merge_oracle())
 def text_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash index maintenance (SURVEY §2.W): MERGE the
     delta (doc_id ≥ split) into the STANDING banded index (doc_id <

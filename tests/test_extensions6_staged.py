@@ -1,9 +1,12 @@
-"""Round-11 candidate verification (SURVEY §2.W — staged, NOT registered).
+"""§2.W operator verification (staged in r10, REGISTERED in r11).
 
-Each §2.W candidate runs the exact same vanilla-shaped check the driver
-will apply once it is registered in round 11: Spark result vs its DuckDB
-oracle, column names + row count + canonical values. Keeping these green
-all round makes the r11 registration a 3-line diff with zero new risk.
+Each §2.W op runs the exact same vanilla-shaped check the driver applies:
+Spark result vs its DuckDB oracle, column names + row count + canonical
+values. These tests predate the registration (they were the first half
+of the registration gate) and stay as the module-local parity+property
+suite; the registry-wide sweeps now cover the two batch ops too, while
+``stream_ann_serve``'s per-batch shape is pinned here (it is excluded
+from the batch plan sweeps like every streaming-drain op).
 """
 
 from __future__ import annotations

@@ -113,8 +113,13 @@ def _is_streaming(fn) -> bool:
     """Streaming queries run their work inside the callable (drain to a
     memory sink) — the returned DataFrame is a memory-table read, so a
     batch explain() here is meaningless (and the drain is slow); their
-    plan is exercised by execution in test_streaming_live."""
-    return fn.__module__.startswith("storm_netmonitor_spark.streaming")
+    plan is exercised by execution in test_streaming_live. The name
+    prefix catches the streaming-shaped ops registered from operator
+    modules (``stream_ann_serve`` in extensions6 — its per-batch plan is
+    pinned by tests/test_extensions6_staged.py instead)."""
+    return fn.__module__.startswith(
+        "storm_netmonitor_spark.streaming"
+    ) or fn.__name__.startswith("stream_")
 
 
 @pytest.fixture(scope="session")
