@@ -99,6 +99,8 @@ EXTRA_REPORTED = [
     "agg_key_skew_entropy",  # skew detector: count + totals window + rollup
     # round-8 rework
     "text_ppl_buckets",  # band-census terciles (threshold search in the call)
+    # round-11 §2.W registration
+    "stream_ann_serve",  # streaming ANN serve drain (per-batch p50/p95 in detail)
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -122,6 +124,9 @@ RERUN_FULL = {
     # construction — timing only collect() would measure the row-local
     # CASE projection, not the quantile work
     "text_ppl_buckets",
+    # the serving drain (foreachBatch over the staged query stream) runs
+    # inside the call; the returned frame is a materialized local relation
+    "stream_ann_serve",
 }
 
 WARMUPS = 1
@@ -197,6 +202,45 @@ def main() -> None:
     art_root = artifact_root()
     art_entries_at_start = len(os.listdir(art_root))
     memo_at_start = len(_SESSION_MEMO)
+
+    # host-load proxy (VERDICT r10 #3): the driver's r10 line read +12.6%
+    # while an idle-host re-run of the same tree read +1.8% — a noisy run
+    # must be distinguishable from a real regression WITHOUT diffing git
+    # history. Two signals, both machine-readable in the detail record:
+    # loadavg brackets the run, and a FIXED-WORK calibration query (pure
+    # JVM codegen over an in-memory range — no IO, no shuffle, constant
+    # work regardless of sf) is timed with the same median-of-3 method at
+    # start AND end. A loaded host inflates the calibration wall by the
+    # same contention factor it inflates the suite, so
+    # suite/calibration-normalized comparisons cancel host load.
+    def _calibrate() -> float:
+        cal = spark.range(0, 20_000_000, 1, 8).selectExpr("sum(id * 3 + 7) AS s")
+        # 2 warmups: the first compiles the generated code, the second lets
+        # the JIT promote it — without them the START calibration measures
+        # its own warm-up and the start/end pair reads as phantom load
+        for _ in range(2):
+            cal.collect()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            cal.collect()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 4)
+
+    load_at_start = [round(v, 2) for v in os.getloadavg()]
+    # dedicated session warm-up (VERDICT r10 #4): the suite's FIRST op used
+    # to absorb all JVM/session warm-up into its cold_seconds row
+    # (agg_group_pricing read 9.2 s cold — mostly session start, not op
+    # cost). One throwaway pass through the parquet-scan + shuffle +
+    # codegen paths, recorded as its own method row, keeps every
+    # cold_seconds row an OP cost.
+    t0 = time.perf_counter()
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).groupBy(
+        "n_regionkey"
+    ).count().collect()
+    session_warmup = round(time.perf_counter() - t0, 4)
+    calibration_start = _calibrate()
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE + EXTRA_REPORTED:
@@ -219,6 +263,35 @@ def main() -> None:
             (fn(spark, sf_dir) if rerun else df).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+
+    # serving is a LATENCY claim (VERDICT r10 #6): per-micro-batch walls of
+    # the final stream_ann_serve drain, p50/p95 over the committed batches
+    from storm_netmonitor_spark.operators import extensions6 as _e6
+
+    batch_walls = sorted(_e6.LAST_SERVE_BATCH_WALLS)
+    serve_latency = (
+        {
+            "batches": len(batch_walls),
+            "p50_ms": round(statistics.median(batch_walls) * 1000, 1),
+            # nearest-rank p95 (ceil(0.95 n) - 1): monotone in rank, never
+            # below the median, equals max for n < 20
+            "p95_ms": round(
+                batch_walls[
+                    min(
+                        len(batch_walls) - 1,
+                        -(-95 * len(batch_walls) // 100) - 1,
+                    )
+                ]
+                * 1000,
+                1,
+            ),
+            "max_ms": round(batch_walls[-1] * 1000, 1),
+        }
+        if batch_walls
+        else None
+    )
+    calibration_end = _calibrate()
+    load_at_end = [round(v, 2) for v in os.getloadavg()]
 
     # STDOUT SIZE MATTERS (VERDICT r8 #1): the driver records a bounded
     # 2,000-char TAIL of stdout and parses the last JSON line it finds.
@@ -256,8 +329,17 @@ def main() -> None:
             "session_memo_entries_at_end": len(_SESSION_MEMO),
             "artifact_store_entries_at_start": art_entries_at_start,
             "artifact_store_entries_at_end": len(os.listdir(art_root)),
+            # host-load proxy (VERDICT r10 #3): fixed-work calibration
+            # medians bracket the suite — compare value/calibration across
+            # rounds to cancel host contention; loadavg is the raw signal
+            "session_warmup_seconds": session_warmup,
+            "calibration_seconds_start": calibration_start,
+            "calibration_seconds_end": calibration_end,
+            "loadavg_at_start": load_at_start,
+            "loadavg_at_end": load_at_end,
         },
         cold_seconds=cold,
+        stream_ann_serve_batch_latency=serve_latency,
     )
     line, was_trimmed = _fit_stdout_line(compact)
     if was_trimmed:

@@ -198,6 +198,12 @@ STREAM_ANN_TOPK = 10
 #: so per-batch serving (not one big batch) is what the oracle checks.
 _ANN_BATCH = 2
 
+#: Wall seconds of each ``serve_batch`` invocation of the MOST RECENT
+#: ``stream_ann_serve`` drain (reset at query start). Serving is a LATENCY
+#: claim, not a throughput claim (VERDICT r10 #6) — bench.py reads this to
+#: record per-micro-batch p50/p95 alongside the drain wall.
+LAST_SERVE_BATCH_WALLS: list[float] = []
+
 
 def _ivf_multiquery_ctes() -> str:
     """The IVF Lloyd chain from ``vectors._ivf_cand_ctes`` re-emitted
@@ -374,8 +380,12 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_dir = tempfile.mkdtemp(prefix="nm_ann_serve_out_")
+    LAST_SERVE_BATCH_WALLS.clear()
 
     def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         qrows = batch_df.select("vec_id", "embedding").collect()
         if not qrows:
             return
@@ -425,6 +435,7 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
+        LAST_SERVE_BATCH_WALLS.append(_time.perf_counter() - _t0)
 
     from ..streaming.core import ckpt_dir
 

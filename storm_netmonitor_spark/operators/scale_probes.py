@@ -28,14 +28,20 @@ from .scans import partitioned_events_path
 #: (256 MB skewed-partition threshold, 64 MB advisory size) are sized for
 #: cluster-scale shuffles; the testdata shuffle is a few MB, so the demo
 #: scales the knobs down by the same ~1000× the data is scaled down.
+#: DETECTION threshold stays at 64 KB (any partition past it is a split
+#: candidate); the SPLIT advisory size is 256 KB — the hot partition
+#: still splits at BOTH test scales (≥2 chunks needs advisory < the
+#: ~1.3 MB sf0.01 hot partition; skew=true pinned in
+#: tests/test_scale_probes.py) without drowning a local run in hundreds
+#: of 64 KB reduce tasks (measured r11 at sf0.1: 1.53 → 1.35 s median).
 #: These are SET-AND-RESTORED around the materialization inside the
 #: operator — a session running 50 other queries must not inherit a
-#: 64 KB advisory partition size.
+#: KB-scale advisory partition size.
 SKEW_DEMO_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
 }
 
 def _skew_key():
