@@ -131,17 +131,34 @@ def clear_session_memo(spark: SparkSession | None = None) -> int:
 
 #: Override the artifact root (e.g. a job-scoped scratch dir, or a shared
 #: filesystem path on a real cluster — see docs/SCALING.md on the staged-
-#: artifact shared-fs assumption). Default: a world-stable tmp subdir.
+#: artifact shared-fs assumption). Default: a uid-scoped tmp subdir.
 ARTIFACT_DIR_ENV = "NM_ARTIFACT_DIR"
 
 
 def artifact_root() -> str:
+    """The artifact store directory, created 0o700 on first use.
+
+    The DEFAULT root is scoped to the current uid (ADVICE r10: a fixed
+    shared ``$TMPDIR/nm_artifacts`` lets another user on a multi-user
+    host pre-create it and plant fingerprint-keyed artifacts that
+    registered queries would silently trust). Defense in depth: whether
+    defaulted or env-overridden, the directory must be OWNED by the
+    current uid — a pre-planted root owned by someone else is refused
+    loudly rather than served from."""
     import tempfile
 
     root = os.environ.get(ARTIFACT_DIR_ENV) or os.path.join(
-        tempfile.gettempdir(), "nm_artifacts"
+        tempfile.gettempdir(), f"nm_artifacts_{os.getuid()}"
     )
-    os.makedirs(root, exist_ok=True)
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"artifact root {root!r} is owned by uid {st.st_uid}, not the "
+            f"current uid {os.getuid()} — refusing to serve artifacts from "
+            "a directory another user controls (set "
+            f"${ARTIFACT_DIR_ENV} to a directory you own)"
+        )
     return root
 
 
@@ -157,6 +174,75 @@ def _artifact_path(name: str, version: str, sf_dir: str, extra: tuple) -> str:
     return os.path.join(artifact_root(), f"{name}-{version}-{digest}")
 
 
+def _touch_artifact(path: str) -> None:
+    """Refresh a served artifact's mtime so ``prune_artifacts``' age is a
+    LAST-USE age, not a publish age (ADVICE r10: a long-lived session
+    holding a lazy frame handle over an old artifact must not have it
+    pruned out from under the handle mid-session)."""
+    try:
+        os.utime(path)
+    except OSError:
+        pass  # read-only share / concurrently pruned — serving still works
+
+
+def _staging_path(path: str) -> str:
+    """Per-BUILD staging location: pid plus a uuid suffix, so two threads
+    of one process building the same artifact never share a staging dir
+    (ADVICE r10 — Spark's overwrite delete-then-write interleaved across
+    threads could otherwise publish a torn directory)."""
+    import uuid
+
+    return f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+
+
+class _staging_heartbeat:
+    """Touch the staging path every 5 minutes while a build runs, so
+    ``prune_artifacts``' 1-hour staging-staleness threshold can never
+    reap a LIVE long-running build mid-write (ADVICE r10: at 100 TB the
+    re-train IS the job and legitimately outlives any fixed age)."""
+
+    def __init__(self, staging: str, interval: float = 300.0):
+        self._staging = staging
+        self._interval = interval
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def beat() -> None:
+            while not self._stop.wait(self._interval):
+                try:
+                    os.utime(self._staging)
+                except OSError:
+                    continue  # not created yet, or already published
+
+        self._thread = threading.Thread(
+            target=beat, name="nm-artifact-heartbeat", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+
+
+def _publish_staging(staging: str, path: str) -> None:
+    """Atomic publish: rename staging onto the final path. A FAILED
+    rename is only swallowed when the destination was actually published
+    by a concurrent winner — an unrelated failure (permissions, ENOSPC
+    on metadata) re-raises instead of silently discarding the completed
+    build and erroring later on a missing path (ADVICE r10)."""
+    import shutil
+
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(path):
+            raise
+
+
 def disk_artifact_json(
     name: str, version: str, sf_dir: str, builder, extra: tuple = ()
 ):
@@ -170,9 +256,11 @@ def disk_artifact_json(
     path = _artifact_path(name, version, sf_dir, extra) + ".json"
     if os.path.exists(path):
         with open(path) as fh:
-            return json.load(fh)
+            value = json.load(fh)
+        _touch_artifact(path)
+        return value
     value = builder()
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = _staging_path(path)
     with open(tmp, "w") as fh:
         json.dump(value, fh)
     os.replace(tmp, path)
@@ -195,29 +283,30 @@ def disk_artifact_frame(
     ORDER is not preserved by the round-trip — callers must be
     order-insensitive downstream (joins/aggregations), which every
     staged-frame consumer here is."""
-    import shutil
-
     path = _artifact_path(name, version, sf_dir, extra)
     if not os.path.isdir(path):
-        staging = f"{path}.tmp.{os.getpid()}"
-        builder().write.mode("overwrite").parquet(staging)
-        try:
-            os.rename(staging, path)
-        except OSError:
-            # another process published first — serve theirs
-            shutil.rmtree(staging, ignore_errors=True)
+        staging = _staging_path(path)
+        with _staging_heartbeat(staging):
+            builder().write.mode("overwrite").parquet(staging)
+        _publish_staging(staging, path)
+    else:
+        _touch_artifact(path)
     return spark.read.parquet(path)
 
 
 def prune_artifacts(max_age_days: float = 14.0) -> int:
-    """Drop artifact-store entries older than ``max_age_days`` (mtime of
-    the json file / published directory). The store is content-keyed, so
-    entries for regenerated inputs are never read again — without
-    pruning they accumulate forever on a long-lived host. Returns the
-    number of entries removed. ``.tmp.<pid>`` staging leftovers from
-    crashed builders are removed on a 1-hour age threshold (never
-    immediately — a CONCURRENT builder's live staging dir must survive
-    its own publish window)."""
+    """Drop artifact-store entries whose LAST USE is older than
+    ``max_age_days`` (mtime of the json file / published directory —
+    refreshed on every cache hit by ``_touch_artifact``, so an artifact a
+    long-lived session still reads never ages out under it). The store
+    is content-keyed, so entries for regenerated inputs are never read
+    again — without pruning they accumulate forever on a long-lived
+    host. Returns the number of entries removed. ``.tmp.<pid>.<uuid>``
+    staging leftovers from crashed builders are removed on a 1-hour age
+    threshold — safe for arbitrarily long LIVE builds because every
+    builder heartbeats its staging path every 5 minutes
+    (``_staging_heartbeat``); only a builder that stopped beating for an
+    hour (i.e. crashed) is reaped."""
     import shutil
     import time
 
@@ -253,17 +342,15 @@ def disk_artifact_dir(
     pagerank graph: edges parquet + degrees parquet + a meta sidecar).
     ``builder(staging_path)`` populates a fresh staging directory; one
     atomic rename publishes it. Returns the published directory path."""
-    import shutil
-
     path = _artifact_path(name, version, sf_dir, extra)
     if not os.path.isdir(path):
-        staging = f"{path}.tmp.{os.getpid()}"
+        staging = _staging_path(path)
         os.makedirs(staging, exist_ok=True)
-        builder(staging)
-        try:
-            os.rename(staging, path)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+        with _staging_heartbeat(staging):
+            builder(staging)
+        _publish_staging(staging, path)
+    else:
+        _touch_artifact(path)
     return path
 
 

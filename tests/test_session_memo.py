@@ -180,3 +180,149 @@ def test_prune_artifacts_age_thresholds(tmp_path, monkeypatch):
     assert prune_artifacts(max_age_days=14) == 3
     left = sorted(os.listdir(root))
     assert left == ["g-v1-eeee.tmp.456", "m-v1-bbbb.json"]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 store hardening (VERDICT r10 #5 + ADVICE r10 items)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.fast
+def test_artifact_rebuilds_on_mtime_only_mutation(tmp_path, monkeypatch):
+    """VERDICT r10 #5 — the invalidation path, proven end-to-end: mutate
+    an input file WITHOUT changing its size (content regenerated, same
+    byte length) and the artifact MUST rebuild, because the fingerprint
+    covers (name, size, mtime_ns) of every input parquet. A stale read
+    here would silently serve a model trained on the old table."""
+    from storm_netmonitor_spark.io import disk_artifact_json
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(d, "documents.parquet", b"same-size-1")
+    calls = []
+    build = lambda: calls.append(1) or len(calls)
+
+    assert disk_artifact_json("m", "v1", d, build) == 1
+    assert disk_artifact_json("m", "v1", d, build) == 1  # warm read
+    # regenerate: SAME SIZE, different mtime (the weakest visible change)
+    _write(d, "documents.parquet", b"same-size-2")
+    f = os.path.join(d, "documents.parquet")
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert disk_artifact_json("m", "v1", d, build) == 2  # REBUILT
+
+
+@pytest.mark.fast
+def test_artifact_read_refreshes_mtime_against_pruning(tmp_path, monkeypatch):
+    """ADVICE r10: prune age is LAST-USE age — an artifact a session just
+    read must survive a prune pass even if it was published long ago."""
+    import time
+
+    from storm_netmonitor_spark.io import (
+        artifact_root,
+        disk_artifact_json,
+        prune_artifacts,
+    )
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(d, "events.parquet", b"v1")
+    disk_artifact_json("m", "v1", d, lambda: {"k": 1})
+    root = artifact_root()
+    (entry,) = os.listdir(root)
+    old = time.time() - 30 * 86400
+    os.utime(os.path.join(root, entry), (old, old))
+    # the read refreshes mtime, so the subsequent prune keeps it
+    assert disk_artifact_json("m", "v1", d, lambda: {"k": 2}) == {"k": 1}
+    assert prune_artifacts(max_age_days=14) == 0
+    assert os.listdir(root) == [entry]
+
+
+@pytest.mark.fast
+def test_artifact_root_refuses_foreign_owner(tmp_path, monkeypatch):
+    """ADVICE r10: a pre-planted root owned by another uid is refused
+    loudly instead of silently served from."""
+    from storm_netmonitor_spark import io as nmio
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    nmio.artifact_root()  # create, owned by us: fine
+    real_getuid = os.getuid
+    monkeypatch.setattr(nmio.os, "getuid", lambda: real_getuid() + 1)
+    with pytest.raises(RuntimeError, match="owned by uid"):
+        nmio.artifact_root()
+
+
+@pytest.mark.fast
+def test_default_artifact_root_is_uid_scoped_and_private(monkeypatch):
+    import stat as stat_mod
+    import tempfile
+
+    from storm_netmonitor_spark.io import artifact_root
+
+    monkeypatch.delenv("NM_ARTIFACT_DIR", raising=False)
+    root = artifact_root()
+    assert root == os.path.join(
+        tempfile.gettempdir(), f"nm_artifacts_{os.getuid()}"
+    )
+    if not os.environ.get("NM_ARTIFACT_ROOT_PREEXISTING"):
+        mode = stat_mod.S_IMODE(os.stat(root).st_mode)
+        # created 0o700 on first use; a pre-existing looser dir still
+        # passes the ownership check, which is the load-bearing guard
+        assert mode & 0o077 == 0 or os.stat(root).st_uid == os.getuid()
+
+
+@pytest.mark.fast
+def test_staging_paths_are_unique_per_build(tmp_path, monkeypatch):
+    """ADVICE r10: two threads of one process must never share a staging
+    dir — pid alone collides, pid+uuid cannot."""
+    from storm_netmonitor_spark.io import _staging_path
+
+    a = _staging_path(str(tmp_path / "art"))
+    b = _staging_path(str(tmp_path / "art"))
+    assert a != b and ".tmp." in a and str(os.getpid()) in a
+
+
+@pytest.mark.fast
+def test_publish_staging_reraises_non_race_failures(tmp_path):
+    """ADVICE r10: a rename failing for a REAL reason (destination is a
+    file, permissions, ENOSPC) must re-raise, not be mistaken for a lost
+    publish race; a genuine lost race (destination dir exists) is
+    swallowed and the loser's staging removed."""
+    from storm_netmonitor_spark.io import _publish_staging
+
+    # real failure: destination exists as a FILE → re-raise
+    staging = str(tmp_path / "a.tmp.1.x")
+    os.makedirs(staging)
+    dest_file = str(tmp_path / "a")
+    _write(str(tmp_path), "a", b"not-a-dir")
+    with pytest.raises(OSError):
+        _publish_staging(staging, dest_file)
+    # lost race: destination DIR exists → swallowed, staging gone
+    staging2 = str(tmp_path / "b.tmp.1.y")
+    os.makedirs(staging2)
+    dest_dir = str(tmp_path / "b")
+    os.makedirs(dest_dir)
+    _publish_staging(staging2, dest_dir)
+    assert not os.path.exists(staging2) and os.path.isdir(dest_dir)
+
+
+@pytest.mark.fast
+def test_staging_heartbeat_keeps_live_builds_fresh(tmp_path):
+    """ADVICE r10: a long-running build's staging dir must not cross
+    prune_artifacts' 1-hour staleness threshold while the builder is
+    alive — the heartbeat refreshes its mtime periodically."""
+    import time
+
+    from storm_netmonitor_spark.io import _staging_heartbeat
+
+    staging = str(tmp_path / "art.tmp.1.z")
+    os.makedirs(staging)
+    old = time.time() - 7200
+    os.utime(staging, (old, old))
+    with _staging_heartbeat(staging, interval=0.05):
+        deadline = time.time() + 5.0
+        while os.path.getmtime(staging) < old + 3600 and time.time() < deadline:
+            time.sleep(0.05)
+    assert os.path.getmtime(staging) > old + 3600
