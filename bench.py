@@ -213,19 +213,39 @@ def main() -> None:
     # start AND end. A loaded host inflates the calibration wall by the
     # same contention factor it inflates the suite, so
     # suite/calibration-normalized comparisons cancel host load.
-    def _calibrate() -> float:
+    def _calibrate() -> dict:
+        """Fixed-work walls under the CURRENT host load: a Spark codegen
+        query (multi-core, measures what contention does to the suite)
+        and a pure-Python loop (single-core, JIT-free after its own
+        warm-up — the cleaner cross-round constant). Both warmed before
+        timing; cross-round comparisons should prefer the END record
+        (the suite's thousands of jobs deepen shared-JVM JIT state in a
+        way the start record cannot reproduce — measured: the same query
+        reads ~0.07 s at suite start and ~0.03 s at suite end on an
+        idle host)."""
         cal = spark.range(0, 20_000_000, 1, 8).selectExpr("sum(id * 3 + 7) AS s")
-        # 2 warmups: the first compiles the generated code, the second lets
-        # the JIT promote it — without them the START calibration measures
-        # its own warm-up and the start/end pair reads as phantom load
-        for _ in range(2):
+        for _ in range(3):
             cal.collect()
-        samples = []
+        spark_samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             cal.collect()
-            samples.append(time.perf_counter() - t0)
-        return round(statistics.median(samples), 4)
+            spark_samples.append(time.perf_counter() - t0)
+
+        def pyloop() -> float:
+            t0 = time.perf_counter()
+            s = 0
+            for i in range(2_000_000):
+                s += i * i
+            return time.perf_counter() - t0
+
+        for _ in range(3):
+            pyloop()
+        py_samples = [pyloop() for _ in range(5)]
+        return {
+            "spark": round(statistics.median(spark_samples), 4),
+            "python": round(statistics.median(py_samples), 4),
+        }
 
     load_at_start = [round(v, 2) for v in os.getloadavg()]
     # dedicated session warm-up (VERDICT r10 #4): the suite's FIRST op used
@@ -333,8 +353,8 @@ def main() -> None:
             # medians bracket the suite — compare value/calibration across
             # rounds to cancel host contention; loadavg is the raw signal
             "session_warmup_seconds": session_warmup,
-            "calibration_seconds_start": calibration_start,
-            "calibration_seconds_end": calibration_end,
+            "calibration_start": calibration_start,
+            "calibration_end": calibration_end,
             "loadavg_at_start": load_at_start,
             "loadavg_at_end": load_at_end,
         },

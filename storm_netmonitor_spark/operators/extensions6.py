@@ -317,12 +317,16 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return corpus.mapInPandas(route_iter, "vec_id long, k int")
 
+    # a serving session pins the routing table in executor memory: every
+    # micro-batch joins against it, so the artifact parquet is read once
+    # per process, not once per batch (the cached-index discipline of the
+    # pagerank edge frames)
     return session_memo(
         spark,
         ("ivf_cells", os.path.abspath(sf_dir)),
         lambda: disk_artifact_frame(
             spark, "ivf_cells", "v1", sf_dir, build, extra=(IVF_K, IVF_ITERS)
-        ),
+        ).cache(),
         sf_dir=sf_dir,
     )
 
