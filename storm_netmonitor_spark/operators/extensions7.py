@@ -1,0 +1,529 @@
+"""Round-12 candidate operators, PRE-STAGED (SURVEY §2.X; the r10→r11
+staging discipline applied again).
+
+NOTHING in this module is registered: the registry closed round 11 at
+285, so there is no ``@query`` decorator here — each candidate ships as
+a plain callable plus a module-level oracle builder, wired into
+``tests/test_extensions7_staged.py`` for the same vanilla-session +
+DuckDB-hash verification the driver will run once they ARE registered in
+round 12. Registration then is a 3-line diff per op, exactly like the
+§2.W batch this round.
+
+Capability anchor: SURVEY §2.X — the INDEX LIFECYCLE triple. Round 11
+completed serve (``stream_ann_serve``) and one-shot merge
+(``text_minhash_index_merge``); a production index also needs:
+
+- ``vec_ivf_index_insert`` — route NEW vectors into the existing trained
+  IVF index without re-training the quantizer (the insert path every
+  vector database runs between re-trains);
+- ``vec_index_drift`` — per-cell census drift between the index's
+  training corpus and the newly-inserted population (the monitoring
+  signal that TRIGGERS a re-train);
+- ``stream_minhash_index_merge`` — the streaming twin of the r11 batch
+  merge: micro-batched doc deltas folded into the standing banded index,
+  newly-discovered duplicate pairs emitted per batch, final pair set ≡
+  the batch merge (the ``stream_sketch_cms`` batch-equivalence
+  discipline).
+
+All three compose EXISTING audited kernels (the Lloyd trainer, the
+mapInPandas argmax router, the banded-MinHash index artifact, the exact
+shingle-Jaccard verifier) — new surface is lifecycle composition, not
+new numeric decision paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import dratio, dratio_sql, dround
+from ..io import (
+    disk_artifact_json,
+    load_table,
+    scatter,
+    session_memo,
+)
+from .vectors import IVF_ITERS, IVF_K, _lloyd_round
+
+#: The index's training corpus is vec_id ∈ [1, split); the INSERTED
+#: population is vec_id ≥ split — the same 4/5 split discipline as
+#: ``text_minhash_index_merge`` (both engines compute it in integer
+#: arithmetic from the corpus itself; no per-SF constant).
+_SPLIT_NUM = 4
+_SPLIT_DEN = 5
+
+#: Drift flag threshold: a cell is drifted when its share of the
+#: inserted population differs from its share of the training population
+#: by ≥ 1/200 (0.5 percentage points). The flag is decided in EXACT
+#: integer arithmetic on both engines (cross-multiplied counts), so
+#: there is no float boundary anywhere in the decision.
+_DRIFT_DEN = 200
+
+
+def _embed_split(spark: SparkSession, sf_dir: str) -> int:
+    e = load_table(spark, sf_dir, "embeddings")
+    max_id = e.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    return (int(max_id) + 1) * _SPLIT_NUM // _SPLIT_DEN
+
+
+def _base_corpus(spark: SparkSession, sf_dir: str, split: int) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") < split)
+    ).select("vec_id", "embedding")
+
+
+def _delta_corpus(spark: SparkSession, sf_dir: str, split: int) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= split
+    ).select("vec_id", "embedding")
+
+
+def base_trained_cents(
+    spark: SparkSession, sf_dir: str, split: int
+) -> list[list[float]]:
+    """The IVF quantizer trained on the BASE population only (vec_id <
+    split) — seeds vec_id 1..K, the exact ``ivf_index`` recipe on the
+    restricted corpus. Persisted in the cross-process artifact store: the
+    insert/drift path is what runs BETWEEN re-trains, so a fresh process
+    must read, never train."""
+
+    def train() -> list[list[float]]:
+        corpus = scatter(_base_corpus(spark, sf_dir, split), 8).cache()
+        try:
+            seeds = corpus.filter(F.col("vec_id").between(1, IVF_K)).orderBy(
+                "vec_id"
+            )
+            cents = [
+                [float(x) for x in r["embedding"]] for r in seeds.collect()
+            ]
+            for _ in range(IVF_ITERS):
+                cents = _lloyd_round(spark, corpus, cents)
+            return cents
+        finally:
+            corpus.unpersist()
+
+    return session_memo(
+        spark,
+        ("ivf_base_cents", os.path.abspath(sf_dir), split),
+        lambda: disk_artifact_json(
+            "ivf_base_cents",
+            "v1",
+            sf_dir,
+            train,
+            extra=(IVF_K, IVF_ITERS, split),
+        ),
+        sf_dir=sf_dir,
+    )
+
+
+def _route(corpus: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, cid) — argmax-dot routing of ``corpus`` against a fixed
+    centroid model, one Arrow pass, zero shuffles (the ``_ivf_cells``
+    kernel shape). Ties break to the smallest cid (``np.argmax`` takes
+    the first maximum), matching the oracle's ``ROW_NUMBER … ORDER BY
+    dot DESC, cid``."""
+    import numpy as np
+
+    cmat_rows = [[float(x) for x in c] for c in cents]
+
+    def route_iter(batches):
+        import pandas as pd
+
+        cm = np.array(cmat_rows, dtype=np.float64).T
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cid": np.argmax(m @ cm, axis=1).astype("int32"),
+                }
+            )
+
+    return corpus.mapInPandas(route_iter, "vec_id long, cid int")
+
+
+# ---------------------------------------------------------------------------
+# oracle chain: base-trained Lloyd + routing, shared by insert and drift
+# ---------------------------------------------------------------------------
+
+
+def _base_lloyd_ctes() -> str:
+    """The ``_ivf_cand_ctes`` Lloyd chain re-emitted with a ``b`` prefix
+    and the corpus restricted to the BASE split — same seeds, same
+    rounds, same normalization, same tie-breaks. Defines ``bsplit``
+    (the integer split point), ``be`` (pos-exploded base), ``de``
+    (pos-exploded delta), the trained ``bc{N}`` centroids, and the
+    routings ``broute``/``droute`` of base/delta against the FINAL
+    centroids."""
+    head = f"""bsplit AS MATERIALIZED (
+  SELECT (MAX(vec_id) + 1) * {_SPLIT_NUM} // {_SPLIT_DEN} AS v
+  FROM embeddings
+), be AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+  WHERE vec_id >= 1 AND vec_id < (SELECT v FROM bsplit)
+), de AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id >= (SELECT v FROM bsplit)
+), bc0 AS MATERIALIZED (
+  SELECT vec_id - 1 AS cid, pos, x AS cx FROM be
+  WHERE vec_id BETWEEN 1 AND {IVF_K}
+)"""
+    rounds = []
+    for i in range(IVF_ITERS):
+        rounds.append(f""", ba{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.dot DESC, t.cid) AS rn
+    FROM (SELECT be.vec_id, c.cid, SUM(be.x * c.cx) AS dot
+          FROM be JOIN bc{i} c USING (pos) GROUP BY 1, 2) t
+  ) WHERE rn = 1
+), bm{i} AS MATERIALIZED (
+  SELECT a.cid, be.pos, SUM(be.x) / COUNT(*) AS mx
+  FROM be JOIN ba{i} a USING (vec_id) GROUP BY 1, 2
+), bn{i} AS MATERIALIZED (
+  SELECT cid, sqrt(SUM(mx * mx)) AS nrm FROM bm{i} GROUP BY 1
+), bc{i + 1} AS MATERIALIZED (
+  SELECT c.cid, c.pos,
+         COALESCE(m.mx / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
+                  c.cx) AS cx
+  FROM bc{i} c
+  LEFT JOIN bm{i} m ON m.cid = c.cid AND m.pos = c.pos
+  LEFT JOIN bn{i} n ON n.cid = c.cid
+)"""
+        )
+    n_fin = IVF_ITERS
+    tail = f""", broute AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.dot DESC, t.cid) AS rn
+    FROM (SELECT be.vec_id, c.cid, SUM(be.x * c.cx) AS dot
+          FROM be JOIN bc{n_fin} c USING (pos) GROUP BY 1, 2) t
+  ) WHERE rn = 1
+), droute AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.dot DESC, t.cid) AS rn
+    FROM (SELECT de.vec_id, c.cid, SUM(de.x * c.cx) AS dot
+          FROM de JOIN bc{n_fin} c USING (pos) GROUP BY 1, 2) t
+  ) WHERE rn = 1
+)"""
+    return head + "".join(rounds) + tail
+
+
+def vec_ivf_index_insert_oracle() -> str:
+    return f"""
+WITH {_base_lloyd_ctes()}
+SELECT vec_id, CAST(cid AS INTEGER) AS cid
+FROM droute
+"""
+
+
+def vec_ivf_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index insert (SURVEY §2.X): route the DELTA
+    population (vec_id ≥ split) into the index trained on the BASE
+    population — the quantizer is NOT re-trained, exactly what a vector
+    store does between scheduled re-trains. Returns the delta
+    assignments ``(vec_id, cid)``.
+
+    Shape at scale: the K×dim centroid model reads from the artifact
+    store (a fresh inserting process trains nothing), routing is one
+    mapInPandas argmax pass over the delta only — O(|delta|·K·dim)
+    row-local work, zero shuffles, and the emitted values are INTEGERS
+    (ids and cells), so no centroid float ever reaches the output: the
+    only float-dependent step is the argmax DECISION, the same
+    margin-audited class as ``vec_ann_ivf``'s cell assignment."""
+    split = _embed_split(spark, sf_dir)
+    cents = base_trained_cents(spark, sf_dir, split)
+    return _route(scatter(_delta_corpus(spark, sf_dir, split), 8), cents)
+
+
+def vec_index_drift_oracle() -> str:
+    share_b = dratio_sql("n_base * 1000000", "tot_b")
+    share_d = dratio_sql("n_delta * 1000000", "tot_d")
+    return f"""
+WITH {_base_lloyd_ctes()}, cb AS (
+  SELECT cid, COUNT(*) AS n_base FROM broute GROUP BY cid
+), cd AS (
+  SELECT cid, COUNT(*) AS n_delta FROM droute GROUP BY cid
+), cells AS (
+  SELECT r AS cid FROM range(0, {IVF_K}) t(r)
+), census AS (
+  SELECT cells.cid,
+         COALESCE(cb.n_base, 0) AS n_base,
+         COALESCE(cd.n_delta, 0) AS n_delta
+  FROM cells
+  LEFT JOIN cb ON cb.cid = cells.cid
+  LEFT JOIN cd ON cd.cid = cells.cid
+), tot AS (
+  SELECT SUM(n_base) AS tot_b, SUM(n_delta) AS tot_d FROM census
+)
+SELECT CAST(census.cid AS INTEGER) AS cid,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_delta AS BIGINT) AS n_delta,
+       {share_b} AS share_base,
+       {share_d} AS share_delta,
+       ABS(CAST(n_delta AS DECIMAL(38,0)) * tot_b
+           - CAST(n_base AS DECIMAL(38,0)) * tot_d) * {_DRIFT_DEN}
+         >= CAST(tot_b AS DECIMAL(38,0)) * tot_d AS drifted
+FROM census, tot
+"""
+
+
+def vec_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index population drift audit (SURVEY §2.X): per-cell census of the
+    index's TRAINING population vs the newly-INSERTED population, both
+    routed against the same base-trained centroids, with exact share
+    ratios and an integer-exact drift flag — the monitoring signal that
+    tells an operator the quantizer no longer matches the data and a
+    re-train is due.
+
+    Float discipline: shares are exact rationals rendered through
+    ``dratio`` (integer arithmetic, bit-identical in DuckDB); the
+    drifted flag is a cross-multiplied INTEGER comparison
+    |n_d·tot_b − n_b·tot_d|·{_DRIFT_DEN} ≥ tot_b·tot_d in DECIMAL(38,0)
+    — overflow-proof past 10^18-row populations and boundary-free by
+    construction. The only float decision anywhere is the routing
+    argmax, shared with ``vec_ivf_index_insert``."""
+    split = _embed_split(spark, sf_dir)
+    cents = base_trained_cents(spark, sf_dir, split)
+    base_r = _route(scatter(_base_corpus(spark, sf_dir, split), 8), cents)
+    delta_r = _route(scatter(_delta_corpus(spark, sf_dir, split), 8), cents)
+    cells = spark.range(0, IVF_K).select(F.col("id").cast("int").alias("cid"))
+    cb = base_r.groupBy("cid").agg(F.count("*").alias("n_base"))
+    cd = delta_r.groupBy("cid").agg(F.count("*").alias("n_delta"))
+    census = (
+        cells.join(cb, "cid", "left")
+        .join(cd, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+        )
+    )
+    # the totals frame is ONE row — the broadcast-scalar combine precedent
+    tot = census.agg(
+        F.sum("n_base").alias("tot_b"), F.sum("n_delta").alias("tot_d")
+    )
+    dec = "decimal(38,0)"
+    return census.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_base",
+        "n_delta",
+        dratio(F.col("n_base") * 1_000_000, F.col("tot_b")).alias(
+            "share_base"
+        ),
+        dratio(F.col("n_delta") * 1_000_000, F.col("tot_d")).alias(
+            "share_delta"
+        ),
+        (
+            F.abs(
+                F.col("n_delta").cast(dec) * F.col("tot_b").cast(dec)
+                - F.col("n_base").cast(dec) * F.col("tot_d").cast(dec)
+            )
+            * _DRIFT_DEN
+            >= F.col("tot_b").cast(dec) * F.col("tot_d").cast(dec)
+        ).alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_minhash_index_merge — the streaming twin of the r11 batch merge
+# ---------------------------------------------------------------------------
+
+#: Delta docs per micro-batch file — ≥2 committed batches, so per-batch
+#: incremental folding (not one big merge) is what the oracle checks.
+_STREAM_MERGE_BATCHES = 2
+
+#: Per-batch walls of the most recent drain (the serve-latency record
+#: discipline of ``stream_ann_serve``).
+LAST_MERGE_BATCH_WALLS: list[float] = []
+
+
+def stream_minhash_index_merge_oracle() -> str:
+    """The streaming merge folds the SAME delta into the SAME standing
+    index as the registered batch op, so the contract — and therefore
+    the full-recompute oracle — is shared verbatim (the
+    ``stream_sketch_cms`` batch-twin precedent: one semantics, two
+    execution modes)."""
+    from .extensions6 import text_minhash_index_merge_oracle
+
+    return text_minhash_index_merge_oracle()
+
+
+def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash index maintenance (SURVEY §2.X): the delta
+    corpus (doc_id ≥ split) arrives as a STREAM of micro-batches; each
+    batch's signatures band into the index, candidates are the batch's
+    bands joined against (standing index ∪ previously-folded batches ∪
+    the batch itself), survivors verify by exact shingle Jaccard, and
+    the batch's bands then append to the folded index — so maintenance
+    cost per batch is O(|batch|), never O(corpus), and every pair is
+    discovered exactly once (in the batch of its LARGER doc_id; batches
+    arrive in doc_id order).
+
+    The final emitted pair set must equal the registered batch merge —
+    ``text_minhash_index_merge``'s full-recompute oracle runs verbatim.
+    foreachBatch writes batch_id-keyed outputs (retry-idempotent), the
+    standing index reads from the same ``minhash_band_index`` artifact
+    the batch op maintains (one index, three consumers: batch merge,
+    streaming merge, and any future serve path)."""
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.core import ckpt_dir
+    from .extensions6 import _banded, _MERGE_SPLIT_DEN, _MERGE_SPLIT_NUM
+    from .text import _with_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    split = (int(max_id) + 1) * _MERGE_SPLIT_NUM // _MERGE_SPLIT_DEN
+
+    # standing index: THE SAME artifact the registered batch merge stages
+    base_docs = d.filter(F.col("doc_id") < split)
+    from ..io import disk_artifact_frame
+
+    standing = session_memo(
+        spark,
+        ("minhash_band_index", os.path.abspath(sf_dir), split),
+        lambda: disk_artifact_frame(
+            spark,
+            "minhash_band_index",
+            "v1",
+            sf_dir,
+            lambda: _banded(scatter(base_docs)),
+            extra=(split,),
+        ),
+        sf_dir=sf_dir,
+    )
+
+    # shingle table for exact verification, staged once per session (every
+    # batch verifies against it; only candidate rows are ever joined)
+    sh_tbl = session_memo(
+        spark,
+        ("merge_shingles", os.path.abspath(sf_dir)),
+        lambda: _with_shingles(scatter(d)).select("doc_id", "sh").cache(),
+        sf_dir=sf_dir,
+    )
+
+    # ---- stage the delta doc stream, doc_id-ordered micro-batch files ----
+    def build_stream(dir_: str) -> str:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        import pyarrow.compute as pc
+
+        dt = t.filter(pc.greater_equal(t.column("doc_id"), pa.scalar(split)))
+        dt = dt.sort_by("doc_id")
+        per = max(1, -(-dt.num_rows // _STREAM_MERGE_BATCHES))
+        for i in range(0, dt.num_rows, per):
+            f = os.path.join(dir_, f"d{i // per}.parquet")
+            pq.write_table(dt.slice(i, per), f)
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return dir_
+
+    src = session_memo(
+        spark,
+        ("merge_stream", os.path.abspath(sf_dir), split),
+        lambda: build_stream(tempfile.mkdtemp(prefix="nm_merge_d_")),
+        sf_dir=sf_dir,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="nm_merge_out_")
+    idx_dir = tempfile.mkdtemp(prefix="nm_merge_idx_")
+    LAST_MERGE_BATCH_WALLS.clear()
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.perf_counter()
+        if not batch_df.take(1):
+            return
+        batch_bands = _banded(batch_df).localCheckpoint()
+        folded = [standing, batch_bands]
+        prior = [
+            os.path.join(idx_dir, n)
+            for n in sorted(os.listdir(idx_dir))
+            if n.startswith("batch_id=")
+        ]
+        if prior:
+            folded.append(spark.read.parquet(*prior))
+        index = folded[0]
+        for fr in folded[1:]:
+            index = index.unionByName(fr)
+        a = batch_bands.alias("a")
+        b = index.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                    "doc_b"
+                ),
+            )
+            .distinct()
+        )
+        sh_a = sh_tbl.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+        )
+        sh_b = sh_tbl.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")
+        )
+        n_inter = F.size(F.array_intersect("sa", "sb"))
+        verified = (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                dround(
+                    n_inter
+                    / (F.size("sa") + F.size("sb") - n_inter).cast("double"),
+                    4,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.5)
+        )
+        verified.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        # fold the batch into the index ONLY after its pairs are out —
+        # a retry re-reads the same prior index state (idempotent)
+        batch_bands.write.mode("overwrite").parquet(
+            os.path.join(idx_dir, f"batch_id={batch_id}")
+        )
+        LAST_MERGE_BATCH_WALLS.append(_time.perf_counter() - t0)
+
+    q = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

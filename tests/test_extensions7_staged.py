@@ -1,0 +1,200 @@
+"""Round-12 candidate verification (SURVEY §2.X — staged, NOT registered).
+
+Each §2.X candidate runs the exact same vanilla-shaped check the driver
+will apply once it is registered in round 12: Spark result vs its DuckDB
+oracle, column names + row count + canonical values — plus the property
+tests that pin each op's decision discipline. Keeping these green all
+round makes the r12 registration a 3-line diff with zero new risk (the
+§2.W precedent, registered green this round).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.parity import canon_rows, run_oracle, run_spark
+
+SF = "/root/testdata/sf0.01"
+
+
+def _assert_staged_parity(fn, oracle_sql: str, spark, sf_dir: str = SF):
+    s_cols, s_rows = run_spark(fn, spark, sf_dir)
+    o_cols, o_rows = run_oracle(oracle_sql, sf_dir)
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows)
+    assert canon_rows(s_cols, s_rows) == canon_rows(o_cols, o_rows)
+
+
+def test_vec_ivf_index_insert_matches_oracle(spark):
+    from storm_netmonitor_spark.operators.extensions7 import (
+        vec_ivf_index_insert,
+        vec_ivf_index_insert_oracle,
+    )
+
+    _assert_staged_parity(
+        vec_ivf_index_insert, vec_ivf_index_insert_oracle(), spark
+    )
+
+
+def test_vec_index_drift_matches_oracle(spark):
+    from storm_netmonitor_spark.operators.extensions7 import (
+        vec_index_drift,
+        vec_index_drift_oracle,
+    )
+
+    _assert_staged_parity(vec_index_drift, vec_index_drift_oracle(), spark)
+
+
+def test_stream_minhash_index_merge_matches_oracle(spark):
+    from storm_netmonitor_spark.operators.extensions7 import (
+        stream_minhash_index_merge,
+        stream_minhash_index_merge_oracle,
+    )
+
+    _assert_staged_parity(
+        stream_minhash_index_merge,
+        stream_minhash_index_merge_oracle(),
+        spark,
+    )
+
+
+def test_insert_routing_margins_are_healthy(spark):
+    """The only float-dependent step in insert/drift is the argmax cell
+    choice. Audit every routed delta vector's margin: the winning dot
+    must beat the runner-up by far more than cross-engine summation
+    noise (~1e-13 absolute at dim=64), or the two engines could route a
+    vector differently."""
+    import numpy as np
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators.extensions7 import (
+        _embed_split,
+        base_trained_cents,
+    )
+
+    split = _embed_split(spark, SF)
+    cents = np.array(base_trained_cents(spark, SF, split), dtype=np.float64)
+    delta = (
+        load_table(spark, SF, "embeddings")
+        .filter(f"vec_id >= {split}")
+        .collect()
+    )
+    worst = float("inf")
+    for r in delta:
+        dots = cents @ np.array(r["embedding"], dtype=np.float64)
+        top2 = np.sort(dots)[-2:]
+        worst = min(worst, float(top2[1] - top2[0]))
+    assert worst > 1e-9, f"routing margin too thin: {worst}"
+
+
+def test_drift_flag_is_integer_exact(spark):
+    """Recompute every drifted flag from the integer census alone — the
+    flag must be a pure function of counts (no float anywhere), and the
+    census must conserve the populations."""
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators.extensions7 import (
+        _DRIFT_DEN,
+        _embed_split,
+        vec_index_drift,
+    )
+
+    rows = vec_index_drift(spark, SF).collect()
+    tot_b = sum(r["n_base"] for r in rows)
+    tot_d = sum(r["n_delta"] for r in rows)
+    split = _embed_split(spark, SF)
+    e = load_table(spark, SF, "embeddings")
+    assert tot_b == e.filter(f"vec_id >= 1 AND vec_id < {split}").count()
+    assert tot_d == e.filter(f"vec_id >= {split}").count()
+    flagged = 0
+    for r in rows:
+        expect = (
+            abs(r["n_delta"] * tot_b - r["n_base"] * tot_d) * _DRIFT_DEN
+            >= tot_b * tot_d
+        )
+        assert r["drifted"] == expect, r
+        flagged += expect
+    # the op is informative at test scale: mixed flags, not all-or-nothing
+    assert 0 < flagged < len(rows)
+
+
+def test_streaming_merge_equals_batch_merge(spark):
+    """Batch-equivalence, op vs op: the streaming fold must emit EXACTLY
+    the registered batch merge's pair set (same standing index artifact,
+    same delta, different execution mode)."""
+    from storm_netmonitor_spark.operators.extensions6 import (
+        text_minhash_index_merge,
+    )
+    from storm_netmonitor_spark.operators.extensions7 import (
+        stream_minhash_index_merge,
+    )
+
+    streamed = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in stream_minhash_index_merge(spark, SF).collect()
+    )
+    batch = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in text_minhash_index_merge(spark, SF).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_merge_commits_multiple_batches(spark):
+    """Per-batch incremental folding is the claim — the drain must have
+    committed ≥2 micro-batches, each with a recorded wall."""
+    from storm_netmonitor_spark.operators import extensions7 as e7
+
+    e7.stream_minhash_index_merge(spark, SF).collect()
+    assert len(e7.LAST_MERGE_BATCH_WALLS) >= 2
+
+
+def test_staged_plan_shapes(spark):
+    """No cartesian / nested-loop anywhere in the batch candidates (the
+    registry-wide guard, applied pre-registration); the drift op's only
+    BroadcastNestedLoopJoin is the deliberate 1-row totals combine."""
+    from storm_netmonitor_spark.operators.extensions7 import (
+        vec_index_drift,
+        vec_ivf_index_insert,
+    )
+    from tests.test_plans import plan
+
+    p = plan(vec_ivf_index_insert(spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan(vec_index_drift(spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    # the crossJoin(broadcast(tot)) 1-row scalar combine is the allowed
+    # exception (the tpch_q11 precedent); nothing else may plan one
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_base_cents_persist_in_artifact_store(spark, tmp_path, monkeypatch):
+    """A fresh inserting process must read the base-trained quantizer,
+    never re-train it: second build against a warm store returns without
+    invoking Lloyd (proven by clearing the session memo and counting
+    store entries)."""
+    import os
+
+    from storm_netmonitor_spark.io import _SESSION_MEMO
+    from storm_netmonitor_spark.operators.extensions7 import (
+        _embed_split,
+        base_trained_cents,
+    )
+
+    def drop_memo() -> None:
+        for k in [k for k in _SESSION_MEMO if "ivf_base_cents" in repr(k)]:
+            _SESSION_MEMO.pop(k)
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    drop_memo()  # earlier tests may have memoized against the real store
+    split = _embed_split(spark, SF)
+    c1 = base_trained_cents(spark, SF, split)
+    store = str(tmp_path / "store")
+    (entry,) = [n for n in os.listdir(store) if n.startswith("ivf_base_cents")]
+    ino = os.stat(os.path.join(store, entry)).st_ino
+    # drop the in-process memo: the next call must hit the DISK store
+    drop_memo()
+    c2 = base_trained_cents(spark, SF, split)
+    assert c1 == c2
+    assert os.stat(os.path.join(store, entry)).st_ino == ino  # no re-publish

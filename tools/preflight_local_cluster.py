@@ -460,20 +460,22 @@ if CHAOS:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The UNREGISTERED §2.W round-11 candidates: the registration gate
+    # The UNREGISTERED §2.X round-12 candidates: the registration gate
     # requires each to pass under real executor JVMs BEFORE the
     # registering commit — this mode is that gate, runnable today.
-    from storm_netmonitor_spark.operators import extensions6 as e6
+    # (The §2.W batch graduated to the registry in round 11 and is now
+    # covered by --full / the window modes.)
+    from storm_netmonitor_spark.operators import extensions7 as e7
 
     qd = {
-        "multimodal_joined_dedup": e6.multimodal_joined_dedup,
-        "stream_ann_serve": e6.stream_ann_serve,
-        "text_minhash_index_merge": e6.text_minhash_index_merge,
+        "vec_ivf_index_insert": e7.vec_ivf_index_insert,
+        "vec_index_drift": e7.vec_index_drift,
+        "stream_minhash_index_merge": e7.stream_minhash_index_merge,
     }
     od = {
-        "multimodal_joined_dedup": e6.multimodal_joined_dedup_oracle(),
-        "stream_ann_serve": e6.stream_ann_serve_oracle(),
-        "text_minhash_index_merge": e6.text_minhash_index_merge_oracle(),
+        "vec_ivf_index_insert": e7.vec_ivf_index_insert_oracle(),
+        "vec_index_drift": e7.vec_index_drift_oracle(),
+        "stream_minhash_index_merge": e7.stream_minhash_index_merge_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
