@@ -50,6 +50,17 @@ _AUDITED_COLLECT_SITES = {
         "stream_ann_serve": 2,
         "text_minhash_index_merge": 1,
     },
+    # §2.X staged batch: _embed_split is ONE scalar max (the split-point
+    # precedent of text_minhash_index_merge); base_trained_cents collects
+    # the K seed vectors (the ivf_index K×dim model precedent); the
+    # streaming merge collects its split scalar plus the final verified-
+    # pair frame to detach it from the temp sink before rmtree (the
+    # stream_ann_serve result-detach precedent — output-sized, ~100 rows)
+    "operators/extensions7.py": {
+        "_embed_split": 1,
+        "base_trained_cents": 1,
+        "stream_minhash_index_merge": 2,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,
