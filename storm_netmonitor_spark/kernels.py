@@ -62,6 +62,17 @@ Sketches / robust statistics:
 - ``pagerank_over`` — PageRank iterated to tolerance (fixed-point LONG
   contributions, broadcast-guarded edge pass, checkpointed lineage; the
   production facade of the fixed-iteration registry op)
+
+Index lifecycle (input: ``vec_id, embedding`` frames / ``doc_id, text``
+document frames):
+
+- ``route_to_centroids`` — argmax-dot cell routing against a fixed
+  centroid model (one Arrow pass, zero shuffles; the IVF insert path)
+- ``index_drift_over`` — per-cell census drift between two routed
+  populations with exact shares and an integer-exact drift flag
+- ``minhash_band_rows`` — (doc_id, band_idx, band_hash) LSH index rows
+  for a document frame (signature + banding, zero shuffles — the rows a
+  standing dedup index stores and a delta merge appends)
 """
 
 from __future__ import annotations
@@ -99,6 +110,8 @@ from .operators.events_analytics import (
 )
 from .operators.scale_probes import replicate_rows, scoped_confs
 from .operators.extensions3 import pagerank_over
+from .operators.extensions6 import _banded as minhash_band_rows
+from .operators.extensions7 import index_drift_over, route_to_centroids
 from .operators.extensions5 import (
     cms_counters,
     cms_point_estimates,
@@ -139,9 +152,11 @@ __all__ = [
     "hamming_topk",
     "hll_sketch_estimates",
     "holt_fold_over",
+    "index_drift_over",
     "interval_union_islands",
     "knn_cosine",
     "lttb_select",
+    "minhash_band_rows",
     "minhash_signatures",
     "mmr_diversify_over",
     "near_dup_cosine_pairs",
@@ -152,6 +167,7 @@ __all__ = [
     "ppl_tercile_buckets_over",
     "replicate_rows",
     "rolling_actives_over",
+    "route_to_centroids",
     "rolling_median_over",
     "scoped_confs",
     "semantic_dedup_summary",

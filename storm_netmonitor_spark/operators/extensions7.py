@@ -117,12 +117,15 @@ def base_trained_cents(
     )
 
 
-def _route(corpus: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """(vec_id, cid) — argmax-dot routing of ``corpus`` against a fixed
-    centroid model, one Arrow pass, zero shuffles (the ``_ivf_cells``
-    kernel shape). Ties break to the smallest cid (``np.argmax`` takes
-    the first maximum), matching the oracle's ``ROW_NUMBER … ORDER BY
-    dot DESC, cid``."""
+def route_to_centroids(
+    corpus: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """KERNEL — (vec_id, cid): argmax-dot routing of ``corpus`` (columns
+    ``vec_id, embedding``) against a fixed centroid model, one Arrow
+    pass, zero shuffles (the ``_ivf_cells`` kernel shape). Ties break to
+    the smallest cid (``np.argmax`` takes the first maximum), matching
+    the SQL twin's ``ROW_NUMBER … ORDER BY dot DESC, cid``. Library
+    export via ``storm_netmonitor_spark.kernels``."""
     import numpy as np
 
     cmat_rows = [[float(x) for x in c] for c in cents]
@@ -241,7 +244,9 @@ def vec_ivf_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin-audited class as ``vec_ann_ivf``'s cell assignment."""
     split = _embed_split(spark, sf_dir)
     cents = base_trained_cents(spark, sf_dir, split)
-    return _route(scatter(_delta_corpus(spark, sf_dir, split), 8), cents)
+    return route_to_centroids(
+        scatter(_delta_corpus(spark, sf_dir, split), 8), cents
+    )
 
 
 def vec_index_drift_oracle() -> str:
@@ -293,11 +298,35 @@ def vec_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax, shared with ``vec_ivf_index_insert``."""
     split = _embed_split(spark, sf_dir)
     cents = base_trained_cents(spark, sf_dir, split)
-    base_r = _route(scatter(_base_corpus(spark, sf_dir, split), 8), cents)
-    delta_r = _route(scatter(_delta_corpus(spark, sf_dir, split), 8), cents)
-    cells = spark.range(0, IVF_K).select(F.col("id").cast("int").alias("cid"))
-    cb = base_r.groupBy("cid").agg(F.count("*").alias("n_base"))
-    cd = delta_r.groupBy("cid").agg(F.count("*").alias("n_delta"))
+    base_r = route_to_centroids(
+        scatter(_base_corpus(spark, sf_dir, split), 8), cents
+    )
+    delta_r = route_to_centroids(
+        scatter(_delta_corpus(spark, sf_dir, split), 8), cents
+    )
+    return index_drift_over(base_r, delta_r, IVF_K)
+
+
+def index_drift_over(
+    base_routed: DataFrame,
+    delta_routed: DataFrame,
+    n_cells: int,
+    drift_den: int = _DRIFT_DEN,
+) -> DataFrame:
+    """KERNEL — per-cell census drift between two routed populations
+    (frames with a ``cid`` column, e.g. from :func:`route_to_centroids`):
+    counts, exact ``dratio`` share rationals, and the integer-exact
+    drifted flag |n_d·tot_b − n_b·tot_d|·drift_den ≥ tot_b·tot_d in
+    DECIMAL(38,0). Two tiny keyed groupBys plus a 1-row broadcast totals
+    combine — works unchanged at any population size because the frame
+    after the first agg is ``n_cells`` rows. Library export via
+    ``storm_netmonitor_spark.kernels``."""
+    spark = base_routed.sparkSession
+    cells = spark.range(0, n_cells).select(
+        F.col("id").cast("int").alias("cid")
+    )
+    cb = base_routed.groupBy("cid").agg(F.count("*").alias("n_base"))
+    cd = delta_routed.groupBy("cid").agg(F.count("*").alias("n_delta"))
     census = (
         cells.join(cb, "cid", "left")
         .join(cd, "cid", "left")
@@ -327,7 +356,7 @@ def vec_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_delta").cast(dec) * F.col("tot_b").cast(dec)
                 - F.col("n_base").cast(dec) * F.col("tot_d").cast(dec)
             )
-            * _DRIFT_DEN
+            * drift_den
             >= F.col("tot_b").cast(dec) * F.col("tot_d").cast(dec)
         ).alias("drifted"),
     )

@@ -198,3 +198,66 @@ def test_base_cents_persist_in_artifact_store(spark, tmp_path, monkeypatch):
     c2 = base_trained_cents(spark, SF, split)
     assert c1 == c2
     assert os.stat(os.path.join(store, entry)).st_ino == ino  # no re-publish
+
+
+def test_index_drift_kernel_boundary_exact_vs_fractions(spark):
+    """The drifted flag must implement |n_d/tot_d − n_b/tot_b| ≥ 1/200
+    EXACTLY — including censuses crafted to land PRECISELY on the
+    boundary, where any float rendering of the shares would be a coin
+    flip. Reference: Fraction arithmetic. Shares must equal the
+    half-away-rounded exact rational at 6 decimals."""
+    from fractions import Fraction
+
+    from storm_netmonitor_spark.operators.extensions7 import (
+        _DRIFT_DEN,
+        index_drift_over,
+    )
+
+    # (n_base per cell, n_delta per cell) — case 2 lands exactly ON the
+    # boundary for cell 0: 30/400 - 14/200 = 0.075 - 0.07 = 1/200
+    cases = [
+        ([10, 20, 30], [10, 20, 30]),       # identical shares: no drift
+        ([30, 170, 200], [14, 86, 100]),    # cell 0 exactly AT boundary
+        ([0, 5, 5], [5, 5, 0]),             # empty cells both sides
+        ([1, 0, 0], [0, 0, 1]),             # total concentration flip
+    ]
+    for n_base, n_delta in cases:
+        def routed(counts):
+            rows = [
+                (int(i * 1000 + j), int(cid))
+                for cid, c in enumerate(counts)
+                for j in range(c)
+                for i in [cid]
+            ]
+            return spark.createDataFrame(
+                rows or [(0, 0)], "vec_id long, cid int"
+            ).filter("vec_id >= 0" if rows else "vec_id < 0")
+
+        out = {
+            r["cid"]: r
+            for r in index_drift_over(
+                routed(n_base), routed(n_delta), len(n_base)
+            ).collect()
+        }
+        tot_b, tot_d = sum(n_base), sum(n_delta)
+        for cid in range(len(n_base)):
+            r = out[cid]
+            assert r["n_base"] == n_base[cid] and r["n_delta"] == n_delta[cid]
+            expect_flag = abs(
+                Fraction(n_delta[cid], tot_d) - Fraction(n_base[cid], tot_b)
+            ) >= Fraction(1, _DRIFT_DEN)
+            assert r["drifted"] == expect_flag, (n_base, n_delta, cid)
+
+            def half_away_6(fr: Fraction) -> float:
+                num, den = fr.numerator * 10**6, fr.denominator
+                q, rem = divmod(num, den)
+                if 2 * rem >= den:
+                    q += 1
+                return q / 10**6
+
+            assert r["share_base"] == half_away_6(
+                Fraction(n_base[cid], tot_b)
+            )
+            assert r["share_delta"] == half_away_6(
+                Fraction(n_delta[cid], tot_d)
+            )
