@@ -14,7 +14,7 @@ to the 1000-executor deployment without a resource manager.
 
 Usage:
     python tools/preflight_local_cluster.py [SF_DIR]          # 26-op slice
-    python tools/preflight_local_cluster.py --full [SF_DIR]   # ALL 282 ops
+    python tools/preflight_local_cluster.py --full [SF_DIR]   # ALL registered ops
     python tools/preflight_local_cluster.py START END [SF_DIR]  # a window
     python tools/preflight_local_cluster.py --recovery [SF_DIR]
         # exactly-once RocksDB checkpoint recovery with real executors:
@@ -22,8 +22,13 @@ Usage:
         # checkpoint (state reloads into executor-side RocksDB stores),
         # assert the final totals equal the batch aggregation
     python tools/preflight_local_cluster.py --staged [SF_DIR]
-        # the UNREGISTERED SURVEY 2.W round-11 candidates against their
+        # the UNREGISTERED SURVEY 2.X round-12 candidates against their
         # oracles under real executors — the pre-registration gate
+    python tools/preflight_local_cluster.py --chaos-serve [SF_DIR]
+        # round-11 extension: SIGKILL one executor mid-stream_ann_serve
+        # drain; the served top-k must be identical to the healthy run
+        # (streaming replay + idempotent batch_id sink + cached-frame
+        # broadcast all composed in one op)
     python tools/preflight_local_cluster.py --chaos [SF_DIR]
         # executor-LOSS drill (VERDICT r9 #4): SIGKILL a real executor
         # JVM mid-query and assert each recovery class behaves as
@@ -66,6 +71,9 @@ if CHAOS:
 STAGED = "--staged" in _args
 if STAGED:
     _args.remove("--staged")
+CHAOS_SERVE = "--chaos-serve" in _args
+if CHAOS_SERVE:
+    _args.remove("--chaos-serve")
 WINDOW = None
 if len(_args) >= 2 and _args[0].isdigit() and _args[1].isdigit():
     WINDOW = (int(_args[0]), int(_args[1]))
@@ -453,10 +461,63 @@ def run_chaos() -> int:
     return 1 if failures else 0
 
 
+def run_chaos_serve() -> int:
+    """Round-11 extension of the chaos drill: SIGKILL one executor JVM
+    mid-``stream_ann_serve`` drain and assert the served top-k rows are
+    IDENTICAL to the healthy run — the serving path composes the
+    streaming-checkpoint recovery class (file-source replay + batch_id-
+    keyed idempotent sink) with broadcast joins against the cached cell
+    frame, so this pins the composition, not just the classes."""
+    import signal
+    import threading
+    import time as _t
+
+    from storm_netmonitor_spark.operators.extensions6 import stream_ann_serve
+    from storm_netmonitor_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    _wait_executors(2)
+    healthy = sorted(
+        tuple(r) for r in stream_ann_serve(spark, SF).collect()
+    )
+
+    killed: dict = {}
+
+    def kill_one() -> None:
+        _t.sleep(2.0)  # land mid-drain (healthy drain ~9 s here)
+        pids = _executor_pids()
+        if pids:
+            os.kill(pids[0], signal.SIGKILL)
+            killed["pid"] = pids[0]
+
+    t = threading.Thread(target=kill_one, daemon=True)
+    t.start()
+    survived = sorted(
+        tuple(r) for r in stream_ann_serve(spark, SF).collect()
+    )
+    t.join()
+    if "pid" not in killed:
+        print("BAD chaos-serve: kill thread found no executor to kill")
+        return 1
+    if survived != healthy:
+        print(
+            f"BAD chaos-serve: served rows drifted after killing executor "
+            f"{killed['pid']} ({len(survived)} vs {len(healthy)} rows)"
+        )
+        return 1
+    print(
+        f"OK chaos-serve: executor {killed['pid']} SIGKILLed mid-drain; "
+        f"served top-k identical to the healthy run ({len(healthy)} rows)"
+    )
+    return 0
+
+
 if RECOVERY:
     sys.exit(run_recovery())
 if CHAOS:
     sys.exit(run_chaos())
+if CHAOS_SERVE:
+    sys.exit(run_chaos_serve())
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
