@@ -167,8 +167,8 @@ __all__ = [
     "ppl_tercile_buckets_over",
     "replicate_rows",
     "rolling_actives_over",
-    "route_to_centroids",
     "rolling_median_over",
+    "route_to_centroids",
     "scoped_confs",
     "semantic_dedup_summary",
     "semantic_dup_pairs",
