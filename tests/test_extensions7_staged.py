@@ -261,3 +261,20 @@ def test_index_drift_kernel_boundary_exact_vs_fractions(spark):
             assert r["share_delta"] == half_away_6(
                 Fraction(n_delta[cid], tot_d)
             )
+
+
+def test_route_tie_breaks_to_smallest_cid(spark):
+    """Exact-tie discipline: with duplicate centroids (dot ties are then
+    EXACT, not float-noise), ``np.argmax`` must take the first maximum —
+    the same smallest-cid rule the SQL twin's ``ROW_NUMBER … ORDER BY
+    dot DESC, cid`` applies. A divergence here would silently route the
+    two engines differently on degenerate quantizers."""
+    from storm_netmonitor_spark.kernels import route_to_centroids
+
+    v = [1.0] + [0.0] * 63
+    cents = [v, v, ([0.0, 1.0] + [0.0] * 62)]  # cid 0 and 1 tie exactly
+    corpus = spark.createDataFrame(
+        [(7, v)], "vec_id long, embedding array<double>"
+    )
+    (row,) = route_to_centroids(corpus, cents).collect()
+    assert row["cid"] == 0
