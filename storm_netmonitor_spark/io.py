@@ -143,14 +143,23 @@ def artifact_root() -> str:
     host pre-create it and plant fingerprint-keyed artifacts that
     registered queries would silently trust). Defense in depth: whether
     defaulted or env-overridden, the directory must be OWNED by the
-    current uid — a pre-planted root owned by someone else is refused
-    loudly rather than served from."""
+    current uid and must not be a SYMLINK — ``makedirs(exist_ok=True)``
+    succeeds through a planted symlink and ``stat`` follows it, so an
+    attacker-planted link to a victim-owned directory would pass a pure
+    ownership check while redirecting writes (and ``prune_artifacts``
+    deletions) into the victim's files."""
     import tempfile
 
     root = os.environ.get(ARTIFACT_DIR_ENV) or os.path.join(
         tempfile.gettempdir(), f"nm_artifacts_{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
+    if os.path.islink(root):
+        raise RuntimeError(
+            f"artifact root {root!r} is a symlink — refusing to follow a "
+            "link another user may have planted (set "
+            f"${ARTIFACT_DIR_ENV} to a real directory you own)"
+        )
     st = os.stat(root)
     if st.st_uid != os.getuid():
         raise RuntimeError(

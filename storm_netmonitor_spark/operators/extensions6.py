@@ -295,27 +295,17 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it is a property of the INDEX, staged once to the artifact store
     (the registered op fuses this routing with its single query's dots;
     the serve path reuses it across every batch and every query)."""
-    import numpy as np
-
     corpus, cents = ivf_index(spark, sf_dir)
-    cmat = [[float(x) for x in c] for c in cents]
 
     def build() -> DataFrame:
-        cm = np.array(cmat, dtype=np.float64).T
+        # one routing kernel, every consumer (serve cells, §2.X insert/
+        # drift) — the tie-break-sensitive argmax lives in ONE place.
+        # Local import: extensions7 imports this module's banding helpers.
+        from .extensions7 import route_to_centroids
 
-        def route_iter(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "k": np.argmax(m @ cm, axis=1).astype("int32"),
-                    }
-                )
-
-        return corpus.mapInPandas(route_iter, "vec_id long, k int")
+        return route_to_centroids(corpus, cents).withColumnRenamed(
+            "cid", "k"
+        )
 
     # a serving session pins the routing table in executor memory: every
     # micro-batch joins against it, so the artifact parquet is read once

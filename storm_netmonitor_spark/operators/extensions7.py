@@ -293,9 +293,12 @@ def vec_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dratio`` (integer arithmetic, bit-identical in DuckDB); the
     drifted flag is a cross-multiplied INTEGER comparison
     |n_d·tot_b − n_b·tot_d|·{_DRIFT_DEN} ≥ tot_b·tot_d in DECIMAL(38,0)
-    — overflow-proof past 10^18-row populations and boundary-free by
-    construction. The only float decision anywhere is the routing
-    argmax, shared with ``vec_ivf_index_insert``."""
+    — boundary-free by construction and exact within its stated bounds:
+    the ``dratio`` numerator (n·10^6) fits int64 to ~9.2×10^12 rows per
+    cell, and the 38-digit flag product holds to ~2×10^17 total rows per
+    population — five orders of magnitude above a 100 TB corpus
+    (~10^12 rows at ~100 B/row). The only float decision anywhere is
+    the routing argmax, shared with ``vec_ivf_index_insert``."""
     split = _embed_split(spark, sf_dir)
     cents = base_trained_cents(spark, sf_dir, split)
     base_r = route_to_centroids(
@@ -317,10 +320,11 @@ def index_drift_over(
     (frames with a ``cid`` column, e.g. from :func:`route_to_centroids`):
     counts, exact ``dratio`` share rationals, and the integer-exact
     drifted flag |n_d·tot_b − n_b·tot_d|·drift_den ≥ tot_b·tot_d in
-    DECIMAL(38,0). Two tiny keyed groupBys plus a 1-row broadcast totals
-    combine — works unchanged at any population size because the frame
-    after the first agg is ``n_cells`` rows. Library export via
-    ``storm_netmonitor_spark.kernels``."""
+    DECIMAL(38,0) (exact to ~9.2×10^12 rows per cell and ~2×10^17 rows
+    per population — see :func:`vec_index_drift`). Two tiny keyed
+    groupBys plus a 1-row broadcast totals combine — the exchange volume
+    is ``n_cells`` rows regardless of population size. Library export
+    via ``storm_netmonitor_spark.kernels``."""
     spark = base_routed.sparkSession
     cells = spark.range(0, n_cells).select(
         F.col("id").cast("int").alias("cid")

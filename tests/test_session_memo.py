@@ -255,22 +255,40 @@ def test_artifact_root_refuses_foreign_owner(tmp_path, monkeypatch):
 
 
 @pytest.mark.fast
-def test_default_artifact_root_is_uid_scoped_and_private(monkeypatch):
+def test_default_artifact_root_is_uid_scoped_and_private(
+    tmp_path, monkeypatch
+):
     import stat as stat_mod
     import tempfile
 
     from storm_netmonitor_spark.io import artifact_root
 
     monkeypatch.delenv("NM_ARTIFACT_DIR", raising=False)
+    # point tempfile at a fresh tmpdir so the default root is CREATED
+    # here — asserting the 0o700 creation mode on the real /tmp root
+    # would be vacuous once any earlier run created it
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
     root = artifact_root()
-    assert root == os.path.join(
-        tempfile.gettempdir(), f"nm_artifacts_{os.getuid()}"
-    )
-    if not os.environ.get("NM_ARTIFACT_ROOT_PREEXISTING"):
-        mode = stat_mod.S_IMODE(os.stat(root).st_mode)
-        # created 0o700 on first use; a pre-existing looser dir still
-        # passes the ownership check, which is the load-bearing guard
-        assert mode & 0o077 == 0 or os.stat(root).st_uid == os.getuid()
+    assert root == os.path.join(str(tmp_path), f"nm_artifacts_{os.getuid()}")
+    assert stat_mod.S_IMODE(os.stat(root).st_mode) == 0o700
+    assert os.stat(root).st_uid == os.getuid()
+
+
+@pytest.mark.fast
+def test_artifact_root_refuses_symlink(tmp_path, monkeypatch):
+    """A planted symlink at the root path must be refused even when it
+    points at a directory the current uid owns — makedirs(exist_ok=True)
+    succeeds through it and stat follows it, so without the lstat check
+    an attacker link would redirect writes AND prune deletions."""
+    from storm_netmonitor_spark import io as nmio
+
+    target = tmp_path / "victim_dir"
+    target.mkdir()
+    link = tmp_path / "store_link"
+    os.symlink(str(target), str(link))
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(link))
+    with pytest.raises(RuntimeError, match="symlink"):
+        nmio.artifact_root()
 
 
 @pytest.mark.fast

@@ -484,20 +484,38 @@ def run_chaos_serve() -> int:
     killed: dict = {}
 
     def kill_one() -> None:
-        _t.sleep(2.0)  # land mid-drain (healthy drain ~9 s here)
+        # the healthy run warmed every session memo, so the chaos drain
+        # can be FAST — a fixed sleep could fire after it already
+        # finished and the drill would pass without exercising anything.
+        # Wait for the drain's streaming query to actually be ACTIVE,
+        # then kill immediately and timestamp it.
+        deadline = _t.time() + 60.0
+        while _t.time() < deadline and not spark.streams.active:
+            _t.sleep(0.02)
+        if not spark.streams.active:
+            return
         pids = _executor_pids()
         if pids:
             os.kill(pids[0], signal.SIGKILL)
             killed["pid"] = pids[0]
+            killed["ts"] = _t.time()
+            killed["query_active"] = bool(spark.streams.active)
 
     t = threading.Thread(target=kill_one, daemon=True)
     t.start()
     survived = sorted(
         tuple(r) for r in stream_ann_serve(spark, SF).collect()
     )
+    done_ts = _t.time()
     t.join()
     if "pid" not in killed:
-        print("BAD chaos-serve: kill thread found no executor to kill")
+        print("BAD chaos-serve: no active streaming query to kill under")
+        return 1
+    if not killed.get("query_active") or killed["ts"] >= done_ts:
+        print(
+            "BAD chaos-serve: the kill landed after the drain finished — "
+            "the failure path was never exercised"
+        )
         return 1
     if survived != healthy:
         print(
@@ -506,8 +524,10 @@ def run_chaos_serve() -> int:
         )
         return 1
     print(
-        f"OK chaos-serve: executor {killed['pid']} SIGKILLed mid-drain; "
-        f"served top-k identical to the healthy run ({len(healthy)} rows)"
+        f"OK chaos-serve: executor {killed['pid']} SIGKILLed while the "
+        f"drain's streaming query was active ({done_ts - killed['ts']:.1f}s "
+        f"before completion); served top-k identical to the healthy run "
+        f"({len(healthy)} rows)"
     )
     return 0
 
