@@ -114,6 +114,48 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
     m = float(o[9] - o[10])
     rows.append(("vec_ann_ivf", "top-10 cut margin", m, m >= FLOOR))
 
+    # --- stream_ann_serve: cell-routing + per-query probe margins ---------
+    # routing (argmax over final cents) backs the staged ivf_cells frame
+    # every serve batch joins; the probe cut is taken per served query id
+    from storm_netmonitor_spark.operators.extensions6 import (
+        STREAM_ANN_QUERY_IDS,
+    )
+
+    dots = corpus @ cents.T
+    part = np.partition(dots, -2, axis=1)
+    m = float((part[:, -1] - part[:, -2]).min())
+    rows.append(("stream_ann_serve", "min cell-routing margin (best vs 2nd, "
+                 "all corpus vectors)", m, m >= FLOOR))
+    m = math.inf
+    for qid in STREAM_ANN_QUERY_IDS:
+        qd = cents @ emb[ids == qid][0]
+        sq = np.sort(qd)[::-1]
+        m = min(m, float(sq[IVF_NPROBE - 1] - sq[IVF_NPROBE]))
+    rows.append(("stream_ann_serve", "min probe cut margin over served "
+                 "query ids", m, m >= FLOOR))
+
+    # --- §2.X staged: base-trained routing margins (insert/drift) ---------
+    from storm_netmonitor_spark.operators.extensions7 import (
+        _SPLIT_DEN,
+        _SPLIT_NUM,
+    )
+
+    split = (int(ids.max()) + 1) * _SPLIT_NUM // _SPLIT_DEN
+    bmask = (ids >= 1) & (ids < split)
+    bcorpus, bcids = emb[bmask], ids[bmask]
+    bseeds = np.array([bcorpus[bcids == i][0] for i in range(1, IVF_K + 1)])
+    bcents, bam = _lloyd(bcorpus, bseeds, IVF_ITERS)
+    rows.append(("vec_ivf_index_insert (staged)",
+                 "min base-Lloyd assignment margin (all rounds)",
+                 bam, bam >= FLOOR))
+    both = emb[ids >= 1]
+    bd = both @ bcents.T
+    bpart = np.partition(bd, -2, axis=1)
+    m = float((bpart[:, -1] - bpart[:, -2]).min())
+    rows.append(("vec_index_drift (staged)",
+                 "min base-trained routing margin (base+delta)",
+                 m, m >= FLOOR))
+
     # --- vec_semantic_dedup: assignment + tau margins ---------------------
     k = max(SEMDEDUP_K_MIN, len(ids) // SEMDEDUP_CLUSTER_TARGET)
     seeds = np.array([emb[ids == i][0] for i in range(1, k + 1)])
