@@ -168,6 +168,16 @@ def artifact_root() -> str:
             "a directory another user controls (set "
             f"${ARTIFACT_DIR_ENV} to a directory you own)"
         )
+    if st.st_mode & 0o022:
+        # ownership alone does not close the ADVICE r10 threat: a
+        # group/world-WRITABLE root the user owns still lets another
+        # user plant fingerprint-keyed artifacts that queries would
+        # silently trust. Read bits are fine; write bits are not.
+        raise RuntimeError(
+            f"artifact root {root!r} is group/world-writable "
+            f"(mode {st.st_mode & 0o777:o}) — chmod it to 0o700 (or a "
+            "non-writable variant) before serving artifacts from it"
+        )
     return root
 
 
@@ -304,10 +314,16 @@ def disk_artifact_frame(
 
 
 def prune_artifacts(max_age_days: float = 14.0) -> int:
-    """Drop artifact-store entries whose LAST USE is older than
+    """Drop artifact-store entries whose last ACQUISITION is older than
     ``max_age_days`` (mtime of the json file / published directory —
-    refreshed on every cache hit by ``_touch_artifact``, so an artifact a
-    long-lived session still reads never ages out under it). The store
+    refreshed by ``_touch_artifact`` each time a ``disk_artifact_*``
+    getter serves the entry). Precise scope of that guarantee: a session
+    that re-enters the getter keeps its artifacts fresh, but a session
+    that acquired a frame ONCE and then holds the lazy handle for longer
+    than ``max_age_days`` (``session_memo`` short-circuits the getter)
+    is NOT protected — run the pruning cron with a max age beyond the
+    longest session lifetime, or not at all on long-lived serving
+    hosts. The store
     is content-keyed, so entries for regenerated inputs are never read
     again — without pruning they accumulate forever on a long-lived
     host. Returns the number of entries removed. ``.tmp.<pid>.<uuid>``

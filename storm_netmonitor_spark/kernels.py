@@ -110,7 +110,7 @@ from .operators.events_analytics import (
 )
 from .operators.scale_probes import replicate_rows, scoped_confs
 from .operators.extensions3 import pagerank_over
-from .operators.extensions6 import _banded as minhash_band_rows
+from .operators.extensions6 import minhash_band_rows
 from .operators.extensions7 import index_drift_over, route_to_centroids
 from .operators.extensions5 import (
     cms_counters,

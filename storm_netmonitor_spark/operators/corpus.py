@@ -868,39 +868,11 @@ WITH kk AS MATERIALIZED (
   SELECT vec_id - 1 AS cid, pos, x AS cx FROM e
   WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)
 )"""
-    rounds = []
-    for i in range(SEMDEDUP_ITERS):
-        rounds.append(f""", a{i} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT e.vec_id, c.cid, SUM(e.x * c.cx) AS dot
-          FROM e JOIN c{i} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), m{i} AS MATERIALIZED (
-  SELECT a.cid, e.pos, SUM(e.x) / COUNT(*) AS mx
-  FROM e JOIN a{i} a USING (vec_id) GROUP BY 1, 2
-), n{i} AS MATERIALIZED (
-  SELECT cid, sqrt(SUM(mx * mx)) AS nrm FROM m{i} GROUP BY 1
-), c{i + 1} AS MATERIALIZED (
-  SELECT c.cid, c.pos,
-         COALESCE(m.mx / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
-                  c.cx) AS cx
-  FROM c{i} c
-  LEFT JOIN m{i} m ON m.cid = c.cid AND m.pos = c.pos
-  LEFT JOIN n{i} n ON n.cid = c.cid
-)""")
+    from .vectors import lloyd_rounds_sql, lloyd_route_sql
+
+    rounds = [lloyd_rounds_sql("", "e", SEMDEDUP_ITERS)]
     n_fin = SEMDEDUP_ITERS
-    tail = f""", afin AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT e.vec_id, c.cid, SUM(e.x * c.cx) AS dot
-          FROM e JOIN c{n_fin} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), pair_dots AS MATERIALIZED (
+    tail = lloyd_route_sql("afin", "e", f"c{n_fin}") + f""", pair_dots AS MATERIALIZED (
   SELECT a.cid, a2.vec_id AS b_id,
          SUM(CAST(ea.x * eb.x AS DECIMAL(28,12))) AS cos
   FROM afin a

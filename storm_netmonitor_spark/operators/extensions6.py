@@ -64,39 +64,13 @@ def _sd_pairs_ctes() -> str:
   SELECT vec_id - 1 AS cid, pos, x AS cx FROM sd_e
   WHERE vec_id BETWEEN 1 AND (SELECT k FROM sd_kk)
 )"""
-    rounds = []
-    for i in range(SEMDEDUP_ITERS):
-        rounds.append(f""", sd_a{i} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT sd_e.vec_id, c.cid, SUM(sd_e.x * c.cx) AS dot
-          FROM sd_e JOIN sd_c{i} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), sd_m{i} AS MATERIALIZED (
-  SELECT a.cid, sd_e.pos, SUM(sd_e.x) / COUNT(*) AS mx
-  FROM sd_e JOIN sd_a{i} a USING (vec_id) GROUP BY 1, 2
-), sd_n{i} AS MATERIALIZED (
-  SELECT cid, sqrt(SUM(mx * mx)) AS nrm FROM sd_m{i} GROUP BY 1
-), sd_c{i + 1} AS MATERIALIZED (
-  SELECT c.cid, c.pos,
-         COALESCE(m.mx / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
-                  c.cx) AS cx
-  FROM sd_c{i} c
-  LEFT JOIN sd_m{i} m ON m.cid = c.cid AND m.pos = c.pos
-  LEFT JOIN sd_n{i} n ON n.cid = c.cid
-)""")
+    from .vectors import lloyd_rounds_sql, lloyd_route_sql
+
+    rounds = [lloyd_rounds_sql("sd_", "sd_e", SEMDEDUP_ITERS)]
     n_fin = SEMDEDUP_ITERS
-    tail = f""", sd_afin AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT sd_e.vec_id, c.cid, SUM(sd_e.x * c.cx) AS dot
-          FROM sd_e JOIN sd_c{n_fin} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), sd_pairs AS MATERIALIZED (
+    tail = lloyd_route_sql(
+        "sd_afin", "sd_e", f"sd_c{n_fin}"
+    ) + f""", sd_pairs AS MATERIALIZED (
   SELECT a.vec_id AS doc_a, a2.vec_id AS doc_b
   FROM sd_afin a
   JOIN sd_afin a2 ON a.cid = a2.cid AND a.vec_id < a2.vec_id
@@ -218,40 +192,14 @@ def _ivf_multiquery_ctes() -> str:
   SELECT vec_id - 1 AS cid, pos, x AS cx FROM iv_e
   WHERE vec_id BETWEEN 1 AND {IVF_K}
 )"""
-    rounds = []
-    for i in range(IVF_ITERS):
-        rounds.append(f""", iv_a{i} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT iv_e.vec_id, c.cid, SUM(iv_e.x * c.cx) AS dot
-          FROM iv_e JOIN iv_c{i} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), iv_m{i} AS MATERIALIZED (
-  SELECT a.cid, iv_e.pos, SUM(iv_e.x) / COUNT(*) AS mx
-  FROM iv_e JOIN iv_a{i} a USING (vec_id) GROUP BY 1, 2
-), iv_n{i} AS MATERIALIZED (
-  SELECT cid, sqrt(SUM(mx * mx)) AS nrm FROM iv_m{i} GROUP BY 1
-), iv_c{i + 1} AS MATERIALIZED (
-  SELECT c.cid, c.pos,
-         COALESCE(m.mx / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
-                  c.cx) AS cx
-  FROM iv_c{i} c
-  LEFT JOIN iv_m{i} m ON m.cid = c.cid AND m.pos = c.pos
-  LEFT JOIN iv_n{i} n ON n.cid = c.cid
-)""")
+    from .vectors import lloyd_rounds_sql, lloyd_route_sql
+
+    rounds = [lloyd_rounds_sql("iv_", "iv_e", IVF_ITERS)]
     n_fin = IVF_ITERS
     ids = ", ".join(str(i) for i in STREAM_ANN_QUERY_IDS)
-    tail = f""", iv_afin AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT iv_e.vec_id, c.cid, SUM(iv_e.x * c.cx) AS dot
-          FROM iv_e JOIN iv_c{n_fin} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), iv_q AS MATERIALIZED (
+    tail = lloyd_route_sql(
+        "iv_afin", "iv_e", f"iv_c{n_fin}"
+    ) + f""", iv_q AS MATERIALIZED (
   SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS qx
   FROM embeddings WHERE vec_id IN ({ids})
@@ -507,10 +455,11 @@ WHERE ROUND(ninter / (sa.n + sb.n - ninter), 4) >= 0.5
 """
 
 
-def _banded(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_hash) — the LSH index rows for a doc frame
-    (signature + banding, zero shuffles; shared by the standing-index
-    staging and the delta path)."""
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """KERNEL — (doc_id, band_idx, band_hash): the LSH index rows for a
+    doc frame (signature + banding, zero shuffles; shared by the
+    standing-index staging, the delta paths, and the §2.X streaming
+    merge). Library export via ``storm_netmonitor_spark.kernels``."""
     from .text import MINHASH_BANDS, MINHASH_SEEDS, minhash_signatures
 
     sig = minhash_signatures(docs)
@@ -551,7 +500,6 @@ def text_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the dedup index: the standing×standing term never re-runs); exact
     shingle-Jaccard verification only on those candidates, with the
     shingle arrays of the non-delta side read as needed."""
-    from ..functions.stable import dround
     from .text import _with_shingles
 
     d = load_table(spark, sf_dir, "documents")
@@ -571,20 +519,30 @@ def text_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "minhash_band_index",
             "v1",
             sf_dir,
-            lambda: _banded(scatter(base_docs)),
+            lambda: minhash_band_rows(scatter(base_docs)),
             extra=(split,),
         ),
         sf_dir=sf_dir,
     )
-    delta = _banded(scatter(delta_docs))
+    delta = minhash_band_rows(scatter(delta_docs))
+    sh_tbl = _with_shingles(scatter(d)).select("doc_id", "sh")
+    return verify_band_candidates(
+        delta, standing.unionByName(delta), sh_tbl
+    )
 
-    merged = standing.unionByName(delta)
-    a = delta.alias("a")
-    b = merged.alias("b")
-    # delta ⋈ merged, pair ordered (lo, hi): catches delta-base AND
-    # delta-delta pairs exactly once each (doc_a < doc_b dedups the
-    # delta-delta double-match)
-    cand = (
+
+def band_candidate_pairs(
+    probe_bands: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """KERNEL — distinct ordered candidate pairs ``(doc_a < doc_b)`` from
+    a band-bucket equi-join of ``probe_bands`` against ``index_bands``
+    (both ``(doc_id, band_idx, band_hash)`` frames). With the probe side
+    also present in the index, probe-probe pairs double-match — the
+    least/greatest ordering plus distinct dedups them exactly once.
+    Shared by the batch merge and the §2.X streaming merge."""
+    a = probe_bands.alias("a")
+    b = index_bands.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -597,7 +555,19 @@ def text_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh_tbl = _with_shingles(scatter(d))
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, sh_tbl: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """KERNEL — exact word-3-shingle Jaccard verification of candidate
+    pairs: joins only the candidate rows back to their shingle arrays in
+    ``sh_tbl`` (``(doc_id, sh)``) and keeps pairs at ≥ ``min_jaccard``
+    (decimal-4 rounded, the ``text_near_dedup_minhash`` contract).
+    Shared by the batch merge and the §2.X streaming merge — one
+    threshold, one rounding, every consumer."""
+    from ..functions.stable import dround
+
     sh_a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     sh_b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
@@ -613,5 +583,18 @@ def text_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def verify_band_candidates(
+    probe_bands: DataFrame,
+    index_bands: DataFrame,
+    sh_tbl: DataFrame,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidates then verification — the full merge step both merge
+    execution modes run per delta/batch."""
+    return verify_jaccard_pairs(
+        band_candidate_pairs(probe_bands, index_bands), sh_tbl, min_jaccard
     )

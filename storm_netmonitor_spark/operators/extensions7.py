@@ -37,7 +37,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import dratio, dratio_sql, dround
+from ..functions.stable import dratio, dratio_sql
 from ..io import (
     disk_artifact_json,
     load_table,
@@ -175,48 +175,13 @@ def _base_lloyd_ctes() -> str:
   SELECT vec_id - 1 AS cid, pos, x AS cx FROM be
   WHERE vec_id BETWEEN 1 AND {IVF_K}
 )"""
-    rounds = []
-    for i in range(IVF_ITERS):
-        rounds.append(f""", ba{i} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT be.vec_id, c.cid, SUM(be.x * c.cx) AS dot
-          FROM be JOIN bc{i} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), bm{i} AS MATERIALIZED (
-  SELECT a.cid, be.pos, SUM(be.x) / COUNT(*) AS mx
-  FROM be JOIN ba{i} a USING (vec_id) GROUP BY 1, 2
-), bn{i} AS MATERIALIZED (
-  SELECT cid, sqrt(SUM(mx * mx)) AS nrm FROM bm{i} GROUP BY 1
-), bc{i + 1} AS MATERIALIZED (
-  SELECT c.cid, c.pos,
-         COALESCE(m.mx / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
-                  c.cx) AS cx
-  FROM bc{i} c
-  LEFT JOIN bm{i} m ON m.cid = c.cid AND m.pos = c.pos
-  LEFT JOIN bn{i} n ON n.cid = c.cid
-)"""
-        )
+    from .vectors import lloyd_rounds_sql, lloyd_route_sql
+
+    rounds = [lloyd_rounds_sql("b", "be", IVF_ITERS)]
     n_fin = IVF_ITERS
-    tail = f""", broute AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT be.vec_id, c.cid, SUM(be.x * c.cx) AS dot
-          FROM be JOIN bc{n_fin} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), droute AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT de.vec_id, c.cid, SUM(de.x * c.cx) AS dot
-          FROM de JOIN bc{n_fin} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-)"""
+    tail = lloyd_route_sql(
+        "broute", "be", f"bc{n_fin}"
+    ) + lloyd_route_sql("droute", "de", f"bc{n_fin}")
     return head + "".join(rounds) + tail
 
 
@@ -274,9 +239,10 @@ SELECT CAST(census.cid AS INTEGER) AS cid,
        CAST(n_delta AS BIGINT) AS n_delta,
        {share_b} AS share_base,
        {share_d} AS share_delta,
-       ABS(CAST(n_delta AS DECIMAL(38,0)) * tot_b
-           - CAST(n_base AS DECIMAL(38,0)) * tot_d) * {_DRIFT_DEN}
-         >= CAST(tot_b AS DECIMAL(38,0)) * tot_d AS drifted
+       tot_b > 0 AND tot_d > 0
+       AND ABS(CAST(n_delta AS DECIMAL(38,0)) * tot_b
+               - CAST(n_base AS DECIMAL(38,0)) * tot_d) * {_DRIFT_DEN}
+             >= CAST(tot_b AS DECIMAL(38,0)) * tot_d AS drifted
 FROM census, tot
 """
 
@@ -355,13 +321,22 @@ def index_drift_over(
         dratio(F.col("n_delta") * 1_000_000, F.col("tot_d")).alias(
             "share_delta"
         ),
+        # an EMPTY population is no drift evidence: without the guard,
+        # tot_d = 0 degenerates the inequality to 0 ≥ 0 and every cell
+        # would flag, telling a monitoring consumer to re-train on
+        # nothing (library-kernel edge; the registered op's populations
+        # are nonempty by the split construction)
         (
-            F.abs(
-                F.col("n_delta").cast(dec) * F.col("tot_b").cast(dec)
-                - F.col("n_base").cast(dec) * F.col("tot_d").cast(dec)
+            (F.col("tot_b") > 0)
+            & (F.col("tot_d") > 0)
+            & (
+                F.abs(
+                    F.col("n_delta").cast(dec) * F.col("tot_b").cast(dec)
+                    - F.col("n_base").cast(dec) * F.col("tot_d").cast(dec)
+                )
+                * drift_den
+                >= F.col("tot_b").cast(dec) * F.col("tot_d").cast(dec)
             )
-            * drift_den
-            >= F.col("tot_b").cast(dec) * F.col("tot_d").cast(dec)
         ).alias("drifted"),
     )
 
@@ -396,10 +371,15 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch's signatures band into the index, candidates are the batch's
     bands joined against (standing index ∪ previously-folded batches ∪
     the batch itself), survivors verify by exact shingle Jaccard, and
-    the batch's bands then append to the folded index — so maintenance
-    cost per batch is O(|batch|), never O(corpus), and every pair is
-    discovered exactly once (in the batch of its LARGER doc_id; batches
-    arrive in doc_id order).
+    the batch's bands then append to the folded index. Per-batch COMPUTE
+    (signatures, banding, verification) is O(|batch| + matches); the
+    candidate equi-join's probe side is |batch| but its build side SCANS
+    the standing index parquet each batch at this layout — at 100 TB the
+    index would be bucketed/partitioned by band_hash so the scan prunes
+    to the batch's buckets (the I/O term the O-claim deliberately does
+    NOT hide; the measured wall vs a 256× index is in docs/SCALING.md).
+    Every pair is discovered exactly once (in the batch of its LARGER
+    doc_id; batches arrive in doc_id order).
 
     The final emitted pair set must equal the registered batch merge —
     ``text_minhash_index_merge``'s full-recompute oracle runs verbatim.
@@ -414,7 +394,12 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from ..streaming.core import ckpt_dir
-    from .extensions6 import _banded, _MERGE_SPLIT_DEN, _MERGE_SPLIT_NUM
+    from .extensions6 import (
+        _MERGE_SPLIT_DEN,
+        _MERGE_SPLIT_NUM,
+        minhash_band_rows,
+        verify_band_candidates,
+    )
     from .text import _with_shingles
 
     d = load_table(spark, sf_dir, "documents")
@@ -433,7 +418,7 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "minhash_band_index",
             "v1",
             sf_dir,
-            lambda: _banded(scatter(base_docs)),
+            lambda: minhash_band_rows(scatter(base_docs)),
             extra=(split,),
         ),
         sf_dir=sf_dir,
@@ -477,7 +462,7 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         t0 = _time.perf_counter()
         if not batch_df.take(1):
             return
-        batch_bands = _banded(batch_df).localCheckpoint()
+        batch_bands = minhash_band_rows(batch_df).localCheckpoint()
         folded = [standing, batch_bands]
         prior = [
             os.path.join(idx_dir, n)
@@ -489,44 +474,11 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         index = folded[0]
         for fr in folded[1:]:
             index = index.unionByName(fr)
-        a = batch_bands.alias("a")
-        b = index.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
-                    "doc_b"
-                ),
-            )
-            .distinct()
-        )
-        sh_a = sh_tbl.select(
-            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
-        )
-        sh_b = sh_tbl.select(
-            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")
-        )
-        n_inter = F.size(F.array_intersect("sa", "sb"))
-        verified = (
-            cand.join(sh_a, "doc_a")
-            .join(sh_b, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                dround(
-                    n_inter
-                    / (F.size("sa") + F.size("sb") - n_inter).cast("double"),
-                    4,
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= 0.5)
-        )
+        # one merge step, two execution modes: the shared kernels keep the
+        # candidate dedup, threshold, and rounding identical to the
+        # registered batch merge (their test-pinned equivalence depends
+        # on it)
+        verified = verify_band_candidates(batch_bands, index, sh_tbl)
         verified.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )

@@ -382,6 +382,53 @@ def _lloyd_round(
     return out
 
 
+def lloyd_rounds_sql(p: str, e: str, iters: int) -> str:
+    """The unrolled Lloyd per-iteration CTE blocks — assignment argmax,
+    per-cluster mean, L2 normalization with the zero-norm guard,
+    empty-cluster carryover — shared by EVERY IVF/SemDeDup oracle chain
+    (``_ivf_oracle``, the SemDeDup twin in corpus.py, the sd_-prefixed
+    and iv_-prefixed chains in extensions6, the base-trained chain in
+    extensions7). ONE source of truth: a numeric fix here lands in every
+    twin at once instead of five hand-synced copies. ``p`` prefixes the
+    generated CTE names ({p}a/{p}m/{p}n/{p}c); ``e`` names the
+    pos-exploded corpus CTE; requires ``{p}c0`` (the seeds) upstream."""
+    rounds = []
+    for i in range(iters):
+        rounds.append(
+            lloyd_route_sql(f"{p}a{i}", e, f"{p}c{i}")
+            + f""", {p}m{i} AS MATERIALIZED (
+  SELECT a.cid, {e}.pos, SUM({e}.x) / COUNT(*) AS mx
+  FROM {e} JOIN {p}a{i} a USING (vec_id) GROUP BY 1, 2
+), {p}n{i} AS MATERIALIZED (
+  SELECT cid, sqrt(SUM(mx * mx)) AS nrm FROM {p}m{i} GROUP BY 1
+), {p}c{i + 1} AS MATERIALIZED (
+  SELECT c.cid, c.pos,
+         COALESCE(m.mx / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
+                  c.cx) AS cx
+  FROM {p}c{i} c
+  LEFT JOIN {p}m{i} m ON m.cid = c.cid AND m.pos = c.pos
+  LEFT JOIN {p}n{i} n ON n.cid = c.cid
+)"""
+        )
+    return "".join(rounds)
+
+
+def lloyd_route_sql(name: str, e: str, cents: str) -> str:
+    """One ROW_NUMBER argmax-routing CTE: corpus ``e`` assigned to its
+    max-dot centroid in ``cents`` (ties to the smallest cid — the exact
+    tie-break ``route_to_centroids``' np.argmax applies). Emits
+    ``, {name} AS MATERIALIZED (…)``."""
+    return f""", {name} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.dot DESC, t.cid) AS rn
+    FROM (SELECT {e}.vec_id, c.cid, SUM({e}.x * c.cx) AS dot
+          FROM {e} JOIN {cents} c USING (pos) GROUP BY 1, 2) t
+  ) WHERE rn = 1
+)"""
+
+
 def _ivf_cand_ctes() -> str:
     """The IVF pipeline's CTE chain up to and including ``cand`` (the
     probed-cell candidate set): 5 unrolled Lloyd rounds, final cell
@@ -404,39 +451,9 @@ WITH e AS MATERIALIZED (
   SELECT vec_id - 1 AS cid, pos, x AS cx FROM e
   WHERE vec_id BETWEEN 1 AND {IVF_K}
 )"""
-    rounds = []
-    for i in range(IVF_ITERS):
-        rounds.append(f""", a{i} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT e.vec_id, c.cid, SUM(e.x * c.cx) AS dot
-          FROM e JOIN c{i} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), m{i} AS MATERIALIZED (
-  SELECT a.cid, e.pos, SUM(e.x) / COUNT(*) AS mx
-  FROM e JOIN a{i} a USING (vec_id) GROUP BY 1, 2
-), n{i} AS MATERIALIZED (
-  SELECT cid, sqrt(SUM(mx * mx)) AS nrm FROM m{i} GROUP BY 1
-), c{i + 1} AS MATERIALIZED (
-  SELECT c.cid, c.pos,
-         COALESCE(m.mx / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END),
-                  c.cx) AS cx
-  FROM c{i} c
-  LEFT JOIN m{i} m ON m.cid = c.cid AND m.pos = c.pos
-  LEFT JOIN n{i} n ON n.cid = c.cid
-)""")
+    rounds = [lloyd_rounds_sql("", "e", IVF_ITERS)]
     n_fin = IVF_ITERS
-    tail = f""", afin AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT t.vec_id, t.cid,
-           ROW_NUMBER() OVER (PARTITION BY t.vec_id
-                              ORDER BY t.dot DESC, t.cid) AS rn
-    FROM (SELECT e.vec_id, c.cid, SUM(e.x * c.cx) AS dot
-          FROM e JOIN c{n_fin} c USING (pos) GROUP BY 1, 2) t
-  ) WHERE rn = 1
-), qd AS MATERIALIZED (
+    tail = lloyd_route_sql("afin", "e", f"c{n_fin}") + f""", qd AS MATERIALIZED (
   SELECT c.cid, SUM(q.qx * c.cx) AS dot
   FROM q JOIN c{n_fin} c USING (pos) GROUP BY 1
 ), probe AS MATERIALIZED (

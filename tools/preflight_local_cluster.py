@@ -482,24 +482,35 @@ def run_chaos_serve() -> int:
     )
 
     killed: dict = {}
+    done = threading.Event()
 
     def kill_one() -> None:
         # the healthy run warmed every session memo, so the chaos drain
         # can be FAST — a fixed sleep could fire after it already
         # finished and the drill would pass without exercising anything.
-        # Wait for the drain's streaming query to actually be ACTIVE,
-        # then kill immediately and timestamp it.
+        # Honesty gate: only kill while the drain's streaming query is
+        # active AND its LAST committed batch is not the final one (the
+        # staged stream is 2 files ⇒ batch ids 0 and 1), so the SIGKILL
+        # provably lands with work still outstanding. `done` stops the
+        # poll the moment the main thread returns — no deadline stall.
         deadline = _t.time() + 60.0
-        while _t.time() < deadline and not spark.streams.active:
+        while _t.time() < deadline and not done.is_set():
+            qs = spark.streams.active
+            if qs:
+                try:
+                    lp = qs[0].lastProgress
+                except Exception:
+                    lp = None
+                last_batch = lp["batchId"] if lp else -1
+                if last_batch < 1:
+                    pids = _executor_pids()
+                    if pids:
+                        os.kill(pids[0], signal.SIGKILL)
+                        killed["pid"] = pids[0]
+                        killed["ts"] = _t.time()
+                        killed["pre_final_batch"] = True
+                        return
             _t.sleep(0.02)
-        if not spark.streams.active:
-            return
-        pids = _executor_pids()
-        if pids:
-            os.kill(pids[0], signal.SIGKILL)
-            killed["pid"] = pids[0]
-            killed["ts"] = _t.time()
-            killed["query_active"] = bool(spark.streams.active)
 
     t = threading.Thread(target=kill_one, daemon=True)
     t.start()
@@ -507,11 +518,15 @@ def run_chaos_serve() -> int:
         tuple(r) for r in stream_ann_serve(spark, SF).collect()
     )
     done_ts = _t.time()
+    done.set()
     t.join()
     if "pid" not in killed:
-        print("BAD chaos-serve: no active streaming query to kill under")
+        print(
+            "BAD chaos-serve: the drain finished before a pre-final-batch "
+            "kill window opened — the failure path was never exercised"
+        )
         return 1
-    if not killed.get("query_active") or killed["ts"] >= done_ts:
+    if not killed.get("pre_final_batch") or killed["ts"] >= done_ts:
         print(
             "BAD chaos-serve: the kill landed after the drain finished — "
             "the failure path was never exercised"
