@@ -123,6 +123,16 @@ else:
     RUNTIME_CONFS["spark.sql.streaming.stateStore.providerClass"] = (
         _STATE_PROVIDERS[_state_provider]
     )
+    # Changelog checkpointing (round 11): per-batch CHANGELOG uploads
+    # instead of full SST snapshot uploads — the snapshot sync was the
+    # dominant per-batch fixed cost (measured at sf0.1: tumbling drain
+    # median 0.77 → 0.60 s, −22%). Recovery replays the changelog onto
+    # the last snapshot; exactly-once re-proven under the --recovery
+    # restart drill, the --chaos executor-kill drill, and --chaos-serve
+    # after enabling. RocksDB-only conf, so it rides the same gate.
+    RUNTIME_CONFS[
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    ] = "true"
 
 
 #: The shipped marker lives as an attribute ON the session object

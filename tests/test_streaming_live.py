@@ -211,13 +211,21 @@ def test_rocksdb_state_store_is_default_and_writes_rocksdb_artifacts(spark):
 
     # RocksDB provider checkpoints state as <version>.zip snapshots (and
     # optionally .changelog files); the HDFS provider writes .delta/.snapshot
-    zips = glob.glob(os.path.join(ckpt, "state", "**", "*.zip"), recursive=True)
+    # full snapshots (.zip) or, under changelog checkpointing (round 11,
+    # the RUNTIME_CONFS default), per-batch .changelog files — snapshots
+    # upload lazily so a short drain may hold only changelogs. Either way
+    # the HDFS provider's .delta files must be absent.
+    zips = glob.glob(
+        os.path.join(ckpt, "state", "**", "*.zip"), recursive=True
+    ) + glob.glob(
+        os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True
+    )
     deltas = glob.glob(
         os.path.join(ckpt, "state", "**", "*.delta"), recursive=True
     )
     assert zips and not deltas, (
         f"expected RocksDB state artifacts under {ckpt}/state "
-        f"(zips={len(zips)}, deltas={len(deltas)})"
+        f"(zips/changelogs={len(zips)}, deltas={len(deltas)})"
     )
 
     got = {

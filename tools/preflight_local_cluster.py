@@ -224,9 +224,16 @@ def run_recovery() -> int:
         q1.stop()
         q1.awaitTermination()
 
-    # the checkpoint must hold RocksDB artifacts, not HDFS-provider deltas
-    zips = glob.glob(os.path.join(ckpt, "state", "**", "*.zip"), recursive=True)
-    assert zips, f"no RocksDB state snapshots under {ckpt}/state"
+    # the checkpoint must hold RocksDB artifacts, not HDFS-provider deltas:
+    # full SST snapshots (.zip), or per-batch .changelog files under
+    # changelog checkpointing (round 11 — snapshots then upload lazily,
+    # so an early-stopped phase 1 may hold only changelogs)
+    zips = glob.glob(
+        os.path.join(ckpt, "state", "**", "*.zip"), recursive=True
+    ) + glob.glob(
+        os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True
+    )
+    assert zips, f"no RocksDB state artifacts under {ckpt}/state"
 
     q2 = start("nm_lc_rec_p2", {"availableNow": True})
     q2.awaitTermination()
@@ -246,7 +253,7 @@ def run_recovery() -> int:
         print(f"BAD: recovered totals drifted vs batch: {want}")
         return 1
     print("OK recovery: exactly-once totals match batch; "
-          f"{len(zips)} RocksDB snapshot(s) in checkpoint")
+          f"{len(zips)} RocksDB state artifact(s) in checkpoint")
     return 0
 
 
