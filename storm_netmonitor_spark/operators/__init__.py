@@ -35,6 +35,7 @@ _MODULES = (
     "quality",
     "extensions5",
     "extensions6",
+    "extensions7",
 )
 
 

@@ -1,13 +1,12 @@
-"""Round-12 candidate operators, PRE-STAGED (SURVEY §2.X; the r10→r11
-staging discipline applied again).
+"""Round-11 operators, second batch — §2.X, REGISTERED (registry 285 → 288).
 
-NOTHING in this module is registered: the registry closed round 11 at
-285, so there is no ``@query`` decorator here — each candidate ships as
-a plain callable plus a module-level oracle builder, wired into
-``tests/test_extensions7_staged.py`` for the same vanilla-session +
-DuckDB-hash verification the driver will run once they ARE registered in
-round 12. Registration then is a 3-line diff per op, exactly like the
-§2.W batch this round.
+Staged first (plain callables + oracle builders, the r10→r11 discipline),
+these three passed BOTH halves of the registration gate before the
+registering commit — vanilla-session DuckDB hash parity in
+``tests/test_extensions7_staged.py`` (9/9, including property tests) and
+``tools/preflight_local_cluster --staged`` under real executor JVMs —
+so the continued round-11 session registers them with the standard
+``@query`` decorator.
 
 Capability anchor: SURVEY §2.X — the INDEX LIFECYCLE triple. Round 11
 completed serve (``stream_ann_serve``) and one-shot merge
@@ -44,6 +43,7 @@ from ..io import (
     scatter,
     session_memo,
 )
+from ..registry import query
 from .vectors import IVF_ITERS, IVF_K, _lloyd_round
 
 #: The index's training corpus is vec_id ∈ [1, split); the INSERTED
@@ -193,6 +193,7 @@ FROM droute
 """
 
 
+@query("vec_ivf_index_insert", oracle=vec_ivf_index_insert_oracle())
 def vec_ivf_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index insert (SURVEY §2.X): route the DELTA
     population (vec_id ≥ split) into the index trained on the BASE
@@ -247,6 +248,7 @@ FROM census, tot
 """
 
 
+@query("vec_index_drift", oracle=vec_index_drift_oracle())
 def vec_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index population drift audit (SURVEY §2.X): per-cell census of the
     index's TRAINING population vs the newly-INSERTED population, both
@@ -306,6 +308,12 @@ def index_drift_over(
             F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
         )
     )
+    # materialize the n_cells-row census BEFORE the totals combine:
+    # without the barrier, Catalyst re-derives the census for the totals
+    # side and every routing pass (an Arrow MapInPandas over the full
+    # population) executes TWICE — the repeated-python-eval class the
+    # registry sweep forbids
+    census = census.localCheckpoint()
     # the totals frame is ONE row — the broadcast-scalar combine precedent
     tot = census.agg(
         F.sum("n_base").alias("tot_b"), F.sum("n_delta").alias("tot_d")
@@ -365,6 +373,9 @@ def stream_minhash_index_merge_oracle() -> str:
     return text_minhash_index_merge_oracle()
 
 
+@query(
+    "stream_minhash_index_merge", oracle=stream_minhash_index_merge_oracle()
+)
 def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash index maintenance (SURVEY §2.X): the delta
     corpus (doc_id ≥ split) arrives as a STREAM of micro-batches; each

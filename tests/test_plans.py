@@ -106,6 +106,7 @@ _CARTESIAN_OK = {
     "text_perplexity_unigram",  # corpus token total (row-local scan)
     "text_word_freq_zipf",  # corpus token total (row-local scan)
     "text_ppl_buckets",  # cached perplexity build plan renders its BNLJ
+    "vec_index_drift",  # 1-row census-totals broadcast (n_cells rows × 1)
 }
 
 
