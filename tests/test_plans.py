@@ -179,16 +179,20 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange" not in p
 
 
-def test_bench_emits_one_json_line():
+def test_bench_emits_one_json_line(tmp_path):
     """The driver contract: bench.py prints exactly one JSON object with
-    the required keys (run at the smallest sf for speed)."""
+    the required keys (run at the smallest sf for speed). The sidecar is
+    redirected to tmp so this sf0.001 run cannot clobber the committed
+    sf0.1 BENCH_DETAIL.json round record."""
     import json
     import os
     import subprocess
     import sys
 
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="4")
+               SPARK_GRAFT_CPUS="4",
+               SPARK_GRAFT_DETAIL_PATH=detail_path)
     out = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
         env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -210,10 +214,6 @@ def test_bench_emits_one_json_line():
     assert '"cold_seconds"' not in raw and '"method"' not in raw
     assert raw.index('"queries"') < raw.index('"value"'), raw[:200]
     # the sidecar detail record stays method-honest (ADVICE r5)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_DETAIL.json",
-    )
     with open(detail_path) as fh:
         detail = json.load(fh)
     assert set(detail) >= {"method", "cold_seconds", "queries", "value"}
