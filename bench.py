@@ -134,10 +134,6 @@ RERUN_FULL = {
     # the streaming index fold (foreachBatch over the delta doc stream)
     # runs inside the call; the returned frame is a local relation
     "stream_minhash_index_merge",
-    # the census localCheckpoint (both Arrow routing passes) executes
-    # during DataFrame construction — timing only collect() would measure
-    # the 1-row totals broadcast, not the routing
-    "vec_index_drift",
 }
 
 WARMUPS = 1

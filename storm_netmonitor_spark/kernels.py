@@ -67,9 +67,12 @@ Index lifecycle (input: ``vec_id, embedding`` frames / ``doc_id, text``
 document frames):
 
 - ``route_to_centroids`` — argmax-dot cell routing against a fixed
-  centroid model (one Arrow pass, zero shuffles; the IVF insert path)
+  centroid model (one Arrow pass, zero shuffles; the IVF insert path);
+  ``passthrough`` columns let one pass route several tagged populations
 - ``index_drift_over`` — per-cell census drift between two routed
   populations with exact shares and an integer-exact drift flag
+- ``index_drift_tagged`` — the fused one-frame variant: a ``pop``
+  column labels the population, census is one conditional-count groupBy
 - ``minhash_band_rows`` — (doc_id, band_idx, band_hash) LSH index rows
   for a document frame (signature + banding, zero shuffles — the rows a
   standing dedup index stores and a delta merge appends)
@@ -111,7 +114,11 @@ from .operators.events_analytics import (
 from .operators.scale_probes import replicate_rows, scoped_confs
 from .operators.extensions3 import pagerank_over
 from .operators.extensions6 import minhash_band_rows
-from .operators.extensions7 import index_drift_over, route_to_centroids
+from .operators.extensions7 import (
+    index_drift_over,
+    index_drift_tagged,
+    route_to_centroids,
+)
 from .operators.extensions5 import (
     cms_counters,
     cms_point_estimates,
@@ -153,6 +160,7 @@ __all__ = [
     "hll_sketch_estimates",
     "holt_fold_over",
     "index_drift_over",
+    "index_drift_tagged",
     "interval_union_islands",
     "knn_cosine",
     "lttb_select",

@@ -62,9 +62,20 @@ _DRIFT_DEN = 200
 
 
 def _embed_split(spark: SparkSession, sf_dir: str) -> int:
-    e = load_table(spark, sf_dir, "embeddings")
-    max_id = e.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
-    return (int(max_id) + 1) * _SPLIT_NUM // _SPLIT_DEN
+    def compute() -> int:
+        e = load_table(spark, sf_dir, "embeddings")
+        max_id = e.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+        return (int(max_id) + 1) * _SPLIT_NUM // _SPLIT_DEN
+
+    # a per-call scalar collect is a driver round-trip every invocation;
+    # the split is a pure function of the (read-only) input table, so it
+    # rides the session memo like the trained centroids do
+    return session_memo(
+        spark,
+        ("embed_split", os.path.abspath(sf_dir)),
+        compute,
+        sf_dir=sf_dir,
+    )
 
 
 def _base_corpus(spark: SparkSession, sf_dir: str, split: int) -> DataFrame:
@@ -118,17 +129,26 @@ def base_trained_cents(
 
 
 def route_to_centroids(
-    corpus: DataFrame, cents: list[list[float]]
+    corpus: DataFrame,
+    cents: list[list[float]],
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """KERNEL — (vec_id, cid): argmax-dot routing of ``corpus`` (columns
     ``vec_id, embedding``) against a fixed centroid model, one Arrow
     pass, zero shuffles (the ``_ivf_cells`` kernel shape). Ties break to
     the smallest cid (``np.argmax`` takes the first maximum), matching
-    the SQL twin's ``ROW_NUMBER … ORDER BY dot DESC, cid``. Library
-    export via ``storm_netmonitor_spark.kernels``."""
+    the SQL twin's ``ROW_NUMBER … ORDER BY dot DESC, cid``. Extra
+    ``passthrough`` columns of ``corpus`` ride along unchanged (so a
+    caller can tag rows — e.g. a population label — and route several
+    populations in ONE pass instead of one pass each). Library export
+    via ``storm_netmonitor_spark.kernels``."""
     import numpy as np
 
     cmat_rows = [[float(x) for x in c] for c in cents]
+    schema = "vec_id long, cid int" + "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}"
+        for c in passthrough
+    )
 
     def route_iter(batches):
         import pandas as pd
@@ -136,14 +156,15 @@ def route_to_centroids(
         cm = np.array(cmat_rows, dtype=np.float64).T
         for pdf in batches:
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cid": np.argmax(m @ cm, axis=1).astype("int32"),
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cid": np.argmax(m @ cm, axis=1).astype("int32"),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return corpus.mapInPandas(route_iter, "vec_id long, cid int")
+    return corpus.mapInPandas(route_iter, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -266,16 +287,28 @@ def vec_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell, and the 38-digit flag product holds to ~2×10^17 total rows per
     population — five orders of magnitude above a 100 TB corpus
     (~10^12 rows at ~100 B/row). The only float decision anywhere is
-    the routing argmax, shared with ``vec_ivf_index_insert``."""
+    the routing argmax, shared with ``vec_ivf_index_insert``.
+
+    Shape at scale: ONE table scan (the population label is computed
+    from vec_id, not a second filtered read), ONE Arrow routing pass
+    over both populations together (``passthrough`` tagging), ONE keyed
+    exchange for the census, and totals via a window over the census —
+    whose size is pinned at exactly K = {IVF_K} rows by construction, so
+    the single window partition is constant-bounded at any corpus
+    size."""
     split = _embed_split(spark, sf_dir)
     cents = base_trained_cents(spark, sf_dir, split)
-    base_r = route_to_centroids(
-        scatter(_base_corpus(spark, sf_dir, split), 8), cents
+    both = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 1)
+        .select(
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") >= split).cast("int").alias("pop"),
+        )
     )
-    delta_r = route_to_centroids(
-        scatter(_delta_corpus(spark, sf_dir, split), 8), cents
-    )
-    return index_drift_over(base_r, delta_r, IVF_K)
+    routed = route_to_centroids(scatter(both, 8), cents, passthrough=("pop",))
+    return index_drift_tagged(routed, IVF_K)
 
 
 def index_drift_over(
@@ -289,61 +322,78 @@ def index_drift_over(
     counts, exact ``dratio`` share rationals, and the integer-exact
     drifted flag |n_d·tot_b − n_b·tot_d|·drift_den ≥ tot_b·tot_d in
     DECIMAL(38,0) (exact to ~9.2×10^12 rows per cell and ~2×10^17 rows
-    per population — see :func:`vec_index_drift`). Two tiny keyed
-    groupBys plus a 1-row broadcast totals combine — the exchange volume
-    is ``n_cells`` rows regardless of population size. Library export
-    via ``storm_netmonitor_spark.kernels``."""
-    spark = base_routed.sparkSession
+    per population — see :func:`vec_index_drift`). Tag-unions the two
+    frames and delegates to :func:`index_drift_tagged` — each input
+    subtree appears exactly once in the union plan, so the census is ONE
+    keyed exchange whose volume is ``n_cells`` rows regardless of
+    population size. Library export via
+    ``storm_netmonitor_spark.kernels``."""
+    tagged = base_routed.select(
+        "cid", F.lit(0).alias("pop")
+    ).unionByName(delta_routed.select("cid", F.lit(1).alias("pop")))
+    return index_drift_tagged(tagged, n_cells, drift_den)
+
+
+def index_drift_tagged(
+    routed: DataFrame,
+    n_cells: int,
+    drift_den: int = _DRIFT_DEN,
+) -> DataFrame:
+    """KERNEL — :func:`index_drift_over` for a SINGLE routed frame whose
+    ``pop`` column labels the population (0 = base/training, 1 =
+    delta/inserted). This is the fused shape the registered op uses: one
+    scan, one routing pass (:func:`route_to_centroids` with
+    ``passthrough``), one conditional-count groupBy — instead of routing
+    and counting each population separately. Library export via
+    ``storm_netmonitor_spark.kernels``."""
+    spark = routed.sparkSession
     cells = spark.range(0, n_cells).select(
         F.col("id").cast("int").alias("cid")
     )
-    cb = base_routed.groupBy("cid").agg(F.count("*").alias("n_base"))
-    cd = delta_routed.groupBy("cid").agg(F.count("*").alias("n_delta"))
-    census = (
-        cells.join(cb, "cid", "left")
-        .join(cd, "cid", "left")
-        .select(
-            "cid",
-            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
-            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
-        )
+    counts = routed.groupBy("cid").agg(
+        F.count(F.when(F.col("pop") == 0, 1)).alias("n_base"),
+        F.count(F.when(F.col("pop") == 1, 1)).alias("n_delta"),
     )
-    # materialize the n_cells-row census BEFORE the totals combine:
-    # without the barrier, Catalyst re-derives the census for the totals
-    # side and every routing pass (an Arrow MapInPandas over the full
-    # population) executes TWICE — the repeated-python-eval class the
-    # registry sweep forbids
-    census = census.localCheckpoint()
-    # the totals frame is ONE row — the broadcast-scalar combine precedent
-    tot = census.agg(
-        F.sum("n_base").alias("tot_b"), F.sum("n_delta").alias("tot_d")
+    census = cells.join(counts, "cid", "left").select(
+        "cid",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
     )
+    # totals via ONE unpartitioned window over the census — which is
+    # ALWAYS exactly n_cells rows (the cells left-join pins it; K=16 for
+    # the registered op) regardless of population size, so the single
+    # window partition is constant-bounded. This keeps the whole op one
+    # job: a separate totals aggregate would either re-derive the census
+    # (re-running the Arrow routing pass — the repeated-python-eval
+    # class the registry sweep forbids) or force a materialization
+    # barrier before a 1-row broadcast combine.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
     dec = "decimal(38,0)"
-    return census.crossJoin(F.broadcast(tot)).select(
+    tot_b = F.sum("n_base").over(w)
+    tot_d = F.sum("n_delta").over(w)
+    return census.select(
         "cid",
         "n_base",
         "n_delta",
-        dratio(F.col("n_base") * 1_000_000, F.col("tot_b")).alias(
-            "share_base"
-        ),
-        dratio(F.col("n_delta") * 1_000_000, F.col("tot_d")).alias(
-            "share_delta"
-        ),
+        dratio(F.col("n_base") * 1_000_000, tot_b).alias("share_base"),
+        dratio(F.col("n_delta") * 1_000_000, tot_d).alias("share_delta"),
         # an EMPTY population is no drift evidence: without the guard,
         # tot_d = 0 degenerates the inequality to 0 ≥ 0 and every cell
         # would flag, telling a monitoring consumer to re-train on
         # nothing (library-kernel edge; the registered op's populations
         # are nonempty by the split construction)
         (
-            (F.col("tot_b") > 0)
-            & (F.col("tot_d") > 0)
+            (tot_b > 0)
+            & (tot_d > 0)
             & (
                 F.abs(
-                    F.col("n_delta").cast(dec) * F.col("tot_b").cast(dec)
-                    - F.col("n_base").cast(dec) * F.col("tot_d").cast(dec)
+                    F.col("n_delta").cast(dec) * tot_b.cast(dec)
+                    - F.col("n_base").cast(dec) * tot_d.cast(dec)
                 )
                 * drift_den
-                >= F.col("tot_b").cast(dec) * F.col("tot_d").cast(dec)
+                >= tot_b.cast(dec) * tot_d.cast(dec)
             )
         ).alias("drifted"),
     )

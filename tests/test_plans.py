@@ -106,7 +106,6 @@ _CARTESIAN_OK = {
     "text_perplexity_unigram",  # corpus token total (row-local scan)
     "text_word_freq_zipf",  # corpus token total (row-local scan)
     "text_ppl_buckets",  # cached perplexity build plan renders its BNLJ
-    "vec_index_drift",  # 1-row census-totals broadcast (n_cells rows × 1)
 }
 
 
@@ -706,6 +705,8 @@ _GLOBAL_WINDOW_OK = {
     "(TakeOrderedAndProject feeds the rank/cum windows; round-8 rework)",
     "ts_sla_burn_rate": "O(hours) error-rate census (range frame over "
     "the hourly rollup)",
+    "vec_index_drift": "totals window over the census, pinned at "
+    "exactly K=16 rows by the cells left-join regardless of corpus size",
 }
 
 
