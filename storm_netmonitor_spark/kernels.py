@@ -73,6 +73,8 @@ document frames):
   populations with exact shares and an integer-exact drift flag
 - ``index_drift_tagged`` — the fused one-frame variant: a ``pop``
   column labels the population, census is one conditional-count groupBy
+- ``drift_from_census`` — the census→drift-table tail for callers that
+  fold their own ``(cid, n_base, n_delta)`` counts (streaming monitors)
 - ``minhash_band_rows`` — (doc_id, band_idx, band_hash) LSH index rows
   for a document frame (signature + banding, zero shuffles — the rows a
   standing dedup index stores and a delta merge appends)
@@ -115,6 +117,7 @@ from .operators.scale_probes import replicate_rows, scoped_confs
 from .operators.extensions3 import pagerank_over
 from .operators.extensions6 import minhash_band_rows
 from .operators.extensions7 import (
+    drift_from_census,
     index_drift_over,
     index_drift_tagged,
     route_to_centroids,
@@ -151,6 +154,7 @@ __all__ = [
     "dec_scaled_sql",
     "dratio",
     "dratio_sql",
+    "drift_from_census",
     "dwell_by_type",
     "ewma_fold_over",
     "exact_dedup_by_hash",

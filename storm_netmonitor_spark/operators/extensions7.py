@@ -346,13 +346,29 @@ def index_drift_tagged(
     ``passthrough``), one conditional-count groupBy — instead of routing
     and counting each population separately. Library export via
     ``storm_netmonitor_spark.kernels``."""
-    spark = routed.sparkSession
-    cells = spark.range(0, n_cells).select(
-        F.col("id").cast("int").alias("cid")
-    )
     counts = routed.groupBy("cid").agg(
         F.count(F.when(F.col("pop") == 0, 1)).alias("n_base"),
         F.count(F.when(F.col("pop") == 1, 1)).alias("n_delta"),
+    )
+    return drift_from_census(counts, n_cells, drift_den)
+
+
+def drift_from_census(
+    counts: DataFrame,
+    n_cells: int,
+    drift_den: int = _DRIFT_DEN,
+) -> DataFrame:
+    """KERNEL — the census→drift-table tail shared by every drift
+    monitor: ``counts`` is a (possibly sparse) ``(cid, n_base, n_delta)``
+    frame; cells ``0..n_cells-1`` are pinned by a left join (absent
+    buckets census as 0/0), shares are exact ``dratio`` rationals, and
+    the drifted flag is the integer cross-multiplication in
+    DECIMAL(38,0). Library export via ``storm_netmonitor_spark.kernels``
+    (the §2.Y streaming/profile drift candidates fold their own censuses
+    and delegate here)."""
+    spark = counts.sparkSession
+    cells = spark.range(0, n_cells).select(
+        F.col("id").cast("int").alias("cid")
     )
     census = cells.join(counts, "cid", "left").select(
         "cid",

@@ -1,0 +1,498 @@
+"""Round-12 candidate operators, PRE-STAGED (SURVEY §2.Y; the staging
+discipline of the §2.W/§2.X batches applied forward).
+
+NOTHING in this module is registered: the registry closed the continued
+round-11 session at 288, so there is no ``@query`` decorator here — each
+candidate ships as a plain callable plus a module-level oracle builder,
+wired into ``tests/test_extensions8_staged.py`` for the same
+vanilla-session + DuckDB-hash verification the driver will run once they
+ARE registered in round 12. Registration then is a 3-line diff per op.
+
+Capability anchor: SURVEY §2.Y — the MONITORING / INCREMENTAL
+MAINTENANCE triple. Rounds 10–11 shipped the index lifecycle (serve,
+merge, insert, drift); a production corpus pipeline also needs:
+
+- ``dedup_components_merge`` — fold newly-discovered duplicate pairs
+  into the STANDING component labeling without re-running connected
+  components over the full historical edge set (the labels a keeper
+  election reads must stay current as deltas land);
+- ``stream_index_drift`` — the streaming twin of ``vec_index_drift``:
+  the inserted vectors arrive as micro-batches, per-batch censuses fold
+  into a running delta census against the persisted base census, final
+  drift table ≡ the batch op (the ``stream_sketch_cms`` batch-twin
+  discipline);
+- ``text_profile_drift`` — corpus-profile drift between the standing
+  corpus and the delta: docs bucket by (token-count log2 band ×
+  alphabetic-share decile), and the per-bucket census drifts through the
+  SAME exact-rational kernel the vector monitor uses — the pre-ingest
+  gate that tells an operator the delta's shape no longer matches the
+  corpus it joins.
+
+All three compose EXISTING audited kernels (banded MinHash + exact
+Jaccard verification, min-label connected components, the argmax router,
+``drift_from_census``) — the new surface is lifecycle composition, not
+new numeric decision paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import (
+    disk_artifact_frame,
+    disk_artifact_json,
+    load_table,
+    scatter,
+    session_memo,
+)
+from .corpus import connected_components
+from .extensions6 import (
+    _MERGE_SPLIT_DEN,
+    _MERGE_SPLIT_NUM,
+    minhash_band_rows,
+    verify_band_candidates,
+)
+from .extensions7 import (
+    _embed_split,
+    base_trained_cents,
+    drift_from_census,
+    index_drift_tagged,
+    route_to_centroids,
+    vec_index_drift_oracle,
+)
+from .text import _with_shingles
+from .vectors import IVF_ITERS, IVF_K
+
+
+def _doc_split(spark: SparkSession, sf_dir: str) -> int:
+    """The documents split point of the §2.W/§2.X merge family — standing
+    corpus is doc_id < split, the delta is doc_id ≥ split."""
+
+    def compute() -> int:
+        d = load_table(spark, sf_dir, "documents")
+        max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        return (int(max_id) + 1) * _MERGE_SPLIT_NUM // _MERGE_SPLIT_DEN
+
+    return session_memo(
+        spark,
+        ("doc_split", os.path.abspath(sf_dir)),
+        compute,
+        sf_dir=sf_dir,
+    )
+
+
+def _standing_bands(
+    spark: SparkSession, sf_dir: str, split: int
+) -> DataFrame:
+    """THE standing banded index — same artifact name/key as the §2.W
+    batch merge and the §2.X streaming merge stage, so one index serves
+    every consumer (merge, streaming merge, and this CC fold)."""
+    base_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < split
+    )
+    return session_memo(
+        spark,
+        ("minhash_band_index", os.path.abspath(sf_dir), split),
+        lambda: disk_artifact_frame(
+            spark,
+            "minhash_band_index",
+            "v1",
+            sf_dir,
+            lambda: minhash_band_rows(scatter(base_docs)),
+            extra=(split,),
+        ),
+        sf_dir=sf_dir,
+    )
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-session shingle table for exact verification — same key as
+    the merge ops (only candidate rows are ever joined against it)."""
+    d = load_table(spark, sf_dir, "documents")
+    return session_memo(
+        spark,
+        ("merge_shingles", os.path.abspath(sf_dir)),
+        lambda: _with_shingles(scatter(d)).select("doc_id", "sh").cache(),
+        sf_dir=sf_dir,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_components_merge — fold new pairs into the standing CC labeling
+# ---------------------------------------------------------------------------
+
+#: Shared with the §2.W merge oracle: the exact pair contract is word-3-
+#: shingle Jaccard ≥ 0.5 (decimal-4 rounded), the registered
+#: ``text_near_dedup_minhash`` definition.
+_PAIR_CTES = """tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(tk[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sh
+  FROM tk
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM sh
+), sim AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.doc_a
+  JOIN sizes sb ON sb.doc_id = inter.doc_b
+  WHERE ROUND(ninter / (sa.n + sb.n - ninter), 4) >= 0.5
+)"""
+
+
+def dedup_components_merge_oracle() -> str:
+    """Full-recompute twin: components over the COMPLETE exact pair set
+    of the merged corpus (standing pairs ∪ pairs touching the delta) —
+    by the merge contract that union IS every ≥0.5-Jaccard pair of the
+    full corpus, so the incremental fold must reproduce plain connected
+    components over all pairs."""
+    return f"""
+WITH RECURSIVE {_PAIR_CTES}, bi AS (
+  SELECT doc_a AS s, doc_b AS d FROM sim
+  UNION ALL
+  SELECT doc_b, doc_a FROM sim
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT b.d, r.lbl FROM reach r JOIN bi b ON b.s = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+#: Fold-size record of the most recent run: (star_edges, delta_pairs) —
+#: the refresh's edge set is their sum, NOT the full historical pair
+#: count (the incrementality claim, asserted by the staged tests).
+LAST_CC_FOLD_EDGES: list[int] = []
+
+
+def dedup_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component maintenance (SURVEY §2.Y): fold the pairs a
+    delta merge discovers into the STANDING duplicate-component labeling
+    — standing×standing work never re-runs. Returns the full updated
+    labeling ``(doc_id, component)``, component = min reachable doc_id
+    (the ``text_dedup_components`` contract over the merged pair set).
+
+    Shape at scale: (1) pair DISCOVERY is the §2.W merge step — delta
+    bands ⋈ (standing ∪ delta) buckets + exact verification, cost
+    O(|delta| + matches), never corpus²; (2) the standing labeling and
+    the standing band index read from the artifact store (a fresh
+    folding process re-trains nothing); (3) the label fold runs
+    connected components over the REDUCED graph — one star edge
+    (label → member) per standing non-singleton member plus the new
+    pairs — which collapses every standing component in one hop, so the
+    iteration count is bounded by the DELTA's diameter, not the
+    corpus's, and the edge volume is (non-singleton members + new
+    pairs), not the historical pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    split = _doc_split(spark, sf_dir)
+    standing = _standing_bands(spark, sf_dir, split)
+    sh_tbl = _shingle_table(spark, sf_dir)
+
+    # the standing labeling: THE maintained artifact of this op — CC over
+    # the standing corpus's own pairs, trained once per corpus version
+    def train_labels() -> DataFrame:
+        base_pairs = verify_band_candidates(standing, standing, sh_tbl)
+        return connected_components(
+            d.filter(F.col("doc_id") < split).select("doc_id"),
+            base_pairs.select("doc_a", "doc_b"),
+        )
+
+    labels = session_memo(
+        spark,
+        ("dedup_cc_base", os.path.abspath(sf_dir), split),
+        lambda: disk_artifact_frame(
+            spark,
+            "dedup_cc_base",
+            "v1",
+            sf_dir,
+            train_labels,
+            extra=(split,),
+        ),
+        sf_dir=sf_dir,
+    )
+
+    delta_bands = minhash_band_rows(
+        scatter(d.filter(F.col("doc_id") >= split))
+    ).localCheckpoint()
+    delta_pairs = verify_band_candidates(
+        delta_bands, standing.unionByName(delta_bands), sh_tbl
+    )
+    # star edges: one (label, member) edge per non-singleton standing
+    # member — singletons contribute nothing to connectivity and stay
+    # out of the fold entirely
+    star = labels.filter(F.col("component") != F.col("doc_id")).select(
+        F.col("component").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    edges = star.unionByName(
+        delta_pairs.select("doc_a", "doc_b")
+    ).localCheckpoint()
+    LAST_CC_FOLD_EDGES.clear()
+    LAST_CC_FOLD_EDGES.extend(
+        (star.count(), edges.count() - star.count())
+    )
+    return connected_components(d.select("doc_id"), edges)
+
+
+# ---------------------------------------------------------------------------
+# stream_index_drift — the streaming twin of vec_index_drift
+# ---------------------------------------------------------------------------
+
+#: Delta vectors per micro-batch file — ≥2 committed batches, so the
+#: per-batch census FOLD (not one big batch) is what the oracle checks.
+_STREAM_DRIFT_BATCHES = 2
+
+#: Per-batch walls of the most recent drain (the serve/merge latency
+#: record discipline).
+LAST_DRIFT_BATCH_WALLS: list[float] = []
+
+
+def stream_index_drift_oracle() -> str:
+    """The streaming monitor folds the SAME delta against the SAME
+    base-trained index as the registered batch op, so the contract — and
+    therefore the oracle — is ``vec_index_drift``'s, verbatim (the
+    ``stream_sketch_cms`` batch-twin precedent)."""
+    return vec_index_drift_oracle()
+
+
+def stream_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index-drift monitoring (SURVEY §2.Y): the inserted
+    vector population arrives as a STREAM of micro-batches; each batch
+    routes against the base-trained centroids (ONE Arrow pass over the
+    batch), its per-cell counts land batch_id-keyed (retry-idempotent),
+    and the final drift table — running delta census vs the PERSISTED
+    base census — must equal the batch op's.
+
+    Shape at scale: the base population routes ZERO times per monitoring
+    run — its 16-row census is an artifact-store entry trained once per
+    index version; per batch the work is O(|batch|·K·dim) row-local
+    routing plus a K-row counter fold, so the monitor's steady-state
+    cost tracks the insert stream, never the standing corpus."""
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.core import ckpt_dir
+
+    split = _embed_split(spark, sf_dir)
+    cents = base_trained_cents(spark, sf_dir, split)
+
+    def train_base_census() -> list[list[int]]:
+        base = load_table(spark, sf_dir, "embeddings").filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") < split)
+        ).select("vec_id", "embedding")
+        routed = route_to_centroids(scatter(base, 8), cents)
+        return sorted(
+            [int(r["cid"]), int(r["n"])]
+            for r in routed.groupBy("cid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    base_census = session_memo(
+        spark,
+        ("ivf_base_census", os.path.abspath(sf_dir), split),
+        lambda: disk_artifact_json(
+            "ivf_base_census",
+            "v1",
+            sf_dir,
+            train_base_census,
+            extra=(IVF_K, IVF_ITERS, split),
+        ),
+        sf_dir=sf_dir,
+    )
+
+    # ---- stage the delta vector stream, vec_id-ordered micro-batches ----
+    def build_stream(dir_: str) -> str:
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        dt = t.filter(
+            pc.greater_equal(t.column("vec_id"), split)
+        ).sort_by("vec_id")
+        per = max(1, -(-dt.num_rows // _STREAM_DRIFT_BATCHES))
+        for i in range(0, dt.num_rows, per):
+            f = os.path.join(dir_, f"d{i // per}.parquet")
+            pq.write_table(dt.slice(i, per), f)
+            os.utime(f, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        return dir_
+
+    src = session_memo(
+        spark,
+        ("drift_stream", os.path.abspath(sf_dir), split),
+        lambda: build_stream(tempfile.mkdtemp(prefix="nm_drift_d_")),
+        sf_dir=sf_dir,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="nm_drift_out_")
+    LAST_DRIFT_BATCH_WALLS.clear()
+
+    def census_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.perf_counter()
+        if not batch_df.take(1):
+            return
+        counts = route_to_centroids(
+            batch_df.select("vec_id", "embedding"), cents
+        ).groupBy("cid").agg(F.count("*").alias("n_delta"))
+        counts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        LAST_DRIFT_BATCH_WALLS.append(_time.perf_counter() - t0)
+
+    q = (
+        spark.readStream.schema(
+            spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(census_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    delta_counts = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("cid")
+        .agg(F.sum("n_delta").alias("n_delta"))
+    )
+    base_df = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in base_census], "cid int, n_base long"
+    )
+    counts = base_df.join(delta_counts, "cid", "full").select(
+        "cid", "n_base", "n_delta"
+    )
+    out = drift_from_census(counts, IVF_K)
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# text_profile_drift — corpus-profile drift through the same exact kernel
+# ---------------------------------------------------------------------------
+
+#: Token-count log2 band cap: length(bin(tok)) spans 1..cap (bin() has no
+#: leading zeros on either engine); buckets above the cap fold into it.
+_PROFILE_LOG2_CAP = 15
+
+#: Composite bucket id = log2_band * 10 + alpha_decile ∈ [10, 159]; the
+#: fixed cell frame covers 0..159 (ids 0..9 are structurally empty).
+_PROFILE_CELLS = (_PROFILE_LOG2_CAP + 1) * 10
+
+
+def text_profile_drift_oracle() -> str:
+    from ..functions.stable import dratio_sql
+
+    share_b = dratio_sql("n_base * 1000000", "tot_b")
+    share_d = dratio_sql("n_delta * 1000000", "tot_d")
+    return f"""
+WITH split AS (
+  SELECT (MAX(doc_id) + 1) * {_MERGE_SPLIT_NUM} // {_MERGE_SPLIT_DEN} AS v
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS al,
+         length(text) AS tot
+  FROM documents
+), buck AS (
+  SELECT CAST(least({_PROFILE_LOG2_CAP}, length(bin(tok))) * 10
+              + CASE WHEN tot > 0 THEN least(9, al * 10 // tot)
+                     ELSE 0 END AS INTEGER) AS cid,
+         CASE WHEN doc_id >= (SELECT v FROM split) THEN 1 ELSE 0 END AS pop
+  FROM feat
+), cb AS (
+  SELECT cid,
+         COUNT(*) FILTER (WHERE pop = 0) AS nb,
+         COUNT(*) FILTER (WHERE pop = 1) AS nd
+  FROM buck GROUP BY cid
+), cells AS (
+  SELECT r AS cid FROM range(0, {_PROFILE_CELLS}) t(r)
+), census AS (
+  SELECT cells.cid,
+         COALESCE(nb, 0) AS n_base,
+         COALESCE(nd, 0) AS n_delta
+  FROM cells LEFT JOIN cb ON cb.cid = cells.cid
+), tot AS (
+  SELECT SUM(n_base) AS tot_b, SUM(n_delta) AS tot_d FROM census
+)
+SELECT CAST(census.cid AS INTEGER) AS cid,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_delta AS BIGINT) AS n_delta,
+       {share_b} AS share_base,
+       {share_d} AS share_delta,
+       tot_b > 0 AND tot_d > 0
+       AND ABS(CAST(n_delta AS DECIMAL(38,0)) * tot_b
+               - CAST(n_base AS DECIMAL(38,0)) * tot_d) * 200
+             >= CAST(tot_b AS DECIMAL(38,0)) * tot_d AS drifted
+FROM census, tot
+"""
+
+
+def text_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-profile drift gate (SURVEY §2.Y): bucket every document by
+    (token-count log2 band × alphabetic-share decile) and census-drift
+    the standing corpus (doc_id < split) against the delta (doc_id ≥
+    split) through the SAME exact-rational kernel the vector-index
+    monitor uses (``index_drift_tagged``) — the pre-ingest check that a
+    delta's length/character profile still matches the corpus it joins.
+
+    Float discipline: every bucketing decision is INTEGER arithmetic —
+    the log2 band is the bit length (``length(bin(tok))``, identical
+    no-leading-zeros rendering on both engines), the decile is
+    ``al*10 DIV tot``, and the drift flag is the DECIMAL(38,0) cross
+    multiplication — so there is no float boundary anywhere in the op.
+
+    Shape at scale: one codegen'd scan (token count via row-local
+    ``split``/``filter`` size, character counts via ``regexp_replace``
+    length — no explode, no Python), one {_PROFILE_CELLS}-row keyed
+    exchange, and the constant-bounded census window. Pure JVM end to
+    end — the cheapest monitor in the family."""
+    d = load_table(spark, sf_dir, "documents")
+    split = _doc_split(spark, sf_dir)
+    feat = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("tok"),
+        F.length(
+            F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+        ).alias("al"),
+        F.length(F.col("text")).alias("tot"),
+    )
+    buck = feat.select(
+        (
+            F.least(
+                F.lit(_PROFILE_LOG2_CAP), F.length(F.bin(F.col("tok")))
+            )
+            * 10
+            + F.when(
+                F.col("tot") > 0,
+                F.least(F.lit(9), F.expr("al * 10 DIV tot")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("cid"),
+        (F.col("doc_id") >= split).cast("int").alias("pop"),
+    )
+    return index_drift_tagged(buck, _PROFILE_CELLS)

@@ -1,0 +1,305 @@
+"""Round-12 candidate verification (SURVEY §2.Y — staged, NOT registered).
+
+Each §2.Y candidate runs the exact same vanilla-shaped check the driver
+will apply once it is registered in round 12: Spark result vs its DuckDB
+oracle, column names + row count + canonical values — plus the property
+tests that pin each op's decision discipline. Keeping these green all
+round makes the r12 registration a 3-line diff with zero new risk (the
+§2.W/§2.X precedent, both batches registered green in round 11).
+"""
+
+from __future__ import annotations
+
+from tests.parity import canon_rows, run_oracle, run_spark
+
+SF = "/root/testdata/sf0.01"
+
+
+def _assert_staged_parity(fn, oracle_sql: str, spark, sf_dir: str = SF):
+    s_cols, s_rows = run_spark(fn, spark, sf_dir)
+    o_cols, o_rows = run_oracle(oracle_sql, sf_dir)
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows)
+    assert canon_rows(s_cols, s_rows) == canon_rows(o_cols, o_rows)
+
+
+def test_dedup_components_merge_matches_oracle(spark):
+    from storm_netmonitor_spark.operators.extensions8 import (
+        dedup_components_merge,
+        dedup_components_merge_oracle,
+    )
+
+    _assert_staged_parity(
+        dedup_components_merge, dedup_components_merge_oracle(), spark
+    )
+
+
+def test_stream_index_drift_matches_oracle(spark):
+    from storm_netmonitor_spark.operators.extensions8 import (
+        stream_index_drift,
+        stream_index_drift_oracle,
+    )
+
+    _assert_staged_parity(
+        stream_index_drift, stream_index_drift_oracle(), spark
+    )
+
+
+def test_text_profile_drift_matches_oracle(spark):
+    from storm_netmonitor_spark.operators.extensions8 import (
+        text_profile_drift,
+        text_profile_drift_oracle,
+    )
+
+    _assert_staged_parity(
+        text_profile_drift, text_profile_drift_oracle(), spark
+    )
+
+
+def test_components_merge_equals_full_recompute(spark):
+    """Op-vs-op equivalence: the incremental fold (standing labels +
+    star edges + delta pairs) must reproduce plain connected components
+    over the COMPLETE pair set, labels included (component = min
+    reachable doc_id)."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import load_table, scatter
+    from storm_netmonitor_spark.operators.corpus import (
+        connected_components,
+    )
+    from storm_netmonitor_spark.operators.extensions6 import (
+        minhash_band_rows,
+        verify_band_candidates,
+    )
+    from storm_netmonitor_spark.operators.extensions8 import (
+        _shingle_table,
+        dedup_components_merge,
+    )
+
+    d = load_table(spark, SF, "documents")
+    all_bands = minhash_band_rows(scatter(d)).localCheckpoint()
+    full_pairs = verify_band_candidates(
+        all_bands, all_bands, _shingle_table(spark, SF)
+    )
+    full = sorted(
+        (r["doc_id"], r["component"])
+        for r in connected_components(
+            d.select("doc_id"), full_pairs.select("doc_a", "doc_b")
+        ).collect()
+    )
+    folded = sorted(
+        (r["doc_id"], r["component"])
+        for r in dedup_components_merge(spark, SF).collect()
+    )
+    assert folded == full
+    # informative at test scale: some non-trivial components exist
+    assert any(doc != comp for doc, comp in folded)
+
+
+def test_components_merge_fold_is_reduced(spark):
+    """The incrementality claim, pinned by exact identities: the fold's
+    edge set is (non-singleton standing members) star edges plus EXACTLY
+    the delta merge's pair set — the standing historical pair set never
+    rides into the fold."""
+    from storm_netmonitor_spark.operators import extensions8 as e8
+    from storm_netmonitor_spark.operators.extensions6 import (
+        text_minhash_index_merge,
+    )
+
+    e8.dedup_components_merge(spark, SF).collect()
+    star, delta = e8.LAST_CC_FOLD_EDGES
+    assert delta == text_minhash_index_merge(spark, SF).count()
+    # star edges = standing members whose label is not themselves
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators.corpus import (
+        connected_components,
+    )
+    from storm_netmonitor_spark.operators.extensions6 import (
+        verify_band_candidates,
+    )
+    from storm_netmonitor_spark.operators.extensions8 import (
+        _doc_split,
+        _shingle_table,
+        _standing_bands,
+    )
+
+    split = _doc_split(spark, SF)
+    standing = _standing_bands(spark, SF, split)
+    base_pairs = verify_band_candidates(
+        standing, standing, _shingle_table(spark, SF)
+    )
+    base_labels = connected_components(
+        load_table(spark, SF, "documents")
+        .filter(f"doc_id < {split}")
+        .select("doc_id"),
+        base_pairs.select("doc_a", "doc_b"),
+    )
+    non_singleton = base_labels.filter("component != doc_id").count()
+    assert star == non_singleton
+    assert star > 0 and delta > 0
+
+
+def test_stream_drift_equals_batch_op(spark):
+    """Batch-equivalence, op vs op: the streaming census fold must emit
+    EXACTLY the registered batch drift table (same base-trained
+    centroids, same delta population, different execution mode)."""
+    from storm_netmonitor_spark.operators.extensions7 import (
+        vec_index_drift,
+    )
+    from storm_netmonitor_spark.operators.extensions8 import (
+        stream_index_drift,
+    )
+
+    streamed = sorted(map(tuple, stream_index_drift(spark, SF).collect()))
+    batch = sorted(map(tuple, vec_index_drift(spark, SF).collect()))
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_drift_commits_multiple_batches(spark):
+    """Per-batch census folding is the claim — the drain must have
+    committed ≥2 micro-batches, each with a recorded wall, and re-running
+    must give identical rows (run-to-run determinism)."""
+    from storm_netmonitor_spark.operators import extensions8 as e8
+
+    r1 = sorted(map(tuple, e8.stream_index_drift(spark, SF).collect()))
+    assert len(e8.LAST_DRIFT_BATCH_WALLS) >= 2
+    r2 = sorted(map(tuple, e8.stream_index_drift(spark, SF).collect()))
+    assert r1 == r2
+
+
+def test_profile_drift_census_conserves_and_is_exact(spark):
+    """The profile census must conserve both corpus populations, every
+    bucket id must sit in the structural range, and every drifted flag
+    must recompute from the integer census alone."""
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators.extensions8 import (
+        _PROFILE_CELLS,
+        _doc_split,
+        text_profile_drift,
+    )
+
+    rows = text_profile_drift(spark, SF).collect()
+    assert len(rows) == _PROFILE_CELLS
+    split = _doc_split(spark, SF)
+    d = load_table(spark, SF, "documents")
+    assert sum(r["n_base"] for r in rows) == d.filter(
+        f"doc_id < {split}"
+    ).count()
+    assert sum(r["n_delta"] for r in rows) == d.filter(
+        f"doc_id >= {split}"
+    ).count()
+    tot_b = sum(r["n_base"] for r in rows)
+    tot_d = sum(r["n_delta"] for r in rows)
+    for r in rows:
+        if r["n_base"] or r["n_delta"]:
+            assert 10 <= r["cid"] < _PROFILE_CELLS
+        expect = (
+            abs(r["n_delta"] * tot_b - r["n_base"] * tot_d) * 200
+            >= tot_b * tot_d
+        )
+        assert r["drifted"] == expect, r
+
+
+def test_staged_plan_shapes(spark):
+    """No cartesian / nested-loop anywhere in the batch candidates (the
+    registry-wide guard, applied pre-registration). text_profile_drift
+    must additionally be pure JVM — zero Python-eval nodes — since its
+    100 TB claim is one codegen'd scan plus a bucket-count exchange."""
+    from storm_netmonitor_spark.operators.extensions8 import (
+        dedup_components_merge,
+        text_profile_drift,
+    )
+    from tests.test_plans import plan
+
+    p = plan(text_profile_drift(spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    for node in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+    ):
+        assert node not in p, f"profile drift is not pure JVM: {node}\n{p}"
+
+    # the CC fold returns a checkpointed labels frame (trivial plan); the
+    # guard belongs on the edge-building pipeline it materialized — rerun
+    # the delta pair step explicitly
+    from storm_netmonitor_spark.io import load_table, scatter
+    from storm_netmonitor_spark.operators.extensions6 import (
+        minhash_band_rows,
+        verify_band_candidates,
+    )
+    from storm_netmonitor_spark.operators.extensions8 import (
+        _doc_split,
+        _shingle_table,
+        _standing_bands,
+    )
+
+    split = _doc_split(spark, SF)
+    standing = _standing_bands(spark, SF, split)
+    delta_bands = minhash_band_rows(
+        scatter(
+            load_table(spark, SF, "documents").filter(f"doc_id >= {split}")
+        )
+    )
+    p = plan(
+        verify_band_candidates(
+            delta_bands,
+            standing.unionByName(delta_bands),
+            _shingle_table(spark, SF),
+        ),
+        mode="simple",
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # silence the kernel-plan build above in case a sweep reuses it
+    assert dedup_components_merge is not None
+
+
+def test_standing_artifacts_read_not_retrain(spark, tmp_path, monkeypatch):
+    """A fresh folding/monitoring process must READ the standing labels
+    and the base census from the artifact store, never re-train them:
+    after clearing the in-process memo, the second build must return
+    identical results from the SAME store entries (inode-stable)."""
+    import os
+
+    from storm_netmonitor_spark.io import _SESSION_MEMO
+    from storm_netmonitor_spark.operators import extensions8 as e8
+
+    def drop_memo() -> None:
+        for k in [
+            k
+            for k in _SESSION_MEMO
+            if any(
+                tag in repr(k)
+                for tag in (
+                    "dedup_cc_base",
+                    "ivf_base_census",
+                    "minhash_band_index",
+                    "merge_shingles",
+                    "ivf_base_cents",
+                    "doc_split",
+                    "embed_split",
+                    "drift_stream",
+                )
+            )
+        ]:
+            _SESSION_MEMO.pop(k)
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store"))
+    drop_memo()
+    r1 = sorted(map(tuple, e8.dedup_components_merge(spark, SF).collect()))
+    d1 = sorted(map(tuple, e8.stream_index_drift(spark, SF).collect()))
+    store = str(tmp_path / "store")
+    inodes = {
+        n: os.stat(os.path.join(store, n)).st_ino for n in os.listdir(store)
+    }
+    assert any(n.startswith("dedup_cc_base") for n in inodes)
+    assert any(n.startswith("ivf_base_census") for n in inodes)
+    drop_memo()
+    r2 = sorted(map(tuple, e8.dedup_components_merge(spark, SF).collect()))
+    d2 = sorted(map(tuple, e8.stream_index_drift(spark, SF).collect()))
+    assert r1 == r2 and d1 == d2
+    for n, ino in inodes.items():
+        assert os.stat(os.path.join(store, n)).st_ino == ino, n

@@ -61,6 +61,15 @@ _AUDITED_COLLECT_SITES = {
         "base_trained_cents": 1,
         "stream_minhash_index_merge": 2,
     },
+    # §2.Y staged batch: _doc_split is ONE scalar max (the split-point
+    # precedent); stream_index_drift collects the K-row base census
+    # (model-scalar class, artifact-store trained) and the final
+    # n_cells-row drift table to detach it from the temp sink before
+    # rmtree (the stream_ann_serve result-detach precedent)
+    "operators/extensions8.py": {
+        "_doc_split": 1,
+        "stream_index_drift": 2,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,

@@ -563,22 +563,22 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The most recently registered batch (§2.X graduated mid-round-11;
-    # §2.W before it — both now also covered by --full / the window
-    # modes). When a new batch is STAGED unregistered, repoint this
-    # mode at it: the registration gate requires each candidate to pass
-    # under real executor JVMs BEFORE the registering commit.
-    from storm_netmonitor_spark.operators import extensions7 as e7
+    # The UNREGISTERED §2.Y round-12 candidates: the registration gate
+    # requires each to pass under real executor JVMs BEFORE the
+    # registering commit — this mode is that gate, runnable today.
+    # (The §2.W and §2.X batches graduated to the registry in round 11
+    # and are now covered by --full / the window modes.)
+    from storm_netmonitor_spark.operators import extensions8 as e8
 
     qd = {
-        "vec_ivf_index_insert": e7.vec_ivf_index_insert,
-        "vec_index_drift": e7.vec_index_drift,
-        "stream_minhash_index_merge": e7.stream_minhash_index_merge,
+        "dedup_components_merge": e8.dedup_components_merge,
+        "stream_index_drift": e8.stream_index_drift,
+        "text_profile_drift": e8.text_profile_drift,
     }
     od = {
-        "vec_ivf_index_insert": e7.vec_ivf_index_insert_oracle(),
-        "vec_index_drift": e7.vec_index_drift_oracle(),
-        "stream_minhash_index_merge": e7.stream_minhash_index_merge_oracle(),
+        "dedup_components_merge": e8.dedup_components_merge_oracle(),
+        "stream_index_drift": e8.stream_index_drift_oracle(),
+        "text_profile_drift": e8.text_profile_drift_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
