@@ -49,6 +49,9 @@ FAMILY = (
     "text_minhash_index_merge",  # standing band index (r11)
     "multimodal_joined_dedup",  # union edge frame (r11)
     "stream_ann_serve",  # ivf_cents + ivf_cells routing (r11)
+    "vec_ivf_index_insert",  # base-trained centroids (r11 §2.X)
+    "vec_index_drift",  # base-trained centroids, shared key (r11 §2.X)
+    "stream_minhash_index_merge",  # standing band index, shared key (r11 §2.X)
 )
 
 _CHILD = r"""
