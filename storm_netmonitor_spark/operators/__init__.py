@@ -36,6 +36,7 @@ _MODULES = (
     "extensions5",
     "extensions6",
     "extensions7",
+    "extensions8",
 )
 
 

@@ -1,12 +1,13 @@
-"""Round-12 candidate operators, PRE-STAGED (SURVEY §2.Y; the staging
-discipline of the §2.W/§2.X batches applied forward).
+"""Round-11 operators, third batch — §2.Y, REGISTERED (registry 288 → 291).
 
-NOTHING in this module is registered: the registry closed the continued
-round-11 session at 288, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions8_staged.py`` for the same
-vanilla-session + DuckDB-hash verification the driver will run once they
-ARE registered in round 12. Registration then is a 3-line diff per op.
+Staged first (plain callables + oracle builders, the §2.W/§2.X staging
+discipline applied forward), these three passed BOTH halves of the
+registration gate before the registering commit — vanilla-session DuckDB
+hash parity in ``tests/test_extensions8_staged.py`` (10/10, including
+the incrementality and exact-boundary property tests) and
+``tools/preflight_local_cluster --staged`` under real executor JVMs —
+so the continued round-11 session registers them with the standard
+``@query`` decorator.
 
 Capability anchor: SURVEY §2.Y — the MONITORING / INCREMENTAL
 MAINTENANCE triple. Rounds 10–11 shipped the index lifecycle (serve,
@@ -54,6 +55,7 @@ from .extensions6 import (
     minhash_band_rows,
     verify_band_candidates,
 )
+from ..registry import query
 from .extensions7 import (
     _embed_split,
     base_trained_cents,
@@ -179,6 +181,7 @@ FROM reach GROUP BY node
 LAST_CC_FOLD_EDGES: list[int] = []
 
 
+@query("dedup_components_merge", oracle=dedup_components_merge_oracle())
 def dedup_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental component maintenance (SURVEY §2.Y): fold the pairs a
     delta merge discovers into the STANDING duplicate-component labeling
@@ -268,6 +271,7 @@ def stream_index_drift_oracle() -> str:
     return vec_index_drift_oracle()
 
 
+@query("stream_index_drift", oracle=stream_index_drift_oracle())
 def stream_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming index-drift monitoring (SURVEY §2.Y): the inserted
     vector population arrives as a STREAM of micro-batches; each batch
@@ -449,6 +453,7 @@ FROM census, tot
 """
 
 
+@query("text_profile_drift", oracle=text_profile_drift_oracle())
 def text_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-profile drift gate (SURVEY §2.Y): bucket every document by
     (token-count log2 band × alphabetic-share decile) and census-drift

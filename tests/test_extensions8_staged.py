@@ -1,11 +1,15 @@
-"""Round-12 candidate verification (SURVEY §2.Y — staged, NOT registered).
+"""§2.Y operator verification (staged first, REGISTERED later in r11).
 
-Each §2.Y candidate runs the exact same vanilla-shaped check the driver
-will apply once it is registered in round 12: Spark result vs its DuckDB
-oracle, column names + row count + canonical values — plus the property
-tests that pin each op's decision discipline. Keeping these green all
-round makes the r12 registration a 3-line diff with zero new risk (the
-§2.W/§2.X precedent, both batches registered green in round 11).
+Each §2.Y op runs the exact same vanilla-shaped check the driver applies:
+Spark result vs its DuckDB oracle, column names + row count + canonical
+values — plus the property tests that pin each op's decision discipline
+(fold incrementality, exact drift boundaries, integer-only bucketing).
+These tests predate the registration (they were the first half of the
+registration gate) and stay as the module-local parity+property suite;
+the registry-wide sweeps now cover the two batch ops too, while
+``stream_index_drift`` is excluded from the batch plan sweeps by the
+``stream_`` prefix like every streaming-drain op (its per-batch census
+fold is pinned here instead).
 """
 
 from __future__ import annotations

@@ -705,6 +705,9 @@ _GLOBAL_WINDOW_OK = {
     "(TakeOrderedAndProject feeds the rank/cum windows; round-8 rework)",
     "ts_sla_burn_rate": "O(hours) error-rate census (range frame over "
     "the hourly rollup)",
+    "text_profile_drift": "totals window over the bucket census, pinned "
+    "at exactly 160 rows by the fixed cells frame regardless of corpus "
+    "size (same index_drift_tagged kernel as vec_index_drift)",
     "vec_index_drift": "totals window over the census, pinned at "
     "exactly K=16 rows by the cells left-join regardless of corpus size",
 }
