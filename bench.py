@@ -105,6 +105,10 @@ EXTRA_REPORTED = [
     "vec_ivf_index_insert",  # artifact-trained centroids + delta argmax routing
     "vec_index_drift",  # two routed censuses + integer-exact drift flags
     "stream_minhash_index_merge",  # streaming index fold (per-batch walls in detail)
+    # round-11 §2.Y registration (monitoring / incremental maintenance)
+    "dedup_components_merge",  # star-edge CC fold over delta pairs only
+    "stream_index_drift",  # streaming census fold (per-batch walls in detail)
+    "text_profile_drift",  # integer-exact bucket census drift (pure JVM)
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -134,6 +138,13 @@ RERUN_FULL = {
     # the streaming index fold (foreachBatch over the delta doc stream)
     # runs inside the call; the returned frame is a local relation
     "stream_minhash_index_merge",
+    # the CC label fold materializes during DataFrame construction
+    # (localCheckpoint per round, like pagerank) and records its
+    # fold-size identities inside the call
+    "dedup_components_merge",
+    # the streaming census drain (foreachBatch over the staged vector
+    # stream) runs inside the call; the returned frame is a local relation
+    "stream_index_drift",
 }
 
 WARMUPS = 1
@@ -296,6 +307,7 @@ def main() -> None:
     # committed batches
     from storm_netmonitor_spark.operators import extensions6 as _e6
     from storm_netmonitor_spark.operators import extensions7 as _e7
+    from storm_netmonitor_spark.operators import extensions8 as _e8
 
     def _latency_record(walls):
         walls = sorted(walls)
@@ -316,6 +328,7 @@ def main() -> None:
 
     serve_latency = _latency_record(_e6.LAST_SERVE_BATCH_WALLS)
     merge_latency = _latency_record(_e7.LAST_MERGE_BATCH_WALLS)
+    drift_latency = _latency_record(_e8.LAST_DRIFT_BATCH_WALLS)
     calibration_end = _calibrate()
     load_at_end = [round(v, 2) for v in os.getloadavg()]
 
@@ -367,6 +380,7 @@ def main() -> None:
         cold_seconds=cold,
         stream_ann_serve_batch_latency=serve_latency,
         stream_minhash_index_merge_batch_latency=merge_latency,
+        stream_index_drift_batch_latency=drift_latency,
     )
     line, was_trimmed = _fit_stdout_line(compact)
     if was_trimmed:
