@@ -70,6 +70,13 @@ _AUDITED_COLLECT_SITES = {
         "_doc_split": 1,
         "stream_index_drift": 2,
     },
+    # §2.Z staged batch: vec_ann_recall collects the Q-row query block
+    # (Q=10 vectors — the vec_ann_ivf single-query-fetch precedent,
+    # batched); the probe ranks derive from it and the broadcastable
+    # K×dim centroid artifact with no further action
+    "operators/extensions9.py": {
+        "vec_ann_recall": 1,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,

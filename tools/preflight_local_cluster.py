@@ -563,22 +563,22 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The most recently registered batch (§2.Y graduated mid-round-11;
-    # §2.W and §2.X before it — all now also covered by --full / the
-    # window modes). When a new batch is STAGED unregistered, repoint
-    # this mode at it: the registration gate requires each candidate to
-    # pass under real executor JVMs BEFORE the registering commit.
-    from storm_netmonitor_spark.operators import extensions8 as e8
+    # The UNREGISTERED §2.Z round-12 candidates: the registration gate
+    # requires each to pass under real executor JVMs BEFORE the
+    # registering commit — this mode is that gate, runnable today.
+    # (The §2.W/§2.X/§2.Y batches graduated to the registry in round 11
+    # and are now covered by --full / the window modes.)
+    from storm_netmonitor_spark.operators import extensions9 as e9
 
     qd = {
-        "dedup_components_merge": e8.dedup_components_merge,
-        "stream_index_drift": e8.stream_index_drift,
-        "text_profile_drift": e8.text_profile_drift,
+        "text_minhash_calibration": e9.text_minhash_calibration,
+        "text_filter_agreement": e9.text_filter_agreement,
+        "vec_ann_recall": e9.vec_ann_recall,
     }
     od = {
-        "dedup_components_merge": e8.dedup_components_merge_oracle(),
-        "stream_index_drift": e8.stream_index_drift_oracle(),
-        "text_profile_drift": e8.text_profile_drift_oracle(),
+        "text_minhash_calibration": e9.text_minhash_calibration_oracle(),
+        "text_filter_agreement": e9.text_filter_agreement_oracle(SF),
+        "vec_ann_recall": e9.vec_ann_recall_oracle(SF),
     }
 if FULL or STAGED:
     RUN = list(qd)
