@@ -109,6 +109,10 @@ EXTRA_REPORTED = [
     "dedup_components_merge",  # star-edge CC fold over delta pairs only
     "stream_index_drift",  # streaming census fold (per-batch walls in detail)
     "text_profile_drift",  # integer-exact bucket census drift (pure JVM)
+    # round-11 §2.Z registration (approximation-quality evaluation)
+    "vec_ann_recall",  # IVF recall curve: one routing pass + Q-block dots
+    "text_minhash_calibration",  # banding S-curve: one scan, 4-row exchange
+    "text_filter_agreement",  # three-gate confusion: gate plans + 1 agg
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -145,6 +149,12 @@ RERUN_FULL = {
     # the streaming census drain (foreachBatch over the staged vector
     # stream) runs inside the call; the returned frame is a local relation
     "stream_index_drift",
+    # the enriched N×Q frame materializes during DataFrame construction
+    # (localCheckpoint barrier against the repeated dot pass)
+    "vec_ann_recall",
+    # the composed tercile gate's threshold search (two driver collects)
+    # runs during DataFrame construction, the text_ppl_buckets precedent
+    "text_filter_agreement",
 }
 
 WARMUPS = 1

@@ -37,6 +37,7 @@ _MODULES = (
     "extensions6",
     "extensions7",
     "extensions8",
+    "extensions9",
 )
 
 

@@ -1,12 +1,13 @@
-"""Round-12 candidate operators, PRE-STAGED (SURVEY §2.Z; the staging
-discipline of the §2.W/§2.X/§2.Y batches applied forward).
+"""Round-11 operators, fourth batch — §2.Z, REGISTERED (registry 291 → 294).
 
-NOTHING in this module is registered: the registry closed the round-11
-sessions at 291, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions9_staged.py`` for the same
-vanilla-session + DuckDB-hash verification the driver will run once they
-ARE registered. Registration then is a 3-line diff per op.
+Staged first (plain callables + oracle builders, the §2.W/§2.X/§2.Y
+staging discipline applied forward), these three passed BOTH halves of
+the registration gate before the registering commit — vanilla-session
+DuckDB hash parity in ``tests/test_extensions9_staged.py`` (12/12,
+including the S-curve-vs-theory, confusion-identity, and margin
+property tests) and ``tools/preflight_local_cluster --staged`` under
+real executor JVMs — so the continued round-11 session registers them
+with the standard ``@query`` decorator.
 
 Capability anchor: SURVEY §2.Z — the APPROXIMATION-QUALITY EVALUATION
 triple. Rounds 10–11 shipped the index/dedup lifecycle (build, serve,
@@ -38,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import dratio, dratio_sql
 from ..io import load_table
+from ..registry import query
 from .text import SHINGLE_K, _with_shingles
 
 # ---------------------------------------------------------------------------
@@ -137,6 +139,7 @@ GROUP BY frac_pct
 """
 
 
+@query("text_minhash_calibration", oracle=text_minhash_calibration_oracle())
 def text_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding S-curve calibration (SURVEY §2.Z): pair every document
     with its own sorted-shingle PREFIX at each retention fraction — a
@@ -240,6 +243,7 @@ flags AS (
 """
 
 
+@query("text_filter_agreement", oracle=text_filter_agreement_oracle)
 def text_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate agreement audit (SURVEY §2.Z): the pairwise confusion
     matrix between the three registered pretraining filters — the
@@ -390,6 +394,7 @@ FROM grid g LEFT JOIN hits h ON h.q_id = g.q_id AND h.nprobe = g.nprobe
 """
 
 
+@query("vec_ann_recall", oracle=vec_ann_recall_oracle)
 def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall tuning curve (SURVEY §2.Z): recall@{_REC_K} of the
     SERVED index (the ``ivf_index`` artifact — same K=16 spherical

@@ -1,13 +1,16 @@
-"""Round-12 candidate verification (SURVEY §2.Z — staged, NOT registered).
+"""§2.Z operator verification (staged first, REGISTERED later in r11).
 
-Each §2.Z candidate runs the exact same vanilla-shaped check the driver
-will apply once it is registered: Spark result vs its DuckDB oracle,
-column names + row count + canonical values — plus the property tests
-that pin each op's measurement discipline (S-curve shape, confusion
-identities against the underlying registered gates, recall monotonicity
-and decision margins, plan guards). Keeping these green all round makes
-the registration a 3-line diff with zero new risk (the §2.W/§2.X/§2.Y
-precedent, all three batches registered green in round 11).
+Each §2.Z op runs the exact same vanilla-shaped check the driver
+applies: Spark result vs its DuckDB oracle, column names + row count +
+canonical values — plus the property tests that pin each op's
+measurement discipline (S-curve shape vs LSH theory, confusion
+identities against the underlying registered gates, recall
+monotonicity and decision margins, plan guards). These tests predate
+the registration (they were the first half of the registration gate)
+and stay as the module-local parity+property suite; the registry-wide
+sweeps now cover the three ops too, with `vec_ann_recall` and
+`text_filter_agreement` on the cartesian allowlist (broadcast Q-row
+query block / inherited 1-row scalar BNLJ renderings).
 """
 
 from __future__ import annotations

@@ -106,6 +106,13 @@ _CARTESIAN_OK = {
     "text_perplexity_unigram",  # corpus token total (row-local scan)
     "text_word_freq_zipf",  # corpus token total (row-local scan)
     "text_ppl_buckets",  # cached perplexity build plan renders its BNLJ
+    # §2.Z: the broadcast Q-row query block (O(N×Q) map work at fixed Q,
+    # the vec_batch_knn bound) renders as one BNLJ inside the recall
+    # op's checkpoint build; the gate-composition op inherits
+    # text_ppl_buckets's / text_perplexity_unigram's allowlisted 1-row
+    # scalar BNLJ renderings through the composed gate plans
+    "vec_ann_recall",
+    "text_filter_agreement",
 }
 
 
