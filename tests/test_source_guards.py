@@ -77,6 +77,16 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions9.py": {
         "vec_ann_recall": 1,
     },
+    # §2.AA staged batch: sink_targeted_delete collects its 30-row
+    # per-partition delete ledger to detach it from the temp rewrite dir
+    # before rmtree (the stream_ann_serve result-detach precedent);
+    # vec_ivf_cell_retrain collects the K-row drift table to build the
+    # spliced repaired model (model-scalar class, the _lloyd_round
+    # partials precedent)
+    "operators/extensions10.py": {
+        "sink_targeted_delete": 1,
+        "vec_ivf_cell_retrain": 1,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,

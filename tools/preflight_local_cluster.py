@@ -563,22 +563,22 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The most recently registered batch (§2.Z graduated mid-round-11;
-    # §2.W/§2.X/§2.Y before it — all now also covered by --full / the
-    # window modes). When a new batch is STAGED unregistered, repoint
-    # this mode at it: the registration gate requires each candidate to
-    # pass under real executor JVMs BEFORE the registering commit.
-    from storm_netmonitor_spark.operators import extensions9 as e9
+    # The UNREGISTERED §2.AA round-12 candidates: the registration gate
+    # requires each to pass under real executor JVMs BEFORE the
+    # registering commit — this mode is that gate, runnable today.
+    # (The §2.W–§2.Z batches graduated to the registry in round 11 and
+    # are now covered by --full / the window modes.)
+    from storm_netmonitor_spark.operators import extensions10 as e10
 
     qd = {
-        "text_minhash_calibration": e9.text_minhash_calibration,
-        "text_filter_agreement": e9.text_filter_agreement,
-        "vec_ann_recall": e9.vec_ann_recall,
+        "sink_targeted_delete": e10.sink_targeted_delete,
+        "dedup_components_retract": e10.dedup_components_retract,
+        "vec_ivf_cell_retrain": e10.vec_ivf_cell_retrain,
     }
     od = {
-        "text_minhash_calibration": e9.text_minhash_calibration_oracle(),
-        "text_filter_agreement": e9.text_filter_agreement_oracle(SF),
-        "vec_ann_recall": e9.vec_ann_recall_oracle(SF),
+        "sink_targeted_delete": e10.sink_targeted_delete_oracle(),
+        "dedup_components_retract": e10.dedup_components_retract_oracle(),
+        "vec_ivf_cell_retrain": e10.vec_ivf_cell_retrain_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
