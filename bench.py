@@ -113,6 +113,10 @@ EXTRA_REPORTED = [
     "vec_ann_recall",  # IVF recall curve: one routing pass + Q-block dots
     "text_minhash_calibration",  # banding S-curve: one scan, 4-row exchange
     "text_filter_agreement",  # three-gate confusion: gate plans + 1 agg
+    # round-11 §2.AA registration (retraction & repair)
+    "sink_targeted_delete",  # partition-minimal retention+tombstone rewrite
+    "dedup_components_retract",  # label splice under deletions
+    "vec_ivf_cell_retrain",  # spliced-Lloyd recenter of drifted cells
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -155,6 +159,15 @@ RERUN_FULL = {
     # the composed tercile gate's threshold search (two driver collects)
     # runs during DataFrame construction, the text_ppl_buckets precedent
     "text_filter_agreement",
+    # the rewrite + ledger read-back run inside the call; the returned
+    # frame is a local relation
+    "sink_targeted_delete",
+    # the splice's CC fold materializes during construction
+    # (localCheckpoint per round)
+    "dedup_components_retract",
+    # the drift collect + Lloyd partials pass + reroute run inside the
+    # call / during construction
+    "vec_ivf_cell_retrain",
 }
 
 WARMUPS = 1

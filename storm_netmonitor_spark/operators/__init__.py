@@ -38,6 +38,7 @@ _MODULES = (
     "extensions7",
     "extensions8",
     "extensions9",
+    "extensions10",
 )
 
 

@@ -1,12 +1,13 @@
-"""Round-12 candidate operators, PRE-STAGED (SURVEY §2.AA; the staging
-discipline of the §2.W–§2.Z batches applied forward).
+"""Round-11 operators, fifth batch — §2.AA, REGISTERED (registry 294 → 297).
 
-NOTHING in this module is registered: the registry closed the round-11
-sessions at 294, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions10_staged.py`` for the same
-vanilla-session + DuckDB-hash verification the driver will run once
-they ARE registered. Registration then is a 3-line diff per op.
+Staged first (plain callables + oracle builders, the §2.W–§2.Z staging
+discipline applied forward), these three passed BOTH halves of the
+registration gate before the registering commit — vanilla-session
+DuckDB hash parity in ``tests/test_extensions10_staged.py`` (12/12,
+including the partition-minimality, retraction-equivalence, and
+spliced-Lloyd identity tests) and ``tools/preflight_local_cluster
+--staged`` under real executor JVMs — so the continued round-11
+session registers them with the standard ``@query`` decorator.
 
 Capability anchor: SURVEY §2.AA — the RETRACTION & REPAIR triple,
 closing the lifecycle arc (build → serve → maintain → monitor →
@@ -44,6 +45,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table, scatter, session_memo
+from ..registry import query
 
 # ---------------------------------------------------------------------------
 # sink_targeted_delete — retention + tombstones with partition-minimal I/O
@@ -90,6 +92,7 @@ FROM per
 """
 
 
+@query("sink_targeted_delete", oracle=sink_targeted_delete_oracle())
 def sink_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Targeted hard-delete over the date-partitioned events layout
     (SURVEY §2.AA): retention expiry plus a tombstoned-user takedown,
@@ -206,6 +209,7 @@ FROM reach GROUP BY node
 """
 
 
+@query("dedup_components_retract", oracle=dedup_components_retract_oracle())
 def dedup_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental component maintenance under DELETIONS (SURVEY §2.AA):
     the delta docs (doc_id ≥ split) leave the corpus; return the updated
@@ -346,6 +350,7 @@ FROM flags f LEFT JOIN ca ON ca.cid = f.cid
 """
 
 
+@query("vec_ivf_cell_retrain", oracle=vec_ivf_cell_retrain_oracle())
 def vec_ivf_cell_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial index repair (SURVEY §2.AA): cells the §2.X drift monitor
     flags RE-CENTER on their current population (one spherical recenter

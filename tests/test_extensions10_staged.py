@@ -1,14 +1,16 @@
-"""Round-12 candidate verification (SURVEY §2.AA — staged, NOT registered).
+"""§2.AA operator verification (staged first, REGISTERED later in r11).
 
-Each §2.AA candidate runs the exact same vanilla-shaped check the driver
-will apply once it is registered: Spark result vs its DuckDB oracle,
-column names + row count + canonical values — plus the property tests
-that pin each op's repair discipline (partition-minimal I/O with real
-directory-listing evidence, retraction ≡ full-recompute with the
-pass-through identity, recenter ≡ one-Lloyd-step splice with byte-stable
-stable cells and count conservation). Keeping these green all round
-makes the registration a 3-line diff with zero new risk (the
-§2.W–§2.Z precedent, all four batches registered green in round 11).
+Each §2.AA op runs the exact same vanilla-shaped check the driver
+applies: Spark result vs its DuckDB oracle, column names + row count +
+canonical values — plus the property tests that pin each op's repair
+discipline (partition-minimal I/O with real directory-listing evidence,
+retraction ≡ full-recompute with the pass-through identity, recenter ≡
+one-Lloyd-step splice with byte-stable stable cells and count
+conservation). These tests predate the registration (they were the
+first half of the registration gate) and stay as the module-local
+parity+property suite; the registry-wide sweeps now cover the three
+ops too, with `vec_ivf_cell_retrain` on the global-window allowlist
+(the inherited 16-row census window).
 """
 
 from __future__ import annotations

@@ -717,6 +717,9 @@ _GLOBAL_WINDOW_OK = {
     "size (same index_drift_tagged kernel as vec_index_drift)",
     "vec_index_drift": "totals window over the census, pinned at "
     "exactly K=16 rows by the cells left-join regardless of corpus size",
+    "vec_ivf_cell_retrain": "inherits vec_index_drift's K=16-row census "
+    "window through the composed drift decision (the internal execution "
+    "of the registered drift op inside the repair call)",
 }
 
 

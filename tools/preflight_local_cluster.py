@@ -563,11 +563,12 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The UNREGISTERED §2.AA round-12 candidates: the registration gate
-    # requires each to pass under real executor JVMs BEFORE the
-    # registering commit — this mode is that gate, runnable today.
-    # (The §2.W–§2.Z batches graduated to the registry in round 11 and
-    # are now covered by --full / the window modes.)
+    # The most recently registered batch (§2.AA graduated
+    # mid-round-11; §2.W–§2.Z before it — all now also covered by
+    # --full / the window modes). When a new batch is STAGED
+    # unregistered, repoint this mode at it: the registration gate
+    # requires each candidate to pass under real executor JVMs BEFORE
+    # the registering commit.
     from storm_netmonitor_spark.operators import extensions10 as e10
 
     qd = {
