@@ -563,23 +563,22 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The most recently registered batch (§2.AA graduated
-    # mid-round-11; §2.W–§2.Z before it — all now also covered by
-    # --full / the window modes). When a new batch is STAGED
-    # unregistered, repoint this mode at it: the registration gate
-    # requires each candidate to pass under real executor JVMs BEFORE
-    # the registering commit.
-    from storm_netmonitor_spark.operators import extensions10 as e10
+    # The UNREGISTERED §2.AB round-12 candidates: the registration gate
+    # requires each to pass under real executor JVMs BEFORE the
+    # registering commit — this mode is that gate, runnable today.
+    # (The §2.W–§2.AA batches graduated to the registry in round 11 and
+    # are now covered by --full / the window modes.)
+    from storm_netmonitor_spark.operators import extensions11 as e11
 
     qd = {
-        "sink_targeted_delete": e10.sink_targeted_delete,
-        "dedup_components_retract": e10.dedup_components_retract,
-        "vec_ivf_cell_retrain": e10.vec_ivf_cell_retrain,
+        "plan_incremental_backfill": e11.plan_incremental_backfill,
+        "plan_compaction": e11.plan_compaction,
+        "audit_referential_integrity": e11.audit_referential_integrity,
     }
     od = {
-        "sink_targeted_delete": e10.sink_targeted_delete_oracle(),
-        "dedup_components_retract": e10.dedup_components_retract_oracle(),
-        "vec_ivf_cell_retrain": e10.vec_ivf_cell_retrain_oracle(),
+        "plan_incremental_backfill": e11.plan_incremental_backfill_oracle(),
+        "plan_compaction": e11.plan_compaction_oracle(),
+        "audit_referential_integrity": e11.audit_referential_integrity_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
