@@ -145,15 +145,69 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
     bcorpus, bcids = emb[bmask], ids[bmask]
     bseeds = np.array([bcorpus[bcids == i][0] for i in range(1, IVF_K + 1)])
     bcents, bam = _lloyd(bcorpus, bseeds, IVF_ITERS)
-    rows.append(("vec_ivf_index_insert (staged)",
+    rows.append(("vec_ivf_index_insert",
                  "min base-Lloyd assignment margin (all rounds)",
                  bam, bam >= FLOOR))
     both = emb[ids >= 1]
     bd = both @ bcents.T
     bpart = np.partition(bd, -2, axis=1)
     m = float((bpart[:, -1] - bpart[:, -2]).min())
-    rows.append(("vec_index_drift (staged)",
+    rows.append(("vec_index_drift",
                  "min base-trained routing margin (base+delta)",
+                 m, m >= FLOOR))
+
+    # --- vec_ann_recall (§2.Z): per-query probe-rank + top-k margins ------
+    from storm_netmonitor_spark.operators.extensions9 import (
+        _REC_K,
+        _REC_PROBES,
+        _REC_QUERIES,
+    )
+
+    mp = math.inf
+    mr = math.inf
+    for qid in range(_REC_QUERIES):
+        qv = emb[ids == qid][0]
+        qd = np.sort(cents @ qv)[::-1]
+        for p in _REC_PROBES:
+            if p < len(qd):
+                mp = min(mp, float(qd[p - 1] - qd[p]))
+        smask = (ids != 0) & (ids != qid)
+        sims = np.round(emb[smask] @ qv, 6)
+        o = np.sort(sims)[::-1]
+        gap = float(o[_REC_K - 1] - o[_REC_K])
+        # decimal-6 sims: gap 0 is a tie (broken by vec_id identically
+        # on both engines) — only a NONZERO sub-quantum gap is a hazard
+        if gap > 0:
+            mr = min(mr, gap)
+    rows.append(("vec_ann_recall", "min probe-rank gap at swept nprobe "
+                 "boundaries (all queries)", mp, mp >= FLOOR))
+    rows.append(("vec_ann_recall", "min nonzero top-k boundary gap in "
+                 "decimal-6 sims (>= one quantum)", mr,
+                 mr >= 1e-6 - 1e-12))
+
+    # --- vec_ivf_cell_retrain (§2.AA): repaired-model reroute margins -----
+    from storm_netmonitor_spark.operators.extensions7 import _DRIFT_DEN
+
+    assign_b = np.argmax(bd, axis=1)
+    both_ids = ids[ids >= 1]
+    nb = np.bincount(assign_b[both_ids < split], minlength=IVF_K)
+    nd = np.bincount(assign_b[both_ids >= split], minlength=IVF_K)
+    tot_b, tot_d = int(nb.sum()), int(nd.sum())
+    drifted = {
+        k for k in range(IVF_K)
+        if tot_b > 0 and tot_d > 0
+        and abs(int(nd[k]) * tot_b - int(nb[k]) * tot_d) * _DRIFT_DEN
+        >= tot_b * tot_d
+    }
+    means, _ = _lloyd(both, bcents, 1)
+    repaired = np.array(
+        [means[k] if k in drifted else bcents[k] for k in range(IVF_K)]
+    )
+    rd = both @ repaired.T
+    rpart = np.partition(rd, -2, axis=1)
+    m = float((rpart[:, -1] - rpart[:, -2]).min())
+    rows.append(("vec_ivf_cell_retrain",
+                 "min reroute margin under the repaired model",
                  m, m >= FLOOR))
 
     # --- vec_semantic_dedup: assignment + tau margins ---------------------
