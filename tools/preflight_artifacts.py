@@ -52,6 +52,10 @@ FAMILY = (
     "vec_ivf_index_insert",  # base-trained centroids (r11 §2.X)
     "vec_index_drift",  # base-trained centroids, shared key (r11 §2.X)
     "stream_minhash_index_merge",  # standing band index, shared key (r11 §2.X)
+    "dedup_components_merge",  # standing CC labeling + band index (r11 §2.Y)
+    "stream_index_drift",  # base census json, shared cents key (r11 §2.Y)
+    "dedup_components_retract",  # full-corpus CC labeling (r11 §2.AA)
+    "vec_ivf_cell_retrain",  # composes on the base-trained cents (r11 §2.AA)
 )
 
 _CHILD = r"""
