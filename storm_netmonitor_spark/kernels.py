@@ -78,6 +78,15 @@ document frames):
 - ``minhash_band_rows`` — (doc_id, band_idx, band_hash) LSH index rows
   for a document frame (signature + banding, zero shuffles — the rows a
   standing dedup index stores and a delta merge appends)
+- ``verify_band_candidates`` — bucket-join two band-row frames and
+  verify candidates by exact shingle Jaccard (the merge/fold pair
+  discovery stage, O(|probe| + matches))
+
+Planning / integrity audits (arbitrary frames):
+
+- ``ri_edge_audit`` — one FK edge's orphan census (child cardinality,
+  NULL keys, orphans, exact orphan share) over arbitrary child/parent
+  frames — the between-tables contract check
 """
 
 from __future__ import annotations
@@ -115,7 +124,7 @@ from .operators.events_analytics import (
 )
 from .operators.scale_probes import replicate_rows, scoped_confs
 from .operators.extensions3 import pagerank_over
-from .operators.extensions6 import minhash_band_rows
+from .operators.extensions6 import minhash_band_rows, verify_band_candidates
 from .operators.extensions7 import (
     drift_from_census,
     index_drift_over,
@@ -129,6 +138,7 @@ from .operators.extensions5 import (
     ppl_tercile_buckets_over,
     rolling_median_over,
 )
+from .operators.extensions11 import ri_edge_audit
 from .operators.extensions4 import (
     _lttb_select as lttb_select,
     burn_rate_over,
@@ -178,6 +188,7 @@ __all__ = [
     "path_trigrams_over",
     "ppl_tercile_buckets_over",
     "replicate_rows",
+    "ri_edge_audit",
     "rolling_actives_over",
     "rolling_median_over",
     "route_to_centroids",
@@ -188,5 +199,6 @@ __all__ = [
     "step_changepoint_over",
     "stream_distinct_estimates",
     "triangle_count_over",
+    "verify_band_candidates",
     "weighted_median_over",
 ]
