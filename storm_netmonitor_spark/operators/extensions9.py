@@ -266,16 +266,23 @@ def text_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized exchange, and the confusion rollup ships constant
     bytes per executor."""
     from .corpus import text_quality_gopher
-    from .corpus2 import text_perplexity_unigram
-    from .extensions5 import text_ppl_buckets
+    from .corpus2 import _XENT_KEEP_MAX
+    from .extensions5 import ppl_scored_frame, ppl_tercile_buckets_over
 
-    g1 = text_perplexity_unigram(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("ppl")
+    # both xent-derived gates read THE staged scored frame (the artifact
+    # trained by running text_perplexity_unigram — bit-identical xent),
+    # so a repeated agreement refresh never rebuilds the
+    # tokenize+model-join pipeline: the perplexity keep is a row-local
+    # comparison on the cached frame, the tercile reuses the same frame
+    # its own registered op stages
+    scored = ppl_scored_frame(spark, sf_dir)
+    g1 = scored.select(
+        "doc_id", (F.col("xent") <= F.lit(_XENT_KEEP_MAX)).alias("ppl")
     )
     g2 = text_quality_gopher(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("gopher")
     )
-    g3 = text_ppl_buckets(spark, sf_dir).select(
+    g3 = ppl_tercile_buckets_over(scored).select(
         "doc_id", (F.col("bucket") != "tail").alias("tercile")
     )
     flags = g1.join(g2, "doc_id").join(g3, "doc_id")
