@@ -87,6 +87,12 @@ _AUDITED_COLLECT_SITES = {
         "sink_targeted_delete": 1,
         "vec_ivf_cell_retrain": 1,
     },
+    # §2.AC staged batch: stream_gate_scores collects the drained scored
+    # table to detach it from the temp sink before rmtree (the
+    # stream_ann_serve / stream_index_drift result-detach precedent)
+    "operators/extensions12.py": {
+        "stream_gate_scores": 1,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,

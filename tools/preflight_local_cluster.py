@@ -563,22 +563,30 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The UNREGISTERED §2.AB round-12 candidates: the registration gate
-    # requires each to pass under real executor JVMs BEFORE the
-    # registering commit — this mode is that gate, runnable today.
-    # (The §2.W–§2.AA batches graduated to the registry in round 11 and
-    # are now covered by --full / the window modes.)
+    # The UNREGISTERED round-12 candidates (§2.AB planning/integrity +
+    # §2.AC frozen-model scoring): the registration gate requires each
+    # to pass under real executor JVMs BEFORE the registering commit —
+    # this mode is that gate, runnable today. (The §2.W–§2.AA batches
+    # graduated to the registry in round 11 and are now covered by
+    # --full / the window modes.)
     from storm_netmonitor_spark.operators import extensions11 as e11
+    from storm_netmonitor_spark.operators import extensions12 as e12
 
     qd = {
         "plan_incremental_backfill": e11.plan_incremental_backfill,
         "plan_compaction": e11.plan_compaction,
         "audit_referential_integrity": e11.audit_referential_integrity,
+        "text_ppl_frozen_score": e12.text_ppl_frozen_score,
+        "quality_gate_drift": e12.quality_gate_drift,
+        "stream_gate_scores": e12.stream_gate_scores,
     }
     od = {
         "plan_incremental_backfill": e11.plan_incremental_backfill_oracle(),
         "plan_compaction": e11.plan_compaction_oracle(),
         "audit_referential_integrity": e11.audit_referential_integrity_oracle(),
+        "text_ppl_frozen_score": e12.text_ppl_frozen_score_oracle(),
+        "quality_gate_drift": e12.quality_gate_drift_oracle(SF),
+        "stream_gate_scores": e12.stream_gate_scores_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
