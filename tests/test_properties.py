@@ -1685,3 +1685,134 @@ def test_ppl_tercile_buckets_all_nonfinite():
         r["doc_id"]: r["bucket"] for r in ppl_tercile_buckets_over(df).collect()
     }
     assert got == {0: "tail", 1: "tail", 2: "tail", 3: "tail"}
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_frozen_ppl_score_matches_scalar_reference(data):
+    """Third-implementation cross-check for the §2.AC frozen scorer:
+    Spark's rollup+join+dratio pipeline == a plain-Python scalar scorer
+    on arbitrary tiny corpora and vocabularies — OOV pseudo-count, token
+    counts, and the exact-rational xent rounding all replicated
+    independently."""
+    import math
+
+    from storm_netmonitor_spark.operators.extensions12 import (
+        frozen_ppl_score,
+    )
+
+    vocab = data.draw(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=1, max_size=5, unique=True
+        )
+    )
+    counts = {
+        w: data.draw(st.integers(1, 9), label=f"cw_{w}") for w in vocab
+    }
+    total = sum(counts.values())
+    docs = data.draw(
+        st.lists(
+            st.lists(
+                st.sampled_from("abcdefghij"), min_size=1, max_size=12
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    spark = _spark()
+    lm_df = spark.createDataFrame(
+        [(w, c, total) for w, c in counts.items()],
+        "w string, cw long, total long",
+    )
+    docs_df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["oov_tokens"], r["xent"])
+        for r in frozen_ppl_score(docs_df, lm_df).collect()
+    }
+    from collections import Counter
+
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        oov = sum(1 for t in toks if t not in counts)
+        # scalar reference mirrors the engine's term granularity: ONE
+        # term per DISTINCT word, c·(−ln p), decimal-6 rounded per term
+        # (dec_scaled's cast), summed; then dratio's exact half-away
+        # rational over n — floor((2N + D) / (2D))
+        nll_e6 = sum(
+            round(c * -math.log(counts.get(t, 1) / total) * 1e6)
+            for t, c in Counter(toks).items()
+        )
+        N, D = abs(nll_e6), n
+        q6 = (2 * N + D) // (2 * D)
+        xent_ref = q6 / 1e6
+        assert got[i][0] == n
+        assert got[i][1] == oov
+        assert abs(got[i][2] - xent_ref) < 1e-12, (i, got[i][2], xent_ref)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_compaction_packing_matches_sequential_reference(data):
+    """Third-implementation cross-check for the §2.AB compaction
+    planner's window arithmetic: the prefix-sum bin assignment over an
+    arbitrary (date, hour, rows) inventory == a sequential scalar
+    packer walking hours in order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.operators.extensions11 import (
+        _CPT_TARGET_ROWS,
+    )
+
+    dates = data.draw(
+        st.lists(st.sampled_from(["d1", "d2", "d3"]), min_size=1,
+                 max_size=3, unique=True)
+    )
+    inv = []
+    for d in dates:
+        hrs = data.draw(
+            st.lists(st.integers(0, 23), min_size=1, max_size=12,
+                     unique=True),
+            label=f"hrs_{d}",
+        )
+        for h in sorted(hrs):
+            inv.append(
+                (d, h, data.draw(st.integers(1, 900), label=f"n_{d}_{h}"))
+            )
+    spark = _spark()
+    files = spark.createDataFrame(
+        inv, "event_date string, hr int, n_rows long"
+    )
+    w = (
+        Window.partitionBy("event_date")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        (r["event_date"], r["hr"]): r["bin_id"]
+        for r in files.select(
+            "event_date",
+            "hr",
+            (
+                F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+                / F.lit(_CPT_TARGET_ROWS)
+            )
+            .cast("long")
+            .alias("bin_id"),
+        ).collect()
+    }
+    # sequential reference: walk hours in order, bin = rows-before DIV T
+    ref = {}
+    for d in dates:
+        run = 0
+        for dd, h, n in sorted(x for x in inv if x[0] == d):
+            ref[(d, h)] = run // _CPT_TARGET_ROWS
+            run += n
+    assert got == ref
