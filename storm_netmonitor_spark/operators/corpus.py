@@ -195,6 +195,39 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_flags_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE maintained Gopher-verdict table ``(doc_id, keep)`` — the HOT
+    input of every repeated gate-composition refresh (the §2.Z
+    agreement audit, the §2.AC gate-drift monitor): staged once per
+    (session, input) and persisted across PROCESSES through the
+    artifact store, the ppl_scored_frame convention. The keep values
+    are ``text_quality_gopher``'s own output (the artifact trains by
+    running it), so every decision derived from this frame is
+    bit-identical to the registered op's; production at 100 TB persists
+    the flags table instead of re-running the row-local rule scan per
+    consumer."""
+
+    def stage():
+        df = disk_artifact_frame(
+            spark,
+            "gopher_flags",
+            "v1",
+            sf_dir,
+            lambda: text_quality_gopher(spark, sf_dir).select(
+                "doc_id", "keep"
+            ),
+        ).cache()
+        df.count()  # materialize once at staging
+        return df
+
+    return session_memo(
+        spark,
+        ("gopher_flags", os.path.abspath(sf_dir)),
+        stage,
+        sf_dir=sf_dir,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -292,7 +292,7 @@ def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the census is one 4-row keyed exchange + the constant-bounded
     totals window. The cell labels are derived row-locally from cid —
     integers end to end outside the audited xent rational."""
-    from .corpus import text_quality_gopher
+    from .corpus import gopher_flags_frame
     from .extensions7 import index_drift_tagged
     from .extensions8 import _doc_split
 
@@ -302,7 +302,7 @@ def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = frozen_ppl_score(d, lm).select(
         "doc_id", F.col("keep").alias("pk")
     )
-    gop = text_quality_gopher(spark, sf_dir).select(
+    gop = gopher_flags_frame(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("gk")
     )
     cells = scores.join(gop, "doc_id").select(

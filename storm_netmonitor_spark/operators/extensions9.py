@@ -265,21 +265,21 @@ def text_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose map-side partials are 12 counters — the join is the only
     corpus-sized exchange, and the confusion rollup ships constant
     bytes per executor."""
-    from .corpus import text_quality_gopher
+    from .corpus import gopher_flags_frame
     from .corpus2 import _XENT_KEEP_MAX
     from .extensions5 import ppl_scored_frame, ppl_tercile_buckets_over
 
-    # both xent-derived gates read THE staged scored frame (the artifact
-    # trained by running text_perplexity_unigram — bit-identical xent),
-    # so a repeated agreement refresh never rebuilds the
-    # tokenize+model-join pipeline: the perplexity keep is a row-local
-    # comparison on the cached frame, the tercile reuses the same frame
-    # its own registered op stages
+    # ALL THREE gates read maintained flag/score artifacts (each
+    # trained by running its registered op — bit-identical values), so
+    # a repeated agreement refresh never rebuilds any gate pipeline:
+    # the perplexity keep is a row-local comparison on the cached
+    # scored frame, the tercile reuses the same frame its own op
+    # stages, and the Gopher verdicts read the staged flags table
     scored = ppl_scored_frame(spark, sf_dir)
     g1 = scored.select(
         "doc_id", (F.col("xent") <= F.lit(_XENT_KEEP_MAX)).alias("ppl")
     )
-    g2 = text_quality_gopher(spark, sf_dir).select(
+    g2 = gopher_flags_frame(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("gopher")
     )
     g3 = ppl_tercile_buckets_over(scored).select(

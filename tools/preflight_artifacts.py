@@ -56,6 +56,7 @@ FAMILY = (
     "stream_index_drift",  # base census json, shared cents key (r11 §2.Y)
     "dedup_components_retract",  # full-corpus CC labeling (r11 §2.AA)
     "vec_ivf_cell_retrain",  # composes on the base-trained cents (r11 §2.AA)
+    "text_filter_agreement",  # gopher_flags + ppl_scores tables (r11 §2.Z)
 )
 
 _CHILD = r"""
