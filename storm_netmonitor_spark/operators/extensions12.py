@@ -113,12 +113,11 @@ def frozen_ppl_score(docs: DataFrame, lm: DataFrame) -> DataFrame:
     )
     joined = dw.join(lm, "w", "left")
     # OOV pseudo-count: an unseen token takes cw = 1 of the standing
-    # total (the add-nothing floor — deterministic, engine-identical);
-    # total is NULL on OOV rows (it rides the lm frame), so carry the
-    # per-frame constant via a max over the join — every non-null total
-    # is the same value, and at least one in-vocab row exists per doc
-    # at any realistic vocabulary overlap; the all-OOV edge is handled
-    # by re-attaching the scalar below.
+    # total (the add-nothing floor — deterministic, engine-identical).
+    # `total` rides the lm frame and is therefore NULL on OOV rows, so
+    # the scalar is re-attached to EVERY row via the 1-row broadcast
+    # below — all-OOV docs score correctly too (property-tested:
+    # their xent is exactly ln total).
     term = F.col("c") * -F.log(
         F.coalesce(F.col("cw"), F.lit(1)).cast("double")
         / F.col("tot")

@@ -1816,3 +1816,41 @@ def test_compaction_packing_matches_sequential_reference(data):
             ref[(d, h)] = run // _CPT_TARGET_ROWS
             run += n
     assert got == ref
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_ri_edge_audit_matches_scalar_reference(data):
+    """Third-implementation cross-check for the §2.AB RI kernel: the
+    join+conditional-aggregate census == a plain-Python set-membership
+    count on arbitrary child/parent key multisets (NULLs, duplicates on
+    both sides, empty-overlap cases all drawn)."""
+    from storm_netmonitor_spark.operators.extensions11 import ri_edge_audit
+
+    child = data.draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(0, 12)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    parent = data.draw(st.lists(st.integers(0, 12), max_size=15))
+    spark = _spark()
+    cdf = spark.createDataFrame([(k,) for k in child], "k bigint")
+    if parent:
+        pdf = spark.createDataFrame([(k,) for k in parent], "pk bigint")
+    else:
+        pdf = spark.createDataFrame([], "pk bigint")
+    out = ri_edge_audit(cdf, "k", pdf, "pk", "c.k", "p.pk").collect()[0]
+    pset = set(parent)
+    n_null = sum(1 for k in child if k is None)
+    n_orphan = sum(1 for k in child if k is not None and k not in pset)
+    assert out["n_child"] == len(child)
+    assert out["n_null"] == n_null
+    assert out["n_orphan"] == n_orphan
+    # exact half-away share: floor((2N + D) / (2D)) at 6 decimals
+    N, D = n_orphan * 10**6, len(child)
+    q6 = (2 * N + D) // (2 * D)
+    assert abs(out["orphan_pct"] - q6 / 1e6) < 1e-12
