@@ -117,6 +117,10 @@ EXTRA_REPORTED = [
     "sink_targeted_delete",  # partition-minimal retention+tombstone rewrite
     "dedup_components_retract",  # label splice under deletions
     "vec_ivf_cell_retrain",  # spliced-Lloyd recenter of drifted cells
+    # round-12 §2.AB registration (orchestration planning & integrity)
+    "plan_incremental_backfill",  # manifest-level backfill work-list
+    "plan_compaction",  # time-contiguous prefix-sum packing plan
+    "audit_referential_integrity",  # FK orphan census, key-pruned scans
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain

@@ -39,6 +39,7 @@ _MODULES = (
     "extensions8",
     "extensions9",
     "extensions10",
+    "extensions11",
 )
 
 

@@ -1,12 +1,14 @@
-"""Round-12 candidate operators, PRE-STAGED (SURVEY §2.AB; the staging
-discipline of the §2.W–§2.AA batches applied forward).
+"""Round-12 operators, first batch — §2.AB, REGISTERED (registry 297 → 300).
 
-NOTHING in this module is registered: the registry closed round 11 at
-297, so there is no ``@query`` decorator here — each candidate ships as
-a plain callable plus a module-level oracle builder, wired into
-``tests/test_extensions11_staged.py`` for the same vanilla-session +
-DuckDB-hash verification the driver will run once they ARE registered
-in round 12. Registration then is a 3-line diff per op.
+Staged at round-11 close (plain callables + oracle builders, the
+§2.W–§2.AA staging discipline applied forward), these three passed BOTH
+halves of the registration gate before the registering commit —
+vanilla-session DuckDB hash parity in
+``tests/test_extensions11_staged.py`` (work-list completeness, bin
+capacity/contiguity, planted-orphan, and key-pruned-scan property tests
+included) and ``tools/preflight_local_cluster --staged`` under real
+executor JVMs (6/6 at round-12 open) — so round 12's opening move
+registers them with the standard ``@query`` decorator.
 
 Capability anchor: SURVEY §2.AB — the ORCHESTRATION PLANNING &
 INTEGRITY triple: the work-list computations a pipeline SCHEDULER runs
@@ -39,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import dratio, dratio_sql
 from ..io import load_table
+from ..registry import query
 
 # ---------------------------------------------------------------------------
 # audit_referential_integrity — FK orphan census over the relational graph
@@ -78,6 +81,7 @@ FROM {child}"""
     return "\nUNION ALL\n".join(parts)
 
 
+@query("audit_referential_integrity", oracle=audit_referential_integrity_oracle())
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (SURVEY §2.AB): for every FK edge of
     the relational graph, the child cardinality, NULL-key count, orphan
@@ -181,6 +185,7 @@ GROUP BY event_date, bin_id
 """
 
 
+@query("plan_compaction", oracle=plan_compaction_oracle())
 def plan_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction PLAN (SURVEY §2.AB): the scheduler-side
     half of ``sink_compact_small_files`` — given a streaming-sink table
@@ -302,6 +307,7 @@ def _bf_target_dir(spark: SparkSession, sf_dir: str) -> str:
     return _BF_TARGET_CACHE[key]
 
 
+@query("plan_incremental_backfill", oracle=plan_incremental_backfill_oracle())
 def plan_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-backfill PLAN (SURVEY §2.AB): the minimal work-list a
     scheduler computes before spending cluster time — per source

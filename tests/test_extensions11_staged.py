@@ -1,13 +1,12 @@
-"""Round-12 candidate verification (SURVEY §2.AB — staged, NOT registered).
+"""§2.AB verification (REGISTERED in round 12; staged at round-11 close).
 
-Each §2.AB candidate runs the exact same vanilla-shaped check the driver
-will apply once it is registered in round 12: Spark result vs its DuckDB
-oracle, column names + row count + canonical values — plus the property
-tests that pin each op's planning discipline (work-list completeness and
-class coverage, bin-capacity and time-contiguity invariants, planted
-orphan detection, key-pruned scans). Keeping these green all round makes
-the r12 registration a 3-line diff with zero new risk (the §2.W–§2.AA
-precedent, all five batches registered green in round 11).
+Each §2.AB op runs the exact same vanilla-shaped check the driver
+applies: Spark result vs its DuckDB oracle, column names + row count +
+canonical values — plus the property tests that pin each op's planning
+discipline (work-list completeness and class coverage, bin-capacity and
+time-contiguity invariants, planted orphan detection, key-pruned scans).
+These were the registration gate's first half; they stay green as the
+batch's standing parity suite now that the ops are in the registry.
 """
 
 from __future__ import annotations

@@ -948,7 +948,11 @@ def test_bench_stdout_trimming_preserves_gate_rows():
         _sys.path.insert(0, sys_path_root)
     import bench
 
-    # current real shape fits untrimmed
+    # current real shape: must fit the budget; the §2.AB registrations
+    # pushed the full row set past 1,900 B, so trimming newest-first IS
+    # the documented steady state now (SURVEY §7.1 round-12 checklist
+    # item 5) — every HEADLINE row must survive it, and anything dropped
+    # must come from the EXTRA_REPORTED tail (newest first)
     timings = {n: 0.1234 for n in bench.HEADLINE + bench.EXTRA_REPORTED}
     compact = {
         "metric": "suite_wall_seconds",
@@ -958,8 +962,13 @@ def test_bench_stdout_trimming_preserves_gate_rows():
         "value": 1.2345,
     }
     line, trimmed = bench._fit_stdout_line(dict(compact))
-    assert not trimmed and len(line) <= bench.STDOUT_LINE_BUDGET
-    assert set(_json.loads(line)["queries"]) == set(timings)
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    kept = set(_json.loads(line)["queries"])
+    assert set(bench.HEADLINE) <= kept
+    dropped = set(timings) - kept
+    assert trimmed == bool(dropped)
+    # drops only ever come off the newest end of EXTRA_REPORTED
+    assert dropped == set(bench.EXTRA_REPORTED[len(bench.EXTRA_REPORTED) - len(dropped):])
 
     # synthetic overflow: pad every EXTRA row's key — trimming must kick
     # in, keep ALL headline rows + value, and fit the budget
