@@ -121,6 +121,10 @@ EXTRA_REPORTED = [
     "plan_incremental_backfill",  # manifest-level backfill work-list
     "plan_compaction",  # time-contiguous prefix-sum packing plan
     "audit_referential_integrity",  # FK orphan census, key-pruned scans
+    # round-12 §2.AC registration (frozen-model scoring lifecycle)
+    "text_ppl_frozen_score",  # delta scored under the standing-corpus LM
+    "quality_gate_drift",  # gate-outcome census drift (4-row exchange)
+    "stream_gate_scores",  # streaming frozen scorer (per-batch walls in detail)
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -172,6 +176,9 @@ RERUN_FULL = {
     # the drift collect + Lloyd partials pass + reroute run inside the
     # call / during construction
     "vec_ivf_cell_retrain",
+    # the streaming scorer drain (foreachBatch over the staged delta doc
+    # stream) runs inside the call; the returned frame is a local relation
+    "stream_gate_scores",
 }
 
 WARMUPS = 1
@@ -353,9 +360,12 @@ def main() -> None:
             "max_ms": round(walls[-1] * 1000, 1),
         }
 
+    from storm_netmonitor_spark.operators import extensions12 as _e12
+
     serve_latency = _latency_record(_e6.LAST_SERVE_BATCH_WALLS)
     merge_latency = _latency_record(_e7.LAST_MERGE_BATCH_WALLS)
     drift_latency = _latency_record(_e8.LAST_DRIFT_BATCH_WALLS)
+    gate_latency = _latency_record(_e12.LAST_GATE_BATCH_WALLS)
     calibration_end = _calibrate()
     load_at_end = [round(v, 2) for v in os.getloadavg()]
 
@@ -408,6 +418,7 @@ def main() -> None:
         stream_ann_serve_batch_latency=serve_latency,
         stream_minhash_index_merge_batch_latency=merge_latency,
         stream_index_drift_batch_latency=drift_latency,
+        stream_gate_scores_batch_latency=gate_latency,
     )
     line, was_trimmed = _fit_stdout_line(compact)
     if was_trimmed:

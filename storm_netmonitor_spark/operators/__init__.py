@@ -40,6 +40,7 @@ _MODULES = (
     "extensions9",
     "extensions10",
     "extensions11",
+    "extensions12",
 )
 
 

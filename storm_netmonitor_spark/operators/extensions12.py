@@ -1,12 +1,14 @@
-"""Round-12 candidate operators, PRE-STAGED (SURVEY §2.AC; the staging
-discipline of the §2.W–§2.AB batches applied forward).
+"""Round-12 operators, second batch — §2.AC, REGISTERED (registry 300 → 303).
 
-NOTHING in this module is registered: the registry closed round 11 at
-297, so there is no ``@query`` decorator here — each candidate ships as
-a plain callable plus a module-level oracle builder, wired into
-``tests/test_extensions12_staged.py`` for the same vanilla-session +
-DuckDB-hash verification the driver will run once they ARE registered
-in round 12. Registration then is a 3-line diff per op.
+Staged at round-11 close (plain callables + oracle builders, the
+§2.W–§2.AB staging discipline applied forward), these three passed BOTH
+halves of the registration gate before the registering commit —
+vanilla-session DuckDB hash parity in
+``tests/test_extensions12_staged.py`` (planted-OOV, gate-census
+conservation, streaming-fold, and plan-guard property tests included)
+and ``tools/preflight_local_cluster --staged`` under real executor JVMs
+(6/6 at round-12 open) — so they register with the standard ``@query``
+decorator right after the §2.AB batch.
 
 Capability anchor: SURVEY §2.AC — the FROZEN-MODEL SCORING lifecycle.
 The registered quality gates score the corpus against a model trained
@@ -43,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dec_scaled, dec_scaled_sql, dratio, dratio_sql
 from ..io import disk_artifact_frame, load_table, session_memo
+from ..registry import query
 
 #: The corpus split (standing = doc_id < split, delta = doc_id ≥ split)
 #: — the §2.W/§2.Y merge-family convention, via extensions8._doc_split.
@@ -191,6 +194,7 @@ WHERE doc_id >= (SELECT v FROM fsplit)
 """
 
 
+@query("text_ppl_frozen_score", oracle=text_ppl_frozen_score_oracle())
 def text_ppl_frozen_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-model quality scoring (SURVEY §2.AC): the DELTA corpus
     (doc_id ≥ split) scored against the unigram LM trained on the
@@ -275,6 +279,7 @@ FROM census, tot
 """
 
 
+@query("quality_gate_drift", oracle=quality_gate_drift_oracle)
 def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-outcome drift monitor (SURVEY §2.AC): every document lands
     in a (Gopher keep × frozen-ppl keep) cell — BOTH populations scored
@@ -345,6 +350,7 @@ def stream_gate_scores_oracle() -> str:
     return text_ppl_frozen_score_oracle()
 
 
+@query("stream_gate_scores", oracle=stream_gate_scores_oracle())
 def stream_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming frozen-model scoring (SURVEY §2.AC): the delta corpus
     arrives as a STREAM of micro-batches; each batch scores against the

@@ -1,14 +1,14 @@
-"""Round-12 candidate verification (SURVEY §2.AC — staged, NOT registered).
+"""§2.AC verification (REGISTERED in round 12; staged at round-11 close).
 
-Each §2.AC candidate runs the exact same vanilla-shaped check the driver
-will apply once it is registered in round 12: Spark result vs its DuckDB
-oracle, column names + row count + canonical values — plus the property
-tests that pin the frozen-model discipline (planted-OOV detection with a
-hand-computed pseudo-count score, standing docs have zero OOV under
-their own LM, gate-census conservation against the composed registered
-ops, the streaming fold's ≥2-batch shape). Keeping these green all round
-makes the r12 registration a 3-line diff with zero new risk (the
-§2.W–§2.AB precedent).
+Each §2.AC op runs the exact same vanilla-shaped check the driver
+applies: Spark result vs its DuckDB oracle, column names + row count +
+canonical values — plus the property tests that pin the frozen-model
+discipline (planted-OOV detection with a hand-computed pseudo-count
+score, standing docs have zero OOV under their own LM, gate-census
+conservation against the composed registered ops, the streaming fold's
+≥2-batch shape). These were the registration gate's first half; they
+stay green as the batch's standing parity suite now that the ops are in
+the registry.
 """
 
 from __future__ import annotations

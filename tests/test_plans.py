@@ -113,6 +113,12 @@ _CARTESIAN_OK = {
     # scalar BNLJ renderings through the composed gate plans
     "vec_ann_recall",
     "text_filter_agreement",
+    # §2.AC: the frozen-LM scorer attaches the standing corpus's 1-row
+    # token total by the same allowlisted scalar BNLJ rendering as
+    # text_perplexity_unigram; the gate-drift census op composes that
+    # scorer (and the gopher gate) so it inherits the rendering
+    "text_ppl_frozen_score",
+    "quality_gate_drift",
 }
 
 
@@ -224,7 +230,21 @@ def test_bench_emits_one_json_line(tmp_path):
         detail = json.load(fh)
     assert set(detail) >= {"method", "cold_seconds", "queries", "value"}
     assert detail["value"] == payload["value"]
-    assert detail["queries"] == payload["queries"]
+    # the sidecar keeps EVERY row; stdout may trim the newest
+    # EXTRA_REPORTED rows to fit the tail budget (documented steady
+    # state since the §2.AB/§2.AC registrations) — whatever stdout does
+    # keep must match the sidecar exactly, all HEADLINE rows must
+    # survive, and drops only come off the newest end of the extra tail
+    import bench as _bench
+
+    assert set(payload["queries"]) <= set(detail["queries"])
+    assert all(
+        detail["queries"][k] == v for k, v in payload["queries"].items()
+    )
+    assert set(_bench.HEADLINE) <= set(payload["queries"])
+    dropped = set(detail["queries"]) - set(payload["queries"])
+    n = len(dropped)
+    assert dropped == set(_bench.EXTRA_REPORTED[len(_bench.EXTRA_REPORTED) - n:] if n else [])
 
 
 def test_sorted_layout_clusters_row_groups(spark):
@@ -720,6 +740,10 @@ _GLOBAL_WINDOW_OK = {
     "vec_ivf_cell_retrain": "inherits vec_index_drift's K=16-row census "
     "window through the composed drift decision (the internal execution "
     "of the registered drift op inside the repair call)",
+    "quality_gate_drift": "totals window over the gate-outcome census, "
+    "pinned at exactly 4 rows (2×2 gopher×ppl cells) by the cells "
+    "left-join regardless of corpus size (the index_drift_tagged "
+    "bounded class)",
 }
 
 

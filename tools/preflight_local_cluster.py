@@ -563,12 +563,12 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The UNREGISTERED round-12 candidates (§2.AB planning/integrity +
-    # §2.AC frozen-model scoring): the registration gate requires each
-    # to pass under real executor JVMs BEFORE the registering commit —
-    # this mode is that gate, runnable today. (The §2.W–§2.AA batches
-    # graduated to the registry in round 11 and are now covered by
-    # --full / the window modes.)
+    # The most recently registered batches (§2.AB + §2.AC graduated at
+    # round-12 open; §2.W–§2.AA before them — all now also covered by
+    # --full / the window modes). When a new batch is STAGED
+    # unregistered, repoint this mode at it: the registration gate
+    # requires each candidate to pass under real executor JVMs BEFORE
+    # the registering commit.
     from storm_netmonitor_spark.operators import extensions11 as e11
     from storm_netmonitor_spark.operators import extensions12 as e12
 
