@@ -269,6 +269,72 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def serve_topk_plan(
+    cells: DataFrame,
+    corpus: DataFrame,
+    cents: list[list[float]],
+    qframe: DataFrame,
+) -> DataFrame:
+    """One serving batch as a PLAN — ``(qid, vec_id, cos_sim)`` IVF
+    top-{STREAM_ANN_TOPK} of the ``(qid, qvec)`` query frame against the
+    staged index. Factored out of the foreachBatch closure so the plan
+    guard can pin its scale discipline directly (VERDICT r11 hygiene):
+
+    - probe routing runs EXECUTOR-side via ``mapInPandas`` — the
+      ``route_to_centroids`` Arrow-pass shape widened from argmax to the
+      top-NPROBE cut. Tie-break matches the oracle's ``ROW_NUMBER …
+      ORDER BY dot DESC, cid``: a STABLE argsort of ``-dots`` breaks
+      ties by ascending cid. The probe cut margin is margin-audited
+      (≥7e-3 at the driver SFs), so numpy accumulation order is
+      decision-safe. No per-query driver loop: serving QPS scales with
+      executors.
+    - the query side joins as a broadcast FRAME, never plan literals:
+      plan size is independent of batch size and vector dim, so a
+      production batch cannot bloat Catalyst analysis per micro-batch
+      (the centroid matrix ships once per session inside the
+      mapInPandas closure — pickled task binary, not plan text).
+    """
+    cmat = [[float(x) for x in c] for c in cents]
+
+    def probe_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.array(cmat, dtype=np.float64).T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            order = np.argsort(-(m @ cm), axis=1, kind="stable")
+            probes = order[:, :IVF_NPROBE].astype("int32")
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(), IVF_NPROBE),
+                    "k": probes.ravel(),
+                }
+            )
+
+    probes = qframe.mapInPandas(probe_iter, "qid long, k int")
+    cand = cells.join(F.broadcast(probes), "k").select("qid", "vec_id")
+    scored = (
+        cand.join(corpus, "vec_id")
+        .join(F.broadcast(qframe), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            _dot_arrays(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STREAM_ANN_TOPK)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
 @query("stream_ann_serve", oracle=stream_ann_serve_oracle())
 def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN serving (SURVEY §2.W): a micro-batched stream of
@@ -277,11 +343,14 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact store persists (`ivf_cents` + the staged `ivf_cells`
     routing; a fresh serving process trains NOTHING).
 
-    Per batch: the handful of query rows collect driver-side (the
-    single-row-fetch precedent of the registered op), probe cells are K
-    dots on the driver, and the candidate scan is ONE broadcast join —
-    (qid, cell) probe pairs against the staged cell frame — followed by
-    the row-local decimal dot and a per-qid top-k window. No pairwise
+    Per batch: probe routing runs EXECUTOR-side (an Arrow pass over the
+    query frame — the ``route_to_centroids`` shape widened to the
+    top-NPROBE cut, so serving QPS scales with executors, not the
+    driver), the candidate scan is ONE broadcast join — (qid, cell)
+    probe pairs against the staged cell frame — and the query vectors
+    attach by a second broadcast join (a FRAME, never plan literals:
+    plan size stays independent of batch size and vector dim), followed
+    by the row-local decimal dot and a per-qid top-k window. No pairwise
     term, no full-corpus scan per query: only probed cells are read.
     foreachBatch writes per-batch results keyed by batch_id
     (retry-idempotent, the stream_sketch_cms discipline). Exact-decimal
@@ -328,52 +397,17 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         import time as _time
 
         _t0 = _time.perf_counter()
-        qrows = batch_df.select("vec_id", "embedding").collect()
-        if not qrows:
+        if not batch_df.take(1):
             return
-        probe_rows = []
-        queries = []
-        for r in qrows:
-            qid = int(r["vec_id"])
-            qvec = [float(x) for x in r["embedding"]]
-            queries.append((qid, qvec))
-            sims = sorted(
-                (
-                    (sum(c[i] * qvec[i] for i in range(len(qvec))), -k)
-                    for k, c in enumerate(cents)
-                ),
-                reverse=True,
-            )
-            probe_rows.extend(
-                (qid, -nk) for _, nk in sims[:IVF_NPROBE]
-            )
-        probes = spark.createDataFrame(probe_rows, "qid long, k int")
-        qlit = F.map_from_arrays(
-            F.array(*[F.lit(q) for q, _ in queries]),
-            F.array(*[F.array(*[F.lit(v) for v in vec]) for _, vec in queries]),
+        # (plain re-reads of the tiny micro-batch file, NOT a
+        # localCheckpoint: checkpoint blocks are the one non-recoverable
+        # class under executor loss, and the --chaos-serve drill SIGKILLs
+        # an executor mid-drain)
+        qframe = batch_df.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
         )
-        cand = cells.join(F.broadcast(probes), "k").select("qid", "vec_id")
-        scored = (
-            cand.join(corpus, "vec_id")
-            .withColumn("qvec", F.element_at(qlit, F.col("qid")))
-            .select(
-                "qid",
-                "vec_id",
-                _dot_arrays(F.col("embedding"), F.col("qvec")).alias(
-                    "cos_sim"
-                ),
-            )
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("cos_sim"), F.asc("vec_id")
-        )
-        top = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= STREAM_ANN_TOPK)
-            .select("qid", "vec_id", "cos_sim")
-        )
+        top = serve_topk_plan(cells, corpus, cents, qframe)
         top.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )

@@ -227,3 +227,46 @@ def test_disk_artifact_frame_roundtrip_is_bit_exact(spark, tmp_path, monkeypatch
         lambda: (_ for _ in ()).throw(AssertionError("re-built")),
     )
     assert sorted((r["k"], r["v"]) for r in out2.collect()) == got
+
+
+def test_serve_plan_size_independent_of_batch(spark):
+    """VERDICT r11 hygiene gate: the serving batch plan must not embed
+    query vectors as literals — its analyzed-plan text must stay the
+    same size whether the batch holds 2 queries or 64 (the old
+    map_from_arrays-of-literals shape grew O(batch × dim)), and the
+    probe routing must be the executor-side mapInPandas pass, not a
+    driver loop feeding a literal frame."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.operators.extensions6 import (
+        _ivf_cells,
+        serve_topk_plan,
+    )
+    from storm_netmonitor_spark.operators.vectors import ivf_index
+
+    corpus, cents = ivf_index(spark, SF)
+    cells = _ivf_cells(spark, SF)
+
+    def qframe(n):
+        base = corpus.limit(n)
+        return base.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+
+    plans = {}
+    for n in (2, 64):
+        plan = serve_topk_plan(cells, corpus, cents, qframe(n))
+        txt = plan._jdf.queryExecution().analyzed().toString()
+        assert "map_from_arrays" not in txt
+        plans[n] = len(txt)
+    # limit(2) vs limit(64) differ by a couple of digits at most; any
+    # per-element literal rendering would add thousands of chars
+    assert abs(plans[64] - plans[2]) < 64, plans
+    # executor-side routing: the probe stage is a mapInPandas node
+    txt = (
+        serve_topk_plan(cells, corpus, cents, qframe(2))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "mapInPandas" in txt or "MapInPandas" in txt
