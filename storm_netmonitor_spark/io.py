@@ -49,20 +49,58 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 _SESSION_MEMO: dict = {}
 
 
+def _parquet_footer_hash(path: str, size: int) -> str:
+    """Content token of a parquet file from its FOOTER (VERDICT r11 #6):
+    the thrift metadata blob carries schema, row counts, column-chunk
+    offsets/sizes, and min/max statistics, so any regeneration of the
+    data changes it even when file size and mtime are preserved. Reads
+    at most 64 KiB from the tail — cheap enough to run on every
+    fingerprint call (no per-process cache: a cache keyed on stat()
+    would re-open the very stat-spoofing hole this closes)."""
+    import hashlib
+
+    try:
+        with open(path, "rb") as fh:
+            if size < 12:
+                return "tiny"
+            fh.seek(size - 8)
+            tail = fh.read(8)
+            if tail[4:] != b"PAR1":
+                return "notparquet"
+            flen = int.from_bytes(tail[:4], "little")
+            take = min(flen + 8, size, 1 << 16)
+            fh.seek(size - take)
+            return hashlib.blake2b(fh.read(take), digest_size=8).hexdigest()
+    except OSError:
+        return "unreadable"
+
+
 def sf_fingerprint(sf_dir: str) -> tuple:
-    """Cheap content fingerprint of a testdata directory: (name, size,
-    mtime_ns) per parquet file, plus the abspath. Folding this into a
-    memo key means a trained artifact (dedup edge list, IVF index,
-    SemDeDup centroids, pagerank frames) is invalidated the moment the
-    driver regenerates the files underneath it — a rewrite within one
-    session retrains instead of silently serving a stale model."""
+    """Content fingerprint of a testdata directory: (name, size,
+    mtime_ns, footer_hash) per parquet file, plus the abspath. Folding
+    this into a memo key means a trained artifact (dedup edge list, IVF
+    index, SemDeDup centroids, pagerank frames) is invalidated the
+    moment the driver regenerates the files underneath it — a rewrite
+    within one session retrains instead of silently serving a stale
+    model. The footer hash (VERDICT r11 #6) makes the check
+    content-level: a directory regenerated in place with preserved
+    sizes AND mtimes still invalidates, because the parquet footer's
+    statistics/offsets change with the data."""
     root = os.path.abspath(sf_dir)
     entries = []
     try:
         for name in sorted(os.listdir(root)):
             if name.endswith(".parquet"):
-                st = os.stat(os.path.join(root, name))
-                entries.append((name, st.st_size, st.st_mtime_ns))
+                path = os.path.join(root, name)
+                st = os.stat(path)
+                entries.append(
+                    (
+                        name,
+                        st.st_size,
+                        st.st_mtime_ns,
+                        _parquet_footer_hash(path, st.st_size),
+                    )
+                )
     except OSError:
         pass  # non-directory inputs fingerprint as path-only
     return (root, tuple(entries))

@@ -344,3 +344,44 @@ def test_staging_heartbeat_keeps_live_builds_fresh(tmp_path):
         while os.path.getmtime(staging) < old + 3600 and time.time() < deadline:
             time.sleep(0.05)
     assert os.path.getmtime(staging) > old + 3600
+
+
+@pytest.mark.fast
+def test_artifact_rebuilds_on_content_mutation_with_restored_mtime(
+    tmp_path, monkeypatch
+):
+    """VERDICT r11 #6 — the content-level invalidation path: regenerate
+    an input parquet IN PLACE with the same byte length and then RESTORE
+    its mtime (the stat-spoofing case age/mtime keys cannot see). The
+    fingerprint's parquet-footer hash must still invalidate, because the
+    footer's statistics change with the data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from storm_netmonitor_spark.io import disk_artifact_json, sf_fingerprint
+
+    monkeypatch.setenv("NM_ARTIFACT_DIR", str(tmp_path / "store2"))
+    d = str(tmp_path / "in2")
+    os.makedirs(d)
+    f = os.path.join(d, "documents.parquet")
+
+    def regen(vals):
+        pq.write_table(pa.table({"doc_id": vals}), f)
+
+    regen([1, 2, 3])
+    st0 = os.stat(f)
+    fp0 = sf_fingerprint(d)
+    calls = []
+    build = lambda: calls.append(1) or len(calls)
+    assert disk_artifact_json("cm", "v1", d, build) == 1
+    assert disk_artifact_json("cm", "v1", d, build) == 1  # warm read
+
+    # regenerate with different DATA, same byte length, then restore
+    # atime+mtime exactly — only the footer hash can tell them apart
+    regen([1, 2, 7])
+    assert os.stat(f).st_size == st0.st_size, "fixture must keep size"
+    os.utime(f, ns=(st0.st_atime_ns, st0.st_mtime_ns))
+    st1 = os.stat(f)
+    assert (st1.st_size, st1.st_mtime_ns) == (st0.st_size, st0.st_mtime_ns)
+    assert sf_fingerprint(d) != fp0, "footer hash must see the mutation"
+    assert disk_artifact_json("cm", "v1", d, build) == 2  # REBUILT
