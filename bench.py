@@ -181,6 +181,27 @@ RERUN_FULL = {
     "stream_gate_scores",
 }
 
+#: Vanilla-PySpark baselines for the round-11 bench families (median ms
+#: at sf0.1, BASELINE.md round-11-family addendum; measured by
+#: tools/baseline_r11_families.py — same env/method/parameters, plain
+#: renderings). bench emits timing/baseline ratios for these rows in the
+#: detail record so the 2× criterion is evaluable per round.
+BASELINE_R11_FAMILY_MS = {
+    "vec_ivf_index_insert": 252.0,
+    "vec_index_drift": 876.9,
+    "text_profile_drift": 503.2,
+    "dedup_components_merge": 8636.3,
+    "vec_ann_recall": 1048.8,
+    "text_minhash_calibration": 4353.9,
+    "text_filter_agreement": 2541.9,
+    "sink_targeted_delete": 787.4,
+    "dedup_components_retract": 864.4,
+    "vec_ivf_cell_retrain": 3110.9,
+    "stream_ann_serve": 2193.5,
+    "stream_index_drift": 1306.6,
+    "stream_minhash_index_merge": 9259.4,
+}
+
 WARMUPS = 1
 #: RERUN_FULL queries re-run their whole lifecycle per sample (streaming
 #: drain / iterative loop), and the micro-batch execution path JIT-warms
@@ -239,8 +260,16 @@ def main() -> None:
 
     from storm_netmonitor_spark.session import quiet_expected_warnings
 
+    # session-start decomposition (VERDICT r11 #8): the ~9 s fresh-process
+    # cold is JVM spawn + SparkSession build, not op cost — record it as
+    # its own method row each round so op-level colds stay attributable
+    # (import/registry wall and the first-query warmup are separate rows)
+    t0 = time.perf_counter()
     registry.load_all()
+    registry_load_seconds = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
     spark = get_spark(app_name="nm-bench")
+    session_start_seconds = round(time.perf_counter() - t0, 4)
     # keep the bench tail free of the audited expected-noise WARN lines
     # (reduced-frame WindowExec, streaming-AQE notices — see session.py)
     quiet_expected_warnings(spark)
@@ -408,6 +437,8 @@ def main() -> None:
             # host-load proxy (VERDICT r10 #3): fixed-work calibration
             # medians bracket the suite — compare value/calibration across
             # rounds to cancel host contention; loadavg is the raw signal
+            "registry_load_seconds": registry_load_seconds,
+            "session_start_seconds": session_start_seconds,
             "session_warmup_seconds": session_warmup,
             "calibration_start": calibration_start,
             "calibration_end": calibration_end,
@@ -419,6 +450,16 @@ def main() -> None:
         stream_minhash_index_merge_batch_latency=merge_latency,
         stream_index_drift_batch_latency=drift_latency,
         stream_gate_scores_batch_latency=gate_latency,
+        # VERDICT r11 #3: per-op ratio vs the round-11-family baselines
+        # (BASELINE.md addendum; < 1.0 = faster than vanilla PySpark,
+        # criterion is ≤ 2.0). Only meaningful at the baseline's sf0.1.
+        baseline_ratios={
+            n: round(timings[n] * 1000 / ms, 3)
+            for n, ms in BASELINE_R11_FAMILY_MS.items()
+            if n in timings
+        }
+        if sf == 0.1
+        else None,
     )
     line, was_trimmed = _fit_stdout_line(compact)
     if was_trimmed:

@@ -100,14 +100,25 @@ def sink_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention job must have. Three partition classes:
 
     - ``dropped``  (date < {_DEL_DROP_BEFORE}): expired — removed by
-      OMISSION from the surviving table, a metadata operation; their
-      data is never read;
+      OMISSION from the surviving table, a metadata operation; the
+      REWRITE never reads them;
     - ``rewritten`` ([{_DEL_DROP_BEFORE}, {_DEL_WINDOW_END})): contain
       tombstoned rows (user_id % {_DEL_TOMB_MOD} == 0) — ONLY these are
       read, filtered, and written back (the partition filter is pushed
       to the scan, asserted by the staged plan test);
-    - ``untouched`` (date ≥ {_DEL_WINDOW_END}): never read, never
-      written — at scale this is almost the whole table.
+    - ``untouched`` (date ≥ {_DEL_WINDOW_END}): the rewrite neither
+      reads nor writes them — at scale this is almost the whole table.
+
+    Scope of the minimality claim (ADVICE r11): partition-minimal I/O
+    is a property of the REWRITE path only. The emitted LEDGER
+    (``n_before`` per partition, and the partition total in
+    ``LAST_DELETE_IO``) is a census over every partition — column-
+    pruned to the partition column and ``user_id``, but still a full-
+    table scan. A compliance job that already tracks per-partition row
+    counts in a manifest would derive the ledger from metadata
+    (directory listing + parquet footer ``num_rows``) and skip that
+    scan; here the census is computed from data because the ledger IS
+    part of the op's verified output.
 
     The rewrite REALLY happens (filtered window written date-partitioned
     to a fresh directory; ``n_after`` for rewritten partitions is read

@@ -125,9 +125,24 @@ def ri_edge_audit(
 ) -> DataFrame:
     """KERNEL — one FK edge's orphan census over arbitrary frames (the
     staged suite feeds it planted orphans to prove detection; the
-    registered op feeds it the relational graph)."""
+    registered op feeds it the relational graph).
+
+    Contract for arbitrary frames (ADVICE r11): an orphan is a non-NULL
+    child key absent from the parent's NON-NULL key set — NULL parent
+    keys are filtered out explicitly, so the kernel never inherits SQL
+    ``NOT IN``'s three-valued collapse (one NULL parent ⇒ zero orphans);
+    an oracle for a NULL-bearing parent must therefore be written as
+    ``NOT IN (SELECT pk … WHERE pk IS NOT NULL)``. An EMPTY child frame
+    yields ``n_child = 0`` with ``orphan_pct = 0`` (no rows, no orphan
+    share — the zero denominator is guarded, never fed to ``dratio``).
+    The registered graph has non-null PKs and non-empty children, so
+    both guards are no-ops there (oracle hash unchanged)."""
     c = child.select(F.col(ckey).alias("k"))
-    p = parent.select(F.col(pkey).alias("pk")).distinct()
+    p = (
+        parent.select(F.col(pkey).alias("pk"))
+        .filter(F.col("pk").isNotNull())
+        .distinct()
+    )
     joined = c.join(p, c.k == p.pk, "left")
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_child"),
@@ -143,9 +158,12 @@ def ri_edge_audit(
         "n_child",
         "n_null",
         "n_orphan",
-        dratio(F.col("n_orphan") * 1000000, F.col("n_child")).alias(
-            "orphan_pct"
-        ),
+        F.when(
+            F.col("n_child") > 0,
+            dratio(F.col("n_orphan") * 1000000, F.col("n_child")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("orphan_pct"),
     )
 
 

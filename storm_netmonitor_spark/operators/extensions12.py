@@ -102,6 +102,14 @@ def frozen_ppl_score(docs: DataFrame, lm: DataFrame) -> DataFrame:
     token count emitted. Returns ``(doc_id, n_tokens, oov_tokens, xent,
     keep)`` — keep reuses the registered gate's threshold constant.
 
+    Scoring-contract completeness (ADVICE r11): EVERY input doc gets a
+    row — a doc whose text tokenizes to nothing (empty/whitespace-only)
+    would vanish in the explode, so the rollup left-joins back to the
+    input ids and emits ``n_tokens = 0, oov_tokens = 0, xent = NULL,
+    keep = false`` for it: an explicit drop decision, not a silent gap.
+    (No such doc exists in the testdata, so oracle hashes are
+    unchanged; the twin SQL carries the same LEFT JOIN.)
+
     The (doc, word) pre-aggregation collapses repeated words BEFORE the
     LM join (one row per distinct word per doc); the LM side is
     vocabulary-sized and broadcast-eligible; every emitted number is an
@@ -138,12 +146,19 @@ def frozen_ppl_score(docs: DataFrame, lm: DataFrame) -> DataFrame:
         )
     )
     xent = dratio(F.col("nll_e6"), F.col("n_tokens"))
-    return scored.select(
+    rolled = scored.select(
         "doc_id",
         "n_tokens",
         "oov_tokens",
         xent.alias("xent"),
         (xent <= F.lit(_XENT_KEEP_MAX)).alias("keep"),
+    )
+    return docs.select("doc_id").join(rolled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("oov_tokens", F.lit(0)).cast("long").alias("oov_tokens"),
+        "xent",
+        F.coalesce("keep", F.lit(False)).alias("keep"),
     )
 
 
@@ -187,10 +202,13 @@ def text_ppl_frozen_score_oracle() -> str:
 
     return f"""
 WITH {_frozen_chain_sql()}
-SELECT doc_id, n_tokens, oov_tokens, xent,
-       xent <= {_XENT_KEEP_MAX!r} AS keep
-FROM fscore
-WHERE doc_id >= (SELECT v FROM fsplit)
+SELECT d.doc_id,
+       COALESCE(f.n_tokens, 0) AS n_tokens,
+       COALESCE(f.oov_tokens, 0) AS oov_tokens,
+       f.xent AS xent,
+       COALESCE(f.xent <= {_XENT_KEEP_MAX!r}, FALSE) AS keep
+FROM documents d LEFT JOIN fscore f ON f.doc_id = d.doc_id
+WHERE d.doc_id >= (SELECT v FROM fsplit)
 """
 
 
@@ -242,13 +260,15 @@ def quality_gate_drift_oracle(sf_dir: str | None = None) -> str:
     return f"""
 WITH {_frozen_chain_sql()}, g AS ({gop}),
 cellt AS (
-  SELECT f.doc_id,
+  SELECT dd.doc_id,
          CAST(CASE WHEN g.keep THEN 2 ELSE 0 END
               + CASE WHEN f.xent <= {_XENT_KEEP_MAX!r} THEN 1 ELSE 0 END
               AS INTEGER) AS cid,
-         CASE WHEN f.doc_id >= (SELECT v FROM fsplit) THEN 1 ELSE 0 END
+         CASE WHEN dd.doc_id >= (SELECT v FROM fsplit) THEN 1 ELSE 0 END
            AS pop
-  FROM fscore f JOIN g ON g.doc_id = f.doc_id
+  FROM documents dd
+  LEFT JOIN fscore f ON f.doc_id = dd.doc_id
+  JOIN g ON g.doc_id = dd.doc_id
 ), cb AS (
   SELECT cid,
          COUNT(*) FILTER (WHERE pop = 0) AS nb,

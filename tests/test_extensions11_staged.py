@@ -197,3 +197,28 @@ def test_run_to_run_determinism(spark, name):
     c1, r1 = run_spark(fn, spark, SF)
     c2, r2 = run_spark(fn, spark, SF)
     assert canon_rows(c1, r1) == canon_rows(c2, r2)
+
+
+def test_ri_edge_audit_null_parent_and_empty_child(spark):
+    """ADVICE r11: the kernel's contract over arbitrary frames — NULL
+    parent keys are excluded from the membership set (no SQL NOT IN
+    three-valued collapse: orphans still count when a parent key is
+    NULL), and an empty child frame emits n_child=0 with orphan_pct=0
+    instead of feeding dratio a zero denominator."""
+    from storm_netmonitor_spark.operators.extensions11 import ri_edge_audit
+
+    parent = spark.createDataFrame(
+        [(1,), (2,), (None,)], "pk long"
+    )
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "ck long"
+    )
+    r = ri_edge_audit(child, "ck", parent, "pk", "c->p", "pk").collect()[0]
+    # ck=3 is an orphan even though the parent set contains a NULL
+    assert (r["n_child"], r["n_null"], r["n_orphan"]) == (4, 1, 1)
+    assert r["orphan_pct"] == 0.25
+
+    empty = spark.createDataFrame([], "ck long")
+    r0 = ri_edge_audit(empty, "ck", parent, "pk", "e->p", "pk").collect()[0]
+    assert (r0["n_child"], r0["n_orphan"]) == (0, 0)
+    assert r0["orphan_pct"] == 0.0

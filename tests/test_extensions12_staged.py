@@ -200,3 +200,29 @@ def test_run_to_run_determinism(spark, name):
     c1, r1 = run_spark(fn, spark, SF)
     c2, r2 = run_spark(fn, spark, SF)
     assert canon_rows(c1, r1) == canon_rows(c2, r2)
+
+
+def test_frozen_score_emits_row_for_empty_token_doc(spark):
+    """ADVICE r11: a doc whose text tokenizes to nothing must NOT vanish
+    from the scored frame — the contract is 'score the delta', so it
+    gets an explicit (n_tokens=0, oov_tokens=0, xent=NULL, keep=false)
+    row instead of a silent gap."""
+    from storm_netmonitor_spark.operators.extensions12 import (
+        _frozen_lm,
+        frozen_ppl_score,
+    )
+    from storm_netmonitor_spark.operators.extensions8 import _doc_split
+
+    split = _doc_split(spark, SF)
+    lm = _frozen_lm(spark, SF, split)
+    docs = spark.createDataFrame(
+        [(900001, ""), (900002, "   "), (900003, "alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in frozen_ppl_score(docs, lm).collect()}
+    assert set(rows) == {900001, 900002, 900003}
+    for did in (900001, 900002):
+        r = rows[did]
+        assert r["n_tokens"] == 0 and r["oov_tokens"] == 0
+        assert r["xent"] is None and r["keep"] is False
+    assert rows[900003]["n_tokens"] == 2 and rows[900003]["xent"] is not None
