@@ -225,6 +225,22 @@ def plan_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
         F.hour("ts").alias("hr"),
     )
+    packed = compaction_bin_map(e)
+    return packed.groupBy("event_date", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("hr").cast("int").alias("hr_from"),
+        F.max("hr").cast("int").alias("hr_to"),
+    )
+
+
+def compaction_bin_map(e: DataFrame) -> DataFrame:
+    """KERNEL — the per-(date, hour) bin assignment behind the plan:
+    ``(event_date, hr, n_rows, bin_id)`` with bin = (running rows
+    before the hour) div target. One decision semantics, two consumers:
+    the registered plan aggregates it; the staged §2.AD apply op joins
+    rows against it so the EXECUTED packing is the PLANNED packing by
+    construction."""
     files = e.groupBy("event_date", "hr").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
@@ -233,7 +249,7 @@ def plan_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    packed = files.select(
+    return files.select(
         "event_date",
         "hr",
         "n_rows",
@@ -243,12 +259,6 @@ def plan_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("bin_id"),
-    )
-    return packed.groupBy("event_date", "bin_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_input_files"),
-        F.sum("n_rows").cast("long").alias("n_rows"),
-        F.min("hr").cast("int").alias("hr_from"),
-        F.max("hr").cast("int").alias("hr_to"),
     )
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,357 @@
+"""Round-13 candidate operators, PRE-STAGED (SURVEY §2.AD; the staging
+discipline of the §2.W–§2.AC batches applied forward).
+
+NOTHING in this module is registered: the registry closed the round-12
+registrations at 303, so there is no ``@query`` decorator here — each
+candidate ships as a plain callable plus a module-level oracle builder,
+wired into ``tests/test_extensions13_staged.py`` for the same
+vanilla-session + DuckDB-hash verification the driver will run once
+they ARE registered in round 13. Registration then is a 3-line diff
+per op.
+
+Capability anchor: SURVEY §2.AD — the ORCHESTRATION APPLY triple.
+Round 12 registered the PLANS (backfill work-list, compaction packing,
+FK orphan census); production then EXECUTES them, and the execution's
+ledger must reconcile with the plan it came from:
+
+- ``sink_backfill_apply`` — execute the backfill work-list: rewrite
+  exactly the missing+stale target partitions from source (CURRENT
+  partitions are neither read nor written — the partition-minimal
+  discipline of ``sink_targeted_delete``), and emit the per-date apply
+  ledger with ``n_tgt_after`` read back from the written files;
+- ``sink_compaction_apply`` — execute the packing plan: rewrite the
+  one-file-per-(date×hour) streaming-sink layout into ONE file per
+  planned bin (the bin assignment is the registered plan's own kernel,
+  so executed packing ≡ planned packing by construction), ledger row
+  counts read back from the written bins, file-count identity asserted
+  from the output directory listing;
+- ``sink_orphan_quarantine`` — execute the referential-integrity
+  verdict: when a parent population departs (a nation offboards →
+  its customers' orders lose their FK target), split the child table
+  into kept / quarantined by membership against the SURVIVING parent
+  keys (broadcast semi/anti joins — the ``join_anti`` shape), land the
+  quarantined rows as an audit trail, and emit the two-row ledger with
+  exact shares.
+
+All three follow the ``sink_targeted_delete`` write discipline: the
+rewrite REALLY happens (fresh temp dirs, read-back counts in the
+ledger), temp outputs are removed after the ledger materializes, and
+every decision input is integers (counts, keys, dates) — no float
+boundary anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import dratio, dratio_sql
+from ..io import load_table
+from .extensions11 import (
+    _BF_STALE_FROM,
+    _BF_STALE_TO,
+    _BF_WATERMARK,
+    compaction_bin_map,
+    plan_incremental_backfill,
+)
+
+# ---------------------------------------------------------------------------
+# sink_backfill_apply — execute the backfill work-list, partition-minimally
+# ---------------------------------------------------------------------------
+
+#: I/O accounting of the most recent apply: (partitions written,
+#: partitions total) — the partition-minimality identity, asserted by
+#: the staged tests against the actual output directory listing.
+LAST_BACKFILL_IO: list[int] = []
+
+
+def sink_backfill_apply_oracle() -> str:
+    return f"""
+WITH src AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+         COUNT(*) AS n_src,
+         COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_half
+  FROM events GROUP BY 1
+), cls AS (
+  SELECT event_date, n_src,
+         CASE WHEN event_date >= '{_BF_WATERMARK}' THEN 0
+              WHEN event_date >= '{_BF_STALE_FROM}'
+               AND event_date < '{_BF_STALE_TO}' THEN n_half
+              ELSE n_src END AS n_tgt_before
+  FROM src
+)
+SELECT event_date,
+       CASE WHEN n_tgt_before = n_src THEN 'current'
+            ELSE 'backfilled' END AS action,
+       CAST(n_src AS BIGINT) AS n_src,
+       CAST(n_tgt_before AS BIGINT) AS n_tgt_before,
+       CAST(CASE WHEN n_tgt_before = n_src THEN n_tgt_before
+                 ELSE n_src END AS BIGINT) AS n_tgt_after
+FROM cls
+"""
+
+
+def sink_backfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the §2.AB backfill work-list (SURVEY §2.AD): re-ingest
+    exactly the missing+stale target partitions from source and emit
+    the per-date apply ledger ``(event_date, action, n_src,
+    n_tgt_before, n_tgt_after)``.
+
+    Partition-minimal I/O on both sides: the work-list comes from the
+    REGISTERED plan op (one decision semantics — the apply never
+    re-derives staleness), the source read is the date-partitioned
+    layout filtered to the work dates (partition pruning, asserted by
+    the staged plan test), CURRENT target partitions are neither read
+    nor written by the apply, and ``n_tgt_after`` for applied dates is
+    read back from the files the apply actually wrote.
+    ``LAST_BACKFILL_IO`` records (partitions written, partitions
+    total). The work-list collect is O(partitions) — the scheduler's
+    own list, bounded by the calendar, never by table size."""
+    from .scans import partitioned_events_path
+
+    plan = plan_incremental_backfill(spark, sf_dir)
+    work = sorted(
+        r["event_date"]
+        for r in plan.filter(F.col("status") != "current").collect()
+    )
+    n_dates = plan.count()
+
+    src = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    out = os.path.join(tempfile.mkdtemp(prefix="nm_bf_apply_"), "applied")
+    (
+        src.filter(F.col("event_date").cast("string").isin(work))
+        .withColumn("event_date", F.col("event_date").cast("string"))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    LAST_BACKFILL_IO.clear()
+    LAST_BACKFILL_IO.extend([len(work), int(n_dates)])
+
+    applied = (
+        spark.read.parquet(out)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_applied"))
+    )
+    ledger = (
+        plan.join(applied, "event_date", "left")
+        .select(
+            "event_date",
+            F.when(F.col("status") == "current", "current")
+            .otherwise("backfilled")
+            .alias("action"),
+            "n_src",
+            F.col("n_tgt").alias("n_tgt_before"),
+            F.coalesce("n_applied", F.col("n_tgt"))
+            .cast("long")
+            .alias("n_tgt_after"),
+        )
+    )
+    rows = ledger.collect()
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return spark.createDataFrame(rows, ledger.schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_compaction_apply — execute the packing plan, one file per bin
+# ---------------------------------------------------------------------------
+
+#: Cached staged hourly-file layouts per sf_dir — the fragmented INPUT
+#: table is the fixture (one parquet file per date × hour, the
+#: streaming-sink shape the plan models), staged once per session.
+_HOURLY_LAYOUT_CACHE: dict[str, str] = {}
+
+#: (bins written, max files per bin dir) of the most recent apply —
+#: the one-file-per-bin identity, asserted by the staged tests.
+LAST_COMPACTION_IO: list[int] = []
+
+
+def _hourly_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key not in _HOURLY_LAYOUT_CACHE:
+        e = load_table(spark, sf_dir, "events").select(
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+            F.hour("ts").alias("hr"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="nm_cpt_in_"), "events_hourly"
+        )
+        (
+            e.repartition("event_date", "hr")
+            .write.mode("overwrite")
+            .partitionBy("event_date", "hr")
+            .parquet(out)
+        )
+        _HOURLY_LAYOUT_CACHE[key] = out
+    return _HOURLY_LAYOUT_CACHE[key]
+
+
+def sink_compaction_apply_oracle() -> str:
+    from .extensions11 import plan_compaction_oracle
+
+    base = plan_compaction_oracle().strip().rstrip()
+    return f"""
+SELECT event_date, bin_id, n_input_files, n_rows,
+       CAST(1 AS BIGINT) AS n_files_after
+FROM ({base})
+"""
+
+
+def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the §2.AB compaction plan (SURVEY §2.AD): rewrite the
+    one-file-per-(date×hour) streaming-sink layout into ONE file per
+    planned bin and emit the per-bin ledger ``(event_date, bin_id,
+    n_input_files, n_rows, n_files_after)`` — row counts read back
+    from the written bins, the file-count identity from the output
+    directory listing.
+
+    The bin assignment is :func:`extensions11.compaction_bin_map` — the
+    registered plan's OWN kernel — joined to the rows by (date, hour),
+    so the executed packing equals the planned packing by construction
+    (no second packing arithmetic to drift). The rewrite routes rows
+    with ``repartition(event_date, bin_id)`` (each bin lands in exactly
+    one task → exactly one file per bin directory) and time clustering
+    survives: each bin holds whole, consecutive hours."""
+    src = spark.read.parquet(_hourly_layout_dir(spark, sf_dir)).select(
+        F.col("event_date").cast("string").alias("event_date"),
+        F.col("hr").cast("int").alias("hr"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    bins = compaction_bin_map(
+        src.select("event_date", "hr")
+    ).select("event_date", "hr", "bin_id")
+    out = os.path.join(tempfile.mkdtemp(prefix="nm_cpt_out_"), "compacted")
+    (
+        src.join(F.broadcast(bins), ["event_date", "hr"])
+        .repartition("event_date", "bin_id")
+        .write.mode("overwrite")
+        .partitionBy("event_date", "bin_id")
+        .parquet(out)
+    )
+
+    # file-count identity from the REAL output layout (bounded by the
+    # plan size — O(bins) directory entries, never data)
+    max_files = 0
+    n_bins = 0
+    for date_dir in os.listdir(out):
+        if not date_dir.startswith("event_date="):
+            continue
+        for bin_dir in os.listdir(os.path.join(out, date_dir)):
+            if not bin_dir.startswith("bin_id="):
+                continue
+            n = len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(out, date_dir, bin_dir))
+                    if f.endswith(".parquet")
+                ]
+            )
+            n_bins += 1
+            max_files = max(max_files, n)
+    LAST_COMPACTION_IO.clear()
+    LAST_COMPACTION_IO.extend([n_bins, max_files])
+
+    back = spark.read.parquet(out).groupBy(
+        F.col("event_date").cast("string").alias("event_date"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    inputs = bins.groupBy("event_date", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input_files")
+    )
+    ledger = back.join(inputs, ["event_date", "bin_id"]).select(
+        "event_date",
+        "bin_id",
+        "n_input_files",
+        "n_rows",
+        F.lit(1).cast("long").alias("n_files_after"),
+    )
+    rows = ledger.collect()
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return spark.createDataFrame(rows, ledger.schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_orphan_quarantine — execute the RI verdict on a departed parent
+# ---------------------------------------------------------------------------
+
+#: The departed parent population: this nation offboards, its customers
+#: disappear from the surviving parent set, and their orders lose their
+#: FK target. Non-empty at every testdata SF (25 nations, uniform
+#: customer spread).
+_Q_DEPARTED_NATION = 3
+
+
+def sink_orphan_quarantine_oracle() -> str:
+    share = dratio_sql("n_rows * 1000000", "tot")
+    return f"""
+WITH dep AS (
+  SELECT c_custkey FROM customer WHERE c_nationkey = {_Q_DEPARTED_NATION}
+), cls AS (
+  SELECT CASE WHEN o_custkey IN (SELECT c_custkey FROM dep)
+              THEN 'quarantined' ELSE 'kept' END AS action
+  FROM orders
+), cnt AS (
+  SELECT action, COUNT(*) AS n_rows FROM cls GROUP BY action
+), tot AS (SELECT SUM(n_rows) AS tot FROM cnt)
+SELECT action, CAST(n_rows AS BIGINT) AS n_rows, {share} AS share_pct
+FROM cnt, tot
+"""
+
+
+def sink_orphan_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the referential-integrity verdict (SURVEY §2.AD): nation
+    {_Q_DEPARTED_NATION} offboards — its customers depart the parent
+    set — and the ORDERS child table splits into kept / quarantined by
+    membership against the SURVIVING customers. The quarantined rows
+    LAND (the audit trail a takedown pipeline must keep), the kept side
+    is a metadata view (never rewritten — at scale it is almost the
+    whole table), and the two-row ledger carries exact shares with the
+    quarantined count read back from the written files.
+
+    Join shape: the departed key set is dimension-sized → broadcast
+    LEFT SEMI for the quarantine side and LEFT ANTI for the kept count
+    (the ``join_semi``/``join_anti`` shapes) — the child scans once per
+    side, pruned to the FK column for the counts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dep = c.filter(F.col("c_nationkey") == _Q_DEPARTED_NATION).select(
+        F.col("c_custkey").alias("k")
+    )
+    quarantined = o.join(
+        F.broadcast(dep), o["o_custkey"] == dep["k"], "left_semi"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="nm_quar_"), "quarantine")
+    quarantined.write.mode("overwrite").parquet(out)
+
+    n_quar = spark.read.parquet(out).count()
+    n_total = o.count()
+    ledger = spark.createDataFrame(
+        [
+            ("kept", n_total - n_quar),
+            ("quarantined", n_quar),
+        ],
+        "action string, n_rows long",
+    )
+    result = ledger.crossJoin(
+        F.broadcast(
+            ledger.agg(F.sum("n_rows").cast("long").alias("tot"))
+        )
+    ).select(
+        "action",
+        "n_rows",
+        dratio(F.col("n_rows") * 1000000, F.col("tot")).alias("share_pct"),
+    )
+    rows = result.collect()
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

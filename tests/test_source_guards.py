@@ -30,9 +30,10 @@ PKG = Path(__file__).resolve().parent.parent / "storm_netmonitor_spark"
 #:   extensions5.hamming_topk        — one 8-byte query signature
 #:   extensions5.ppl_tercile_buckets_over — O(bands) census + 2 tercile
 #:     doubles (the kernel factored out of text_ppl_buckets, round 9)
-#:   extensions6.stream_ann_serve    — per-batch query rows (a handful of
-#:     served vectors — the registered op's single-row-fetch precedent)
-#:     + the post-drain result read-back (O(queries·topk) rows)
+#:   extensions6.stream_ann_serve    — the post-drain result read-back
+#:     only (O(queries·topk) rows); the per-batch query collect was
+#:     REMOVED in r12 (probe routing moved executor-side, the query
+#:     side attaches as a broadcast frame)
 #:   extensions6.text_minhash_index_merge — 1 max-doc-id scalar (the
 #:     split point both engines compute identically)
 #:   scans.observe_metrics           — the observed job's own action
@@ -47,7 +48,7 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions3.py": {"scan_cache_reuse": 1, "pagerank_over": 1},
     "operators/extensions5.py": {"hamming_topk": 1, "ppl_tercile_buckets_over": 2},
     "operators/extensions6.py": {
-        "stream_ann_serve": 2,
+        "stream_ann_serve": 1,
         "text_minhash_index_merge": 1,
     },
     # §2.X staged batch: _embed_split is ONE scalar max (the split-point
@@ -92,6 +93,17 @@ _AUDITED_COLLECT_SITES = {
     # stream_ann_serve / stream_index_drift result-detach precedent)
     "operators/extensions12.py": {
         "stream_gate_scores": 1,
+    },
+    # §2.AD staged batch (round-13 candidates): the applies collect
+    # (a) the plan's work-list — O(partitions), the scheduler's own
+    # list, bounded by the calendar — and (b) the final ledger to
+    # detach it from the temp output before rmtree (the
+    # sink_targeted_delete result-detach precedent); the quarantine
+    # collects only its 2-row ledger
+    "operators/extensions13.py": {
+        "sink_backfill_apply": 2,
+        "sink_compaction_apply": 1,
+        "sink_orphan_quarantine": 1,
     },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {

@@ -563,30 +563,22 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The most recently registered batches (§2.AB + §2.AC graduated at
-    # round-12 open; §2.W–§2.AA before them — all now also covered by
-    # --full / the window modes). When a new batch is STAGED
-    # unregistered, repoint this mode at it: the registration gate
-    # requires each candidate to pass under real executor JVMs BEFORE
-    # the registering commit.
-    from storm_netmonitor_spark.operators import extensions11 as e11
-    from storm_netmonitor_spark.operators import extensions12 as e12
+    # The UNREGISTERED round-13 candidates (§2.AD orchestration apply):
+    # the registration gate requires each to pass under real executor
+    # JVMs BEFORE the registering commit — this mode is that gate,
+    # runnable today. (The §2.AB/§2.AC batches graduated at round-12
+    # open and are now covered by --full / the window modes.)
+    from storm_netmonitor_spark.operators import extensions13 as e13
 
     qd = {
-        "plan_incremental_backfill": e11.plan_incremental_backfill,
-        "plan_compaction": e11.plan_compaction,
-        "audit_referential_integrity": e11.audit_referential_integrity,
-        "text_ppl_frozen_score": e12.text_ppl_frozen_score,
-        "quality_gate_drift": e12.quality_gate_drift,
-        "stream_gate_scores": e12.stream_gate_scores,
+        "sink_backfill_apply": e13.sink_backfill_apply,
+        "sink_compaction_apply": e13.sink_compaction_apply,
+        "sink_orphan_quarantine": e13.sink_orphan_quarantine,
     }
     od = {
-        "plan_incremental_backfill": e11.plan_incremental_backfill_oracle(),
-        "plan_compaction": e11.plan_compaction_oracle(),
-        "audit_referential_integrity": e11.audit_referential_integrity_oracle(),
-        "text_ppl_frozen_score": e12.text_ppl_frozen_score_oracle(),
-        "quality_gate_drift": e12.quality_gate_drift_oracle(SF),
-        "stream_gate_scores": e12.stream_gate_scores_oracle(),
+        "sink_backfill_apply": e13.sink_backfill_apply_oracle(),
+        "sink_compaction_apply": e13.sink_compaction_apply_oracle(),
+        "sink_orphan_quarantine": e13.sink_orphan_quarantine_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
