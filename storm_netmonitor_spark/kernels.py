@@ -130,6 +130,7 @@ from .operators.extensions7 import (
     index_drift_over,
     index_drift_tagged,
     route_to_centroids,
+    route_to_centroids_codegen,
 )
 from .operators.extensions5 import (
     cms_counters,
@@ -192,6 +193,7 @@ __all__ = [
     "rolling_actives_over",
     "rolling_median_over",
     "route_to_centroids",
+    "route_to_centroids_codegen",
     "scoped_confs",
     "semantic_dedup_summary",
     "semantic_dup_pairs",

@@ -281,3 +281,34 @@ def test_route_tie_breaks_to_smallest_cid(spark):
     )
     (row,) = route_to_centroids(corpus, cents).collect()
     assert row["cid"] == 0
+
+
+def test_codegen_router_matches_arrow_router(spark):
+    """The two routing kernels must make IDENTICAL assignment decisions
+    — the codegen (latency-class) kernel is only valid as a physical
+    alternative because the audited assignment margins (≥1.1e-5) dwarf
+    the accumulation-order noise between BLAS and a sequential fold."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators.extensions7 import (
+        _embed_split,
+        base_trained_cents,
+        route_to_centroids,
+        route_to_centroids_codegen,
+    )
+
+    split = _embed_split(spark, SF)
+    cents = base_trained_cents(spark, SF, split)
+    pop = load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") >= 1
+    ).select("vec_id", "embedding")
+    a = {
+        (r["vec_id"], r["cid"])
+        for r in route_to_centroids(pop, cents).collect()
+    }
+    b = {
+        (r["vec_id"], r["cid"])
+        for r in route_to_centroids_codegen(pop, cents).collect()
+    }
+    assert a == b
