@@ -105,6 +105,15 @@ _AUDITED_COLLECT_SITES = {
         "sink_compaction_apply": 1,
         "sink_orphan_quarantine": 1,
     },
+    # §2.AE staged batch: vec_rank_metrics collects the Q-row query
+    # block (the vec_ann_recall precedent — driver-side probe-rank math
+    # on the broadcastable model); stream_serve_recall collects its
+    # drained per-qid recall table to detach it from the temp sink
+    # before rmtree (the result-detach precedent)
+    "operators/extensions14.py": {
+        "vec_rank_metrics": 1,
+        "stream_serve_recall": 1,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,

@@ -563,22 +563,30 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The UNREGISTERED round-13 candidates (§2.AD orchestration apply):
-    # the registration gate requires each to pass under real executor
-    # JVMs BEFORE the registering commit — this mode is that gate,
-    # runnable today. (The §2.AB/§2.AC batches graduated at round-12
-    # open and are now covered by --full / the window modes.)
+    # The UNREGISTERED round-13 candidates (§2.AD orchestration apply +
+    # §2.AE ranking-quality/community): the registration gate requires
+    # each to pass under real executor JVMs BEFORE the registering
+    # commit — this mode is that gate, runnable today. (The §2.AB/§2.AC
+    # batches graduated at round-12 open and are now covered by --full
+    # / the window modes.)
     from storm_netmonitor_spark.operators import extensions13 as e13
+    from storm_netmonitor_spark.operators import extensions14 as e14
 
     qd = {
         "sink_backfill_apply": e13.sink_backfill_apply,
         "sink_compaction_apply": e13.sink_compaction_apply,
         "sink_orphan_quarantine": e13.sink_orphan_quarantine,
+        "vec_rank_metrics": e14.vec_rank_metrics,
+        "graph_community_lpa": e14.graph_community_lpa,
+        "stream_serve_recall": e14.stream_serve_recall,
     }
     od = {
         "sink_backfill_apply": e13.sink_backfill_apply_oracle(),
         "sink_compaction_apply": e13.sink_compaction_apply_oracle(),
         "sink_orphan_quarantine": e13.sink_orphan_quarantine_oracle(),
+        "vec_rank_metrics": e14.vec_rank_metrics_oracle(),
+        "graph_community_lpa": e14.graph_community_lpa_oracle(),
+        "stream_serve_recall": e14.stream_serve_recall_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
