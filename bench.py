@@ -181,25 +181,33 @@ RERUN_FULL = {
     "stream_gate_scores",
 }
 
-#: Vanilla-PySpark baselines for the round-11 bench families (median ms
-#: at sf0.1, BASELINE.md round-11-family addendum; measured by
-#: tools/baseline_r11_families.py — same env/method/parameters, plain
-#: renderings). bench emits timing/baseline ratios for these rows in the
-#: detail record so the 2× criterion is evaluable per round.
+#: Vanilla-PySpark baselines for the round-11/round-12 bench families
+#: (median ms at sf0.1; BASELINE.md family addenda, measured by
+#: tools/baseline_r11_families.py + tools/baseline_r12_families.py —
+#: same env/method/parameters, plain renderings). bench emits
+#: timing/baseline ratios for these rows in the detail record so the
+#: 2× criterion is evaluable per round; sub-100 ms rows are read
+#: structurally (BASELINE.md noise-floor note).
 BASELINE_R11_FAMILY_MS = {
-    "vec_ivf_index_insert": 252.0,
-    "vec_index_drift": 876.9,
-    "text_profile_drift": 503.2,
-    "dedup_components_merge": 8636.3,
-    "vec_ann_recall": 1048.8,
-    "text_minhash_calibration": 4353.9,
-    "text_filter_agreement": 2541.9,
-    "sink_targeted_delete": 787.4,
-    "dedup_components_retract": 864.4,
-    "vec_ivf_cell_retrain": 3110.9,
-    "stream_ann_serve": 2193.5,
-    "stream_index_drift": 1306.6,
-    "stream_minhash_index_merge": 9259.4,
+    "vec_ivf_index_insert": 69.6,
+    "vec_index_drift": 25.5,
+    "text_profile_drift": 30.2,
+    "dedup_components_merge": 10103.0,
+    "vec_ann_recall": 1094.0,
+    "text_minhash_calibration": 34.8,
+    "text_filter_agreement": 2412.6,
+    "sink_targeted_delete": 903.5,
+    "dedup_components_retract": 756.1,
+    "vec_ivf_cell_retrain": 3474.0,
+    "stream_ann_serve": 2200.4,
+    "stream_index_drift": 1206.1,
+    "stream_minhash_index_merge": 9669.5,
+    "plan_incremental_backfill": 37.0,
+    "plan_compaction": 67.6,
+    "audit_referential_integrity": 56.2,
+    "text_ppl_frozen_score": 33.9,
+    "quality_gate_drift": 37.1,
+    "stream_gate_scores": 1475.4,
 }
 
 WARMUPS = 1

@@ -386,23 +386,32 @@ _all_pairs.count()
 _scored = vanilla_lm(DOCS).cache()
 _scored.count()
 
-DELTA_E = EMB.filter(F.col("vec_id") >= E_SPLIT).select("vec_id", "embedding").cache()
-DELTA_E.count()
+# NOT cached: the engine's insert/drift ops re-scan the parquet per
+# run (only the trained model and the serving cell table are
+# artifacts) - caching here would hand the baseline an input the
+# vanilla user's per-run plan never has
+DELTA_E = EMB.filter(F.col("vec_id") >= E_SPLIT).select("vec_id", "embedding")
 BOTH_E = EMB.filter(F.col("vec_id") >= 1).select(
     "vec_id", "embedding", (F.col("vec_id") >= E_SPLIT).cast("int").alias("pop")
-).cache()
-BOTH_E.count()
+)
 
 
 # ---------------------------------------------------------------------------
 # batch twins — each returns rows (collect() is the timed terminal)
 # ---------------------------------------------------------------------------
 
-def t_vec_ivf_index_insert():
-    return route_with(DELTA_E, CF_BASE).collect()
+# Non-RERUN ops (vec_ivf_index_insert, vec_index_drift,
+# text_profile_drift, text_minhash_calibration): the engine's bench
+# sample re-collects a PRE-BUILT DataFrame (BASELINE.md method — plan
+# compilation amortized, execution measured), so these twins build
+# their frame once at staging and the timed region is collect().
+# Everything in bench RERUN_FULL rebuilds per sample on both sides.
+
+def _build_vec_ivf_index_insert():
+    return route_with(DELTA_E, CF_BASE)
 
 
-def t_vec_index_drift():
+def _build_vec_index_drift():
     routed = route_with(BOTH_E.select("vec_id", "embedding"), CF_BASE)
     tagged = routed.join(
         BOTH_E.select("vec_id", "pop"), "vec_id"
@@ -434,10 +443,10 @@ def t_vec_index_drift():
             F.abs(F.col("n_delta") * tb - F.col("n_base") * td) * 200
             >= F.lit(tb) * td
         ).alias("drifted"),
-    ).collect()
+    )
 
 
-def t_text_profile_drift():
+def _build_text_profile_drift():
     feat = DOCS.select(
         "doc_id",
         F.size(
@@ -472,7 +481,7 @@ def t_text_profile_drift():
             F.abs(F.col("n_delta") * tb - F.col("n_base") * td) * 200
             >= F.lit(tb) * td
         ).alias("drifted"),
-    ).collect()
+    )
 
 
 def t_dedup_components_merge():
@@ -551,7 +560,7 @@ def t_vec_ann_recall():
     )
 
 
-def t_text_minhash_calibration():
+def _build_text_minhash_calibration():
     sh = vanilla_shingles(DOCS).select("doc_id", F.array_sort("sh").alias("sh"))
     fr = F.explode(F.array(*[F.lit(f) for f in _CAL_FRACTIONS])).alias(
         "frac_pct"
@@ -605,7 +614,6 @@ def t_text_minhash_calibration():
             (F.sum("caught") / F.count("*")).alias("catch_pct"),
             (F.sum("plen") / F.sum("flen")).alias("pooled_jaccard"),
         )
-        .collect()
     )
 
 
@@ -911,6 +919,24 @@ def t_stream_minhash_index_merge():
 # ---------------------------------------------------------------------------
 # measure
 # ---------------------------------------------------------------------------
+
+_PREBUILT = {
+    "vec_ivf_index_insert": _build_vec_ivf_index_insert(),
+    "vec_index_drift": _build_vec_index_drift(),
+    "text_profile_drift": _build_text_profile_drift(),
+    "text_minhash_calibration": _build_text_minhash_calibration(),
+}
+
+
+def _collector(name):
+    return lambda: _PREBUILT[name].collect()
+
+
+t_vec_ivf_index_insert = _collector("vec_ivf_index_insert")
+t_vec_index_drift = _collector("vec_index_drift")
+t_text_profile_drift = _collector("text_profile_drift")
+t_text_minhash_calibration = _collector("text_minhash_calibration")
+
 
 TWINS = {
     "vec_ivf_index_insert": t_vec_ivf_index_insert,
