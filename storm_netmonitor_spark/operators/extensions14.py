@@ -220,6 +220,24 @@ def vec_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RM_K)
         .select("q_id", "vec_id", "rn")
     )
+    qids = spark.createDataFrame(
+        [(int(r["vec_id"]),) for r in qrows], "q_id long"
+    )
+    return rank_metrics_over(qids, approx, exact)
+
+
+def rank_metrics_over(
+    qids: DataFrame, approx: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """KERNEL — binary-relevance rank metrics of a served list against a
+    truth set: ``approx`` carries ``(q_id, vec_id, rn)`` (ranks 1..k),
+    ``exact`` the relevant ``(q_id, vec_id)`` pairs, ``qids`` the full
+    query universe (queries with no served rows emit zero-metric rows).
+    Returns ``(q_id, n_hits, first_hit_rank, mrr, ndcg)`` with the
+    precomputed integer gain table — rank arithmetic is integer/dratio
+    exact. Factored out of :func:`vec_rank_metrics` so the hypothesis
+    suite can drive it against a pure-python reference on arbitrary hit
+    patterns."""
     gain = F.element_at(
         F.array(*[F.lit(g) for g in _RM_GAINS_E6]), F.col("rn")
     )
@@ -230,9 +248,6 @@ def vec_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.coalesce("hit", F.lit(0)).alias("hit"),
         F.when(F.col("hit").isNotNull(), gain).otherwise(0).alias("gain_e6"),
-    )
-    qids = spark.createDataFrame(
-        [(int(r["vec_id"]),) for r in qrows], "q_id long"
     )
     per = qids.join(scored, "q_id", "left").groupBy("q_id").agg(
         F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
@@ -345,8 +360,22 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sf_dir=sf_dir,
     )
-    lab = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
-    for _ in range(_LPA_ROUNDS):
+    return lpa_rounds(d.select("doc_id"), bi, _LPA_ROUNDS)
+
+
+def lpa_rounds(nodes: DataFrame, bi: DataFrame, rounds: int) -> DataFrame:
+    """KERNEL — ``rounds`` synchronous majority-label-propagation rounds
+    over a SYMMETRIZED edge frame (columns ``doc_a, doc_b``; labels
+    travel a→b), nodes initialized to their own ids. Per round every
+    node adopts the most frequent neighbor label (ties to the SMALLEST;
+    no-neighbor nodes keep theirs), all nodes updating from the same
+    previous-round snapshot. Returns ``(doc_id, community)``. Factored
+    out of :func:`graph_community_lpa` so the hypothesis suite can
+    drive it against a pure-python reference on arbitrary graphs."""
+    lab = nodes.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    for _ in range(rounds):
         cnt = (
             bi.join(lab.withColumnRenamed("node", "doc_a"), "doc_a")
             .groupBy(F.col("doc_b").alias("node"), "label")
