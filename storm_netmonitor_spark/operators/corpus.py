@@ -78,7 +78,15 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: row-local ``regexp_replace``/``regexp_count`` inside
     whole-stage codegen — no shuffle, no UDF; linear in corpus bytes."""
-    d = load_table(spark, sf_dir, "documents")
+    return pii_report(load_table(spark, sf_dir, "documents"))
+
+
+def pii_report(d: DataFrame) -> DataFrame:
+    """KERNEL — the scrub pass over a ``(doc_id, text)`` frame (the
+    planted contact line, both redactions, counts, md5/length of the
+    redacted text). One scrub semantics, two consumers: the registered
+    batch op above and the staged §2.AF streaming ingest gate run the
+    identical row-local expressions."""
     synth = F.concat(
         F.lit("reach u"),
         F.col("doc_id").cast("string"),

@@ -475,6 +475,19 @@ def text_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     end — the cheapest monitor in the family."""
     d = load_table(spark, sf_dir, "documents")
     split = _doc_split(spark, sf_dir)
+    buck = profile_cells(d).select(
+        "cid", (F.col("doc_id") >= split).cast("int").alias("pop")
+    )
+    return index_drift_tagged(buck, _PROFILE_CELLS)
+
+
+def profile_cells(d: DataFrame) -> DataFrame:
+    """KERNEL — ``(doc_id, cid)`` profile-bucket assignment of a
+    ``(doc_id, text)`` frame: cid = log2-band(token count) × 10 +
+    alphabetic-share decile, all INTEGER arithmetic (``length(bin(…))``
+    bit length, ``al*10 DIV tot`` decile). One bucketing semantics, two
+    consumers: the registered batch monitor above and the staged §2.AF
+    streaming twin fold per-batch censuses with it."""
     feat = d.select(
         "doc_id",
         F.size(
@@ -485,7 +498,8 @@ def text_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("al"),
         F.length(F.col("text")).alias("tot"),
     )
-    buck = feat.select(
+    return feat.select(
+        "doc_id",
         (
             F.least(
                 F.lit(_PROFILE_LOG2_CAP), F.length(F.bin(F.col("tok")))
@@ -498,6 +512,4 @@ def text_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("cid"),
-        (F.col("doc_id") >= split).cast("int").alias("pop"),
     )
-    return index_drift_tagged(buck, _PROFILE_CELLS)

@@ -114,6 +114,15 @@ _AUDITED_COLLECT_SITES = {
         "vec_rank_metrics": 1,
         "stream_serve_recall": 1,
     },
+    # §2.AF staged batch: each gate collects its drained report to
+    # detach it from the temp sink before rmtree (the result-detach
+    # precedent); the profile gate also trains its bounded standing
+    # census once per corpus version (the ivf_base_census precedent)
+    "operators/extensions15.py": {
+        "stream_decontaminate_gate": 1,
+        "stream_pii_gate": 1,
+        "stream_profile_gate": 2,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,

@@ -564,13 +564,14 @@ if CHAOS_SERVE:
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
     # The UNREGISTERED round-13 candidates (§2.AD orchestration apply +
-    # §2.AE ranking-quality/community): the registration gate requires
-    # each to pass under real executor JVMs BEFORE the registering
-    # commit — this mode is that gate, runnable today. (The §2.AB/§2.AC
-    # batches graduated at round-12 open and are now covered by --full
-    # / the window modes.)
+    # §2.AE ranking-quality/community + §2.AF streaming ingest
+    # hygiene): the registration gate requires each to pass under real
+    # executor JVMs BEFORE the registering commit — this mode is that
+    # gate, runnable today. (The §2.AB/§2.AC batches graduated at
+    # round-12 open and are now covered by --full / the window modes.)
     from storm_netmonitor_spark.operators import extensions13 as e13
     from storm_netmonitor_spark.operators import extensions14 as e14
+    from storm_netmonitor_spark.operators import extensions15 as e15
 
     qd = {
         "sink_backfill_apply": e13.sink_backfill_apply,
@@ -579,6 +580,9 @@ if STAGED:
         "vec_rank_metrics": e14.vec_rank_metrics,
         "graph_community_lpa": e14.graph_community_lpa,
         "stream_serve_recall": e14.stream_serve_recall,
+        "stream_decontaminate_gate": e15.stream_decontaminate_gate,
+        "stream_pii_gate": e15.stream_pii_gate,
+        "stream_profile_gate": e15.stream_profile_gate,
     }
     od = {
         "sink_backfill_apply": e13.sink_backfill_apply_oracle(),
@@ -587,6 +591,9 @@ if STAGED:
         "vec_rank_metrics": e14.vec_rank_metrics_oracle(),
         "graph_community_lpa": e14.graph_community_lpa_oracle(),
         "stream_serve_recall": e14.stream_serve_recall_oracle(),
+        "stream_decontaminate_gate": e15.stream_decontaminate_gate_oracle(),
+        "stream_pii_gate": e15.stream_pii_gate_oracle(),
+        "stream_profile_gate": e15.stream_profile_gate_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
