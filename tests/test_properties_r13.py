@@ -243,3 +243,97 @@ def test_rank_metrics_match_python_reference(data):
             got[q],
             expect[q],
         )
+
+
+# ---------------------------------------------------------------------------
+# profile_cells == pure-python bucketing
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab X.9 "), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_profile_cells_match_python_reference(texts):
+    from storm_netmonitor_spark.operators.extensions8 import (
+        _PROFILE_LOG2_CAP,
+        profile_cells,
+    )
+
+    spark = _spark()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["cid"] for r in profile_cells(docs).collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        tok = len([w for w in t.split(" ") if w != ""])
+        al = sum(1 for ch in t if ch.isascii() and ch.isalpha())
+        tot = len(t)
+        band = min(_PROFILE_LOG2_CAP, max(1, tok.bit_length()))
+        # Spark's bin(0) = "0" (length 1), matching bit_length floor 1
+        if tok == 0:
+            band = 1
+        dec = min(9, al * 10 // tot) if tot > 0 else 0
+        want[i] = band * 10 + dec
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# pii_report == python re on the same planted line
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 99999),
+            st.text(
+                alphabet=st.sampled_from(
+                    "abz0.@- +report me at bob@x.io or +1-234-5678 "
+                ),
+                max_size=80,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pii_report_matches_python_re(docs):
+    import re as _re
+
+    from storm_netmonitor_spark.operators.corpus import (
+        _EMAIL_RE,
+        _PHONE_RE,
+        pii_report,
+    )
+
+    spark = _spark()
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_report(frame).collect()}
+    for doc_id, text in docs:
+        synth = (
+            f"reach u{doc_id}@mail.example.com or +1-555-"
+            f"{doc_id % 10000:04d} re: {text}"
+        )
+        n_e = len(_re.findall(_EMAIL_RE, synth))
+        n_p = len(_re.findall(_PHONE_RE, synth))
+        red = _re.sub(
+            _PHONE_RE, "<PHONE>", _re.sub(_EMAIL_RE, "<EMAIL>", synth)
+        )
+        r = got[doc_id]
+        assert r["n_emails"] == n_e and r["n_phones"] == n_p, (synth, dict(
+            n_emails=r["n_emails"], n_phones=r["n_phones"], e=n_e, p=n_p))
+        assert r["redacted_len"] == len(red)
