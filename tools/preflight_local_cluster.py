@@ -564,14 +564,16 @@ if CHAOS_SERVE:
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
     # The UNREGISTERED round-13 candidates (§2.AD orchestration apply +
-    # §2.AE ranking-quality/community + §2.AF streaming ingest
-    # hygiene): the registration gate requires each to pass under real
-    # executor JVMs BEFORE the registering commit — this mode is that
-    # gate, runnable today. (The §2.AB/§2.AC batches graduated at
-    # round-12 open and are now covered by --full / the window modes.)
+    # §2.AE ranking-quality/community + §2.AF streaming ingest hygiene
+    # + §2.AG quantization quality): the registration gate requires
+    # each to pass under real executor JVMs BEFORE the registering
+    # commit — this mode is that gate, runnable today. (The §2.AB/§2.AC
+    # batches graduated at round-12 open and are now covered by --full
+    # / the window modes.)
     from storm_netmonitor_spark.operators import extensions13 as e13
     from storm_netmonitor_spark.operators import extensions14 as e14
     from storm_netmonitor_spark.operators import extensions15 as e15
+    from storm_netmonitor_spark.operators import extensions16 as e16
 
     qd = {
         "sink_backfill_apply": e13.sink_backfill_apply,
@@ -583,6 +585,9 @@ if STAGED:
         "stream_decontaminate_gate": e15.stream_decontaminate_gate,
         "stream_pii_gate": e15.stream_pii_gate,
         "stream_profile_gate": e15.stream_profile_gate,
+        "vec_pq_distortion": e16.vec_pq_distortion,
+        "vec_pq_recall": e16.vec_pq_recall,
+        "vec_index_snapshot_diff": e16.vec_index_snapshot_diff,
     }
     od = {
         "sink_backfill_apply": e13.sink_backfill_apply_oracle(),
@@ -594,6 +599,9 @@ if STAGED:
         "stream_decontaminate_gate": e15.stream_decontaminate_gate_oracle(),
         "stream_pii_gate": e15.stream_pii_gate_oracle(),
         "stream_profile_gate": e15.stream_profile_gate_oracle(),
+        "vec_pq_distortion": e16.vec_pq_distortion_oracle(SF),
+        "vec_pq_recall": e16.vec_pq_recall_oracle(SF),
+        "vec_index_snapshot_diff": e16.vec_index_snapshot_diff_oracle(SF),
     }
 if FULL or STAGED:
     RUN = list(qd)
