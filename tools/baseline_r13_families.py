@@ -1,0 +1,1004 @@
+#!/usr/bin/env python
+"""Vanilla-PySpark baselines for the round-13 candidate batches
+(§2.AD–§2.AG), pre-built at round-12 close per the SURVEY §7.1
+checklist so the twelve ops get their BASELINE.md rows the round they
+register.
+
+Method = `tools/baseline_r11_families.py` (read its docstring): same
+environment (`local[8]`, `shuffle.partitions=8`), same 1-warm-up /
+median-of-3, same timed-region rule — RERUN-class rows (the applies,
+the drains, the checkpointed eval/community passes) rebuild per sample
+exactly like the engine's bench sample; non-RERUN rows (the three
+§2.AG quantization censuses) prebuild their frame and time
+`collect()`; session-stable inputs the engine reads from the artifact
+store (trained centroids, routing/cell tables, dedup edges, benchmark
+grams, standing censuses, staged fixtures) stage once UNTIMED with
+plain code; twins never cache an input the engine re-scans per run.
+Only CONSTANTS are imported from the engine.
+
+Usage: python tools/baseline_r13_families.py [SF_DIR]
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from storm_netmonitor_spark.operators.vectors import (  # noqa: E402
+    IVF_ITERS,
+    IVF_K,
+    IVF_NPROBE,
+    _PQ_CODES,
+    _PQ_SUBS,
+)
+from storm_netmonitor_spark.operators.text import (  # noqa: E402
+    NGRAM_JACCARD_MIN,
+    SHINGLE_K,
+)
+from storm_netmonitor_spark.operators.corpus import (  # noqa: E402
+    BENCH_SOURCE,
+    DECON_NGRAM,
+    _EMAIL_RE,
+    _PHONE_RE,
+)
+from storm_netmonitor_spark.operators.extensions11 import (  # noqa: E402
+    _BF_STALE_FROM,
+    _BF_STALE_TO,
+    _BF_WATERMARK,
+    _CPT_TARGET_ROWS,
+)
+from storm_netmonitor_spark.operators.extensions12 import (  # noqa: E402
+    _STREAM_GATE_BATCHES,
+)
+from storm_netmonitor_spark.operators.extensions13 import (  # noqa: E402
+    _Q_DEPARTED_NATION,
+)
+from storm_netmonitor_spark.operators.extensions14 import (  # noqa: E402
+    _LPA_ROUNDS,
+    _RM_GAINS_E6,
+    _RM_IDCG_E6,
+    _RM_K,
+    _RM_QUERIES,
+)
+from storm_netmonitor_spark.operators.extensions16 import (  # noqa: E402
+    _PQR_K,
+    _PQR_QUERIES,
+)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+SPLIT_NUM, SPLIT_DEN = 4, 5
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .appName("baseline-r13-families")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+EMB = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+DOCS = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+EVENTS = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+    "ts", F.col("ts").cast("timestamp")
+)
+ORDERS = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+CUSTOMER = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+
+E_SPLIT = (EMB.agg(F.max("vec_id")).collect()[0][0] + 1) * SPLIT_NUM // SPLIT_DEN
+D_SPLIT = (DOCS.agg(F.max("doc_id")).collect()[0][0] + 1) * SPLIT_NUM // SPLIT_DEN
+
+print("staging: shared vanilla artifacts ...", file=sys.stderr)
+
+
+# -- vanilla vector helpers (the r11-script renderings) ----------------------
+
+def vexplode(df, idc="vec_id"):
+    return df.select(
+        F.col(idc).alias("vid"), F.posexplode("embedding").alias("pos", "x")
+    )
+
+
+def cents_frame(cents):
+    return spark.createDataFrame(
+        [
+            (cid, pos, float(x))
+            for cid, vec in enumerate(cents)
+            for pos, x in enumerate(vec)
+        ],
+        "cid int, pos int, cx double",
+    )
+
+
+def vanilla_lloyd(base):
+    seeds = base.filter(F.col("vec_id").between(1, IVF_K)).orderBy("vec_id")
+    cents = [[float(x) for x in r["embedding"]] for r in seeds.collect()]
+    ex = vexplode(base).cache()
+    ex.count()
+    for _ in range(IVF_ITERS):
+        cf = cents_frame(cents)
+        dots = (
+            ex.join(F.broadcast(cf), "pos")
+            .groupBy("vid", "cid")
+            .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("dot"), F.asc("cid"))
+        assign = (
+            dots.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "cid")
+        )
+        means = (
+            ex.join(assign, "vid").groupBy("cid", "pos").agg(
+                F.avg("x").alias("m")
+            ).collect()
+        )
+        acc = {}
+        dim = len(cents[0])
+        for r in means:
+            acc.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
+        new = []
+        for cid in range(IVF_K):
+            v = acc.get(cid, cents[cid])
+            n = math.sqrt(sum(t * t for t in v)) or 1.0
+            new.append([t / n for t in v])
+        cents = new
+    ex.unpersist()
+    return cents
+
+
+def route_with(df, cf):
+    dots = (
+        vexplode(df)
+        .join(F.broadcast(cf), "pos")
+        .groupBy("vid", "cid")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("dot"), F.asc("cid"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vid").alias("vec_id"), "cid")
+    )
+
+
+_corpus = EMB.filter(F.col("vec_id") != 0).select("vec_id", "embedding").cache()
+_corpus.count()  # engine caches the ivf corpus (session memo)
+CENTS_FULL = vanilla_lloyd(_corpus)
+CENTS_BASE = vanilla_lloyd(
+    EMB.filter((F.col("vec_id") >= 1) & (F.col("vec_id") < E_SPLIT)).select(
+        "vec_id", "embedding"
+    )
+)
+CF_FULL = cents_frame(CENTS_FULL).cache()
+CF_BASE = cents_frame(CENTS_BASE).cache()
+CF_FULL.count(), CF_BASE.count()
+_cells_full = route_with(_corpus, CF_FULL).cache()
+_cells_full.count()
+
+# -- vanilla text/dedup staging ----------------------------------------------
+
+
+def vanilla_shingles(docs):
+    tk = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit("")).alias(
+            "tk"
+        ),
+    )
+    return tk.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("tk") - SHINGLE_K, F.lit(0))
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("tk"), i + 1, SHINGLE_K)
+                ),
+            )
+        ).alias("sh"),
+    )
+
+
+# near-dup edge list via the engine's pair DEFINITION (word-3-gram
+# jaccard >= threshold with the df-cap) rendered plain — staged once
+# (the engine's dedup_edges artifact)
+def _vanilla_edges():
+    tk = DOCS.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit("")).alias(
+            "tk"
+        ),
+    )
+    grams = tk.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("tk") - 3, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, 3)),
+                )
+            )
+        ).alias("gram"),
+    )
+    kept = grams.join(
+        grams.groupBy("lang", "source", "gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 1000)
+        .select("lang", "source", "gram"),
+        ["lang", "source", "gram"],
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.select("lang", "source", "gram", F.col("doc_id").alias("doc_a"))
+    b = kept.select("lang", "source", "gram", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, ["lang", "source", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sim = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(
+            F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+            >= NGRAM_JACCARD_MIN
+        )
+        .select("doc_a", "doc_b")
+    )
+    return sim.unionByName(
+        sim.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+
+
+_EDGES = _vanilla_edges().cache()
+_EDGES.count()
+
+# benchmark gram artifact (vanilla)
+_tkb = DOCS.filter(F.col("source") == BENCH_SOURCE).select(
+    "doc_id", F.split(F.lower("text"), " ").alias("tk")
+)
+_BENCH = (
+    _tkb.select(
+        F.explode(
+            F.when(
+                F.size("tk") >= DECON_NGRAM,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - (DECON_NGRAM - 1)),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("tk"), i, DECON_NGRAM)
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    .distinct()
+    .cache()
+)
+_BENCH.count()
+
+
+def profile_cid():
+    return (
+        F.least(
+            F.lit(15),
+            F.length(
+                F.bin(
+                    F.size(
+                        F.filter(
+                            F.split(F.col("text"), " "),
+                            lambda x: x != F.lit(""),
+                        )
+                    )
+                )
+            ),
+        )
+        * 10
+        + F.when(
+            F.length("text") > 0,
+            F.least(
+                F.lit(9),
+                F.expr(
+                    "length(regexp_replace(text, '[^A-Za-z]', '')) * 10"
+                    " DIV length(text)"
+                ),
+            ),
+        ).otherwise(0)
+    ).cast("int")
+
+
+_PROFILE_BASE = (
+    DOCS.filter(F.col("doc_id") < D_SPLIT)
+    .select(profile_cid().alias("cid"))
+    .groupBy("cid")
+    .agg(F.count("*").alias("n_base"))
+    .cache()
+)
+_PROFILE_BASE.count()
+
+# staged fixtures (untimed): backfill target, hourly layout,
+# date-partitioned events layout, delta doc / query streams
+_tgt_dir = os.path.join(tempfile.mkdtemp(prefix="bl13_tgt_"), "events_target")
+(
+    EVENTS.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    .filter(F.col("event_date") < _BF_WATERMARK)
+    .filter(
+        ~(
+            (F.col("event_date") >= _BF_STALE_FROM)
+            & (F.col("event_date") < _BF_STALE_TO)
+        )
+        | (F.col("event_id") % 2 == 0)
+    )
+    .repartition("event_date")
+    .write.mode("overwrite")
+    .partitionBy("event_date")
+    .parquet(_tgt_dir)
+)
+_hourly_dir = os.path.join(tempfile.mkdtemp(prefix="bl13_hr_"), "events_hourly")
+(
+    EVENTS.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.hour("ts").alias("hr"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    .repartition("event_date", "hr")
+    .write.mode("overwrite")
+    .partitionBy("event_date", "hr")
+    .parquet(_hourly_dir)
+)
+_bydate_dir = os.path.join(tempfile.mkdtemp(prefix="bl13_bd_"), "events_by_date")
+(
+    EVENTS.withColumn("event_date", F.to_date("ts"))
+    .write.mode("overwrite")
+    .partitionBy("event_date")
+    .parquet(_bydate_dir)
+)
+
+
+def _stage_stream(df, order_col, n_batches, prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    rows = df.orderBy(order_col).collect()
+    per = max(1, -(-len(rows) // n_batches))
+    for i in range(0, len(rows), per):
+        spark.createDataFrame(rows[i : i + per], df.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(d, f"b{i // per}"))
+    return d
+
+
+_doc_stream = _stage_stream(
+    DOCS.filter(F.col("doc_id") >= D_SPLIT), "doc_id", _STREAM_GATE_BATCHES,
+    "bl13_docs_",
+)
+_q_stream = _stage_stream(
+    EMB.filter(F.col("vec_id").isin([0, 1, 2, 3])), "vec_id", 2, "bl13_q_"
+)
+
+
+def _drain(src, schema_df, fn):
+    ckpt = tempfile.mkdtemp(prefix="bl13_ckpt_")
+    q = (
+        spark.readStream.schema(schema_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+        .writeStream.foreachBatch(fn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.AD twins (RERUN class)
+# ---------------------------------------------------------------------------
+
+def t_sink_backfill_apply():
+    src = (
+        EVENTS.select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n_src"))
+    )
+    tgt = (
+        spark.read.parquet(_tgt_dir)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    plan = (
+        src.join(tgt, "event_date", "left")
+        .fillna(0, ["n_tgt"])
+        .select(
+            "event_date",
+            F.when(F.col("n_tgt") == F.col("n_src"), "current")
+            .otherwise("backfilled")
+            .alias("action"),
+            "n_src",
+            "n_tgt",
+        )
+    )
+    work = [
+        r["event_date"]
+        for r in plan.filter(F.col("action") != "current").collect()
+    ]
+    out = os.path.join(tempfile.mkdtemp(prefix="bl13_bfa_"), "applied")
+    # naive source read: the raw table, filtered (no partitioned layout)
+    (
+        EVENTS.withColumn(
+            "event_date", F.date_format("ts", "yyyy-MM-dd")
+        )
+        .filter(F.col("event_date").isin(work))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    applied = (
+        spark.read.parquet(out)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count("*").alias("n_applied"))
+    )
+    rows = (
+        plan.join(applied, "event_date", "left")
+        .select(
+            "event_date",
+            "action",
+            "n_src",
+            F.col("n_tgt").alias("n_tgt_before"),
+            F.coalesce("n_applied", F.col("n_tgt")).alias("n_tgt_after"),
+        )
+        .collect()
+    )
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return rows
+
+
+def t_sink_compaction_apply():
+    src = spark.read.parquet(_hourly_dir).select(
+        F.col("event_date").cast("string").alias("event_date"),
+        F.col("hr").cast("int").alias("hr"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    files = src.groupBy("event_date", "hr").agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_date")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = files.withColumn(
+        "bin_id",
+        (F.coalesce(F.sum("n").over(w), F.lit(0)) / _CPT_TARGET_ROWS).cast(
+            "long"
+        ),
+    ).select("event_date", "hr", "bin_id")
+    out = os.path.join(tempfile.mkdtemp(prefix="bl13_cpt_"), "compacted")
+    (
+        src.join(bins, ["event_date", "hr"])
+        .repartition("event_date", "bin_id")
+        .write.mode("overwrite")
+        .partitionBy("event_date", "bin_id")
+        .parquet(out)
+    )
+    back = (
+        spark.read.parquet(out)
+        .groupBy(
+            F.col("event_date").cast("string").alias("event_date"),
+            F.col("bin_id").cast("long").alias("bin_id"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+    inputs = bins.groupBy("event_date", "bin_id").agg(
+        F.count("*").alias("n_input_files")
+    )
+    rows = (
+        back.join(inputs, ["event_date", "bin_id"])
+        .withColumn("n_files_after", F.lit(1))
+        .collect()
+    )
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return rows
+
+
+def t_sink_orphan_quarantine():
+    dep = CUSTOMER.filter(F.col("c_nationkey") == _Q_DEPARTED_NATION).select(
+        F.col("c_custkey").alias("k")
+    )
+    quarantined = ORDERS.join(
+        dep, ORDERS["o_custkey"] == dep["k"], "left_semi"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="bl13_quar_"), "quarantine")
+    quarantined.write.mode("overwrite").parquet(out)
+    n_q = spark.read.parquet(out).count()
+    n_total = ORDERS.count()
+    rows = [
+        ("kept", n_total - n_q, (n_total - n_q) / n_total),
+        ("quarantined", n_q, n_q / n_total),
+    ]
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# §2.AE twins
+# ---------------------------------------------------------------------------
+
+def t_vec_rank_metrics():
+    qe = vexplode(
+        EMB.filter(F.col("vec_id") < _RM_QUERIES).select("vec_id", "embedding")
+    ).withColumnRenamed("vid", "q_id").withColumnRenamed("x", "qx")
+    ee = vexplode(_corpus)
+    sims = (
+        ee.join(qe, "pos")
+        .filter(F.col("vid") != F.col("q_id"))
+        .groupBy("q_id", "vid")
+        .agg(F.sum(F.col("x") * F.col("qx")).alias("sim"))
+    )
+    qd = (
+        qe.join(F.broadcast(CF_FULL), "pos")
+        .groupBy("q_id", "cid")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("cid"))
+    prank = qd.withColumn("pr", F.row_number().over(wp)).select(
+        "q_id", "cid", "pr"
+    )
+    enriched = sims.join(
+        _cells_full.withColumnRenamed("vec_id", "vid"), "vid"
+    ).join(prank, ["q_id", "cid"]).cache()
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vid"))
+    exact = (
+        enriched.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _RM_K)
+        .select("q_id", "vid")
+    )
+    approx = (
+        enriched.filter(F.col("pr") <= IVF_NPROBE)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _RM_K)
+        .select("q_id", "vid", "rn")
+    )
+    # float NDCG — the vanilla user's rendering
+    gain = 1.0 / F.log2(F.col("rn") + 1)
+    scored = approx.join(
+        exact.withColumn("hit", F.lit(1)), ["q_id", "vid"], "left"
+    ).select(
+        "q_id",
+        "rn",
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+        F.when(F.col("hit").isNotNull(), gain).otherwise(0.0).alias("g"),
+    )
+    idcg = sum(1.0 / math.log2(i + 2) for i in range(_RM_K))
+    rows = (
+        scored.groupBy("q_id")
+        .agg(
+            F.sum("hit").alias("n_hits"),
+            F.min(F.when(F.col("hit") == 1, F.col("rn"))).alias("fr"),
+            (F.sum("g") / idcg).alias("ndcg"),
+        )
+        .withColumn(
+            "mrr",
+            F.when(F.col("fr").isNull(), 0.0).otherwise(1.0 / F.col("fr")),
+        )
+        .collect()
+    )
+    enriched.unpersist()
+    return rows
+
+
+def t_graph_community_lpa():
+    lab = DOCS.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            _EDGES.join(lab.withColumnRenamed("node", "doc_a"), "doc_a")
+            .groupBy(F.col("doc_b").alias("node"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+        win = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("nl"))
+        )
+        lab = lab.join(win, "node", "left").select(
+            "node", F.coalesce("nl", "label").alias("label")
+        )
+    return lab.collect()
+
+
+def t_stream_serve_recall():
+    out_dir = tempfile.mkdtemp(prefix="bl13_sr_")
+
+    def score(batch_df, batch_id):
+        qrows = batch_df.select("vec_id", "embedding").collect()
+        if not qrows:
+            return
+        probe_rows, qvec_rows = [], []
+        for r in qrows:
+            qid = int(r["vec_id"])
+            qv = [float(x) for x in r["embedding"]]
+            qvec_rows.extend((qid, p, v) for p, v in enumerate(qv, start=1))
+            sims = sorted(
+                (
+                    (sum(c[i] * qv[i] for i in range(len(qv))), -k)
+                    for k, c in enumerate(CENTS_FULL)
+                ),
+                reverse=True,
+            )
+            probe_rows.extend((qid, -nk) for _, nk in sims[:IVF_NPROBE])
+        probes = spark.createDataFrame(probe_rows, "qid long, cid int")
+        qx = spark.createDataFrame(qvec_rows, "qid long, pos int, qx double")
+        cand = _cells_full.join(F.broadcast(probes), "cid").select(
+            "qid", "vec_id"
+        )
+        served = (
+            cand.join(
+                vexplode(_corpus).withColumnRenamed("vid", "vec_id"), "vec_id"
+            )
+            .join(F.broadcast(qx), ["qid", "pos"])
+            .groupBy("qid", "vec_id")
+            .agg(F.sum(F.col("x") * F.col("qx")).alias("s"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+        served_top = (
+            served.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "vec_id")
+        )
+        exact = (
+            vexplode(_corpus)
+            .withColumnRenamed("vid", "vec_id")
+            .join(F.broadcast(qx), "pos")
+            .groupBy("qid", "vec_id")
+            .agg(F.sum(F.col("x") * F.col("qx")).alias("s"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "vec_id")
+        )
+        hits = served_top.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+            F.count("*").alias("n_hits")
+        )
+        hits.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    _drain(_q_stream, EMB, score)
+    rows = spark.read.parquet(os.path.join(out_dir, "batch_id=*")).collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# §2.AF twins (drains)
+# ---------------------------------------------------------------------------
+
+def t_stream_decontaminate_gate():
+    out_dir = tempfile.mkdtemp(prefix="bl13_dec_")
+
+    def gate(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        t = batch_df.filter(F.col("source") != BENCH_SOURCE).select(
+            "doc_id", "lang", F.split(F.lower("text"), " ").alias("tk")
+        )
+        g = t.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("tk") >= DECON_NGRAM,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.size("tk") - (DECON_NGRAM - 1)
+                            ),
+                            lambda i: F.concat_ws(
+                                " ", F.slice(F.col("tk"), i, DECON_NGRAM)
+                            ),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        cont = (
+            g.join(F.broadcast(_BENCH), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        (
+            t.select("doc_id", "lang")
+            .join(cont, "doc_id", "left")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_train"),
+                F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias(
+                    "n_contaminated"
+                ),
+                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias(
+                    "n_kept"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    _drain(_doc_stream, DOCS, gate)
+    rows = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_train").alias("n_train"),
+            F.sum("n_contaminated").alias("n_contaminated"),
+            F.sum("n_kept").alias("n_kept"),
+        )
+        .collect()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
+
+
+def t_stream_pii_gate():
+    out_dir = tempfile.mkdtemp(prefix="bl13_pii_")
+    synth = F.concat(
+        F.lit("reach u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+
+    def gate(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        batch_df.select(
+            "doc_id",
+            F.regexp_count(synth, F.lit(_EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(synth, F.lit(_PHONE_RE)).alias("n_phones"),
+            F.md5(red).alias("redacted_md5"),
+            F.length(red).alias("redacted_len"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    _drain(_doc_stream, DOCS, gate)
+    rows = spark.read.parquet(os.path.join(out_dir, "batch_id=*")).collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
+
+
+def t_stream_profile_gate():
+    out_dir = tempfile.mkdtemp(prefix="bl13_prof_")
+
+    def gate(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        (
+            batch_df.select(profile_cid().alias("cid"))
+            .groupBy("cid")
+            .agg(F.count("*").alias("n_delta"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    _drain(_doc_stream, DOCS, gate)
+    delta = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("cid")
+        .agg(F.sum("n_delta").alias("n_delta"))
+    )
+    counts = (
+        _PROFILE_BASE.join(delta, "cid", "full")
+        .fillna(0, ["n_base", "n_delta"])
+        .collect()
+    )
+    tb = sum(r["n_base"] for r in counts)
+    td = sum(r["n_delta"] for r in counts) or 1
+    rows = [
+        (
+            r["cid"],
+            r["n_base"],
+            r["n_delta"],
+            r["n_base"] / tb,
+            r["n_delta"] / td,
+            abs(r["n_delta"] * tb - r["n_base"] * td) * 200 >= tb * td,
+        )
+        for r in counts
+    ]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# §2.AG twins (non-RERUN: prebuilt frames, timed = collect)
+# ---------------------------------------------------------------------------
+
+def _vanilla_codes():
+    ex = vexplode(EMB).select(
+        "vid",
+        "pos",
+        F.expr("CAST(pos div 8 AS BIGINT)").alias("sub"),
+        F.col("x").cast("double").alias("x"),
+    )
+    seeds = ex.filter(F.col("vid").between(1, _PQ_CODES)).select(
+        F.col("vid").alias("code"), "sub", "pos", F.col("x").alias("cx")
+    )
+    d = F.col("x") - F.col("cx")
+    dist = (
+        ex.join(F.broadcast(seeds), ["sub", "pos"])
+        .select("vid", "sub", "code", (d * d).alias("sq"))
+        .groupBy("vid", "sub", "code")
+        .agg(F.sum("sq").alias("d2"))
+    )
+    w = Window.partitionBy("vid", "sub").orderBy("d2", "code")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vid").alias("vec_id"), "sub", "code", "d2")
+    )
+
+
+def _build_pq_distortion():
+    codes = _vanilla_codes()
+    return codes.groupBy("sub", "code").agg(
+        F.count("*").alias("n_assigned"),
+        F.sum("d2").alias("total_d2"),
+        F.avg("d2").alias("mean_d2"),
+    )
+
+
+def _build_pq_recall():
+    codes = _vanilla_codes().select("vec_id", "sub", "code")
+    qe = vexplode(EMB.filter(F.col("vec_id") < _PQR_QUERIES)).select(
+        F.col("vid").alias("q_id"), "pos", F.col("x").alias("qx")
+    )
+    seeds = vexplode(EMB.filter(F.col("vec_id").between(1, _PQ_CODES))).select(
+        F.col("vid").alias("code"),
+        F.expr("CAST(pos div 8 AS BIGINT)").alias("sub"),
+        "pos",
+        "x",
+    )
+    qd = F.col("qx") - F.col("x")
+    dt = (
+        seeds.join(F.broadcast(qe), "pos")
+        .select("q_id", "sub", "code", (qd * qd).alias("sq"))
+        .groupBy("q_id", "sub", "code")
+        .agg(F.sum("sq").alias("qd2"))
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dt), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    wa = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+    approx = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _PQR_K)
+        .select("q_id", "vec_id")
+    )
+    ee = vexplode(_corpus).withColumnRenamed("vid", "vec_id")
+    ed = (
+        ee.join(qe, "pos")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            ((F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))).alias(
+                "sq"
+            ),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("sq").alias("d2"))
+    )
+    we = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    exact = (
+        ed.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _PQR_K)
+        .select("q_id", "vec_id")
+    )
+    hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("h")
+    )
+    return hits.withColumn("recall", F.col("h") / _PQR_K)
+
+
+def _build_snapshot_diff():
+    rf = route_with(_corpus, CF_BASE).withColumnRenamed("cid", "cid_from")
+    rt = route_with(_corpus, CF_FULL).withColumnRenamed("cid", "cid_to")
+    trans = (
+        rf.join(rt, "vec_id")
+        .groupBy("cid_from", "cid_to")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = trans.groupBy("cid_from").agg(F.sum("n").alias("tf"))
+    return trans.join(tot, "cid_from").select(
+        "cid_from",
+        "cid_to",
+        "n",
+        (F.col("cid_from") != F.col("cid_to")).alias("moved"),
+        (F.col("n") / F.col("tf")).alias("share_of_from"),
+    )
+
+
+print("staging: prebuilt §2.AG frames ...", file=sys.stderr)
+_PREBUILT = {
+    "vec_pq_distortion": _build_pq_distortion(),
+    "vec_pq_recall": _build_pq_recall(),
+    "vec_index_snapshot_diff": _build_snapshot_diff(),
+}
+
+
+def _collector(name):
+    return lambda: _PREBUILT[name].collect()
+
+
+TWINS = {
+    "sink_backfill_apply": t_sink_backfill_apply,
+    "sink_compaction_apply": t_sink_compaction_apply,
+    "sink_orphan_quarantine": t_sink_orphan_quarantine,
+    "vec_rank_metrics": t_vec_rank_metrics,
+    "graph_community_lpa": t_graph_community_lpa,
+    "stream_serve_recall": t_stream_serve_recall,
+    "stream_decontaminate_gate": t_stream_decontaminate_gate,
+    "stream_pii_gate": t_stream_pii_gate,
+    "stream_profile_gate": t_stream_profile_gate,
+    "vec_pq_distortion": _collector("vec_pq_distortion"),
+    "vec_pq_recall": _collector("vec_pq_recall"),
+    "vec_index_snapshot_diff": _collector("vec_index_snapshot_diff"),
+}
+
+rows = {}
+for name, fn in TWINS.items():
+    fn()
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round((time.perf_counter() - t0) * 1000, 1))
+    rows[name] = {
+        "median_ms": statistics.median(samples),
+        "samples_ms": samples,
+    }
+    print(f"{name}: {rows[name]}", file=sys.stderr)
+
+print(
+    json.dumps(
+        {
+            "metric": "baseline_r13_families",
+            "unit": "ms",
+            "sf_dir": SF_DIR,
+            "env": "local[8], shuffle.partitions=8, vanilla renderings",
+            "rows": rows,
+        }
+    )
+)
