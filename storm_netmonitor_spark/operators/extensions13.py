@@ -48,7 +48,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.stable import dratio, dratio_sql
+from ..functions.stable import dratio_sql
 from ..io import load_table
 from .extensions11 import (
     _BF_STALE_FROM,
@@ -336,22 +336,31 @@ def sink_orphan_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_quar = spark.read.parquet(out).count()
     n_total = o.count()
-    ledger = spark.createDataFrame(
-        [
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    # the 2-row ledger is DRIVER-side arithmetic on the two distributed
+    # counts — the exact dratio integer formula in python (identical
+    # half-away rounding, so the hash matches the SQL twin bit-for-bit;
+    # a crossJoin'd 1-row total attach here would spend three extra
+    # Spark jobs formatting two rows)
+    rows = [
+        (action, n, _py_dratio(n * 1_000_000, n_total))
+        for action, n in (
             ("kept", n_total - n_quar),
             ("quarantined", n_quar),
-        ],
-        "action string, n_rows long",
-    )
-    result = ledger.crossJoin(
-        F.broadcast(
-            ledger.agg(F.sum("n_rows").cast("long").alias("tot"))
         )
-    ).select(
-        "action",
-        "n_rows",
-        dratio(F.col("n_rows") * 1000000, F.col("tot")).alias("share_pct"),
+    ]
+    return spark.createDataFrame(
+        rows, "action string, n_rows long, share_pct double"
     )
-    rows = result.collect()
-    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+
+
+def _py_dratio(num_scaled: int, den: int, round_to: int = 6, in_scale: int = 6) -> float:
+    """``functions.stable.dratio``'s half-away integer rounding, in
+    python, for driver-side ledgers over already-collected exact counts
+    — same formula, same result bits."""
+    s = 10 ** (in_scale - round_to)
+    d = den * s
+    a = 2 * abs(num_scaled) + d
+    b = 2 * d
+    q = (a - a % b) // b
+    return (-q if num_scaled < 0 else q) / 10**round_to

@@ -171,7 +171,7 @@ def vec_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from .extensions7 import route_to_centroids
-    from .vectors import IVF_NPROBE, _dot_arrays, ivf_index
+    from .vectors import IVF_NPROBE, ivf_index
 
     corpus, cents = ivf_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
@@ -196,13 +196,23 @@ def vec_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id long, q_emb array<double>",
     )
     routed = route_to_centroids(corpus, cents)
+    # sims feed RANK DECISIONS only (no sim value is emitted), so the
+    # dot is a plain double fold — the audited §2.Z top-k cut margins
+    # (≥3.5e-3) dwarf double accumulation noise (~1e-13), the same
+    # float-prefilter argument as vec_ann_ivf's shortlist. The decimal
+    # _dot_arrays discipline is for ops that EMIT the value.
+    fdot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_emb"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     sims = corpus.join(
         F.broadcast(qb), F.col("vec_id") != F.col("q_id")
-    ).select(
-        "q_id",
-        "vec_id",
-        _dot_arrays(F.col("embedding"), F.col("q_emb")).alias("sim"),
-    )
+    ).select("q_id", "vec_id", fdot.alias("sim"))
     enriched = (
         sims.join(routed.select("vec_id", "cid"), "vec_id")
         .join(F.broadcast(pr), ["q_id", "cid"])

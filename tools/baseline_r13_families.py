@@ -416,8 +416,11 @@ def _drain(src, schema_df, fn):
 # ---------------------------------------------------------------------------
 
 def t_sink_backfill_apply():
+    events = spark.read.parquet(
+        os.path.join(SF_DIR, "events.parquet")
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     src = (
-        EVENTS.select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        events.select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
         .groupBy("event_date")
         .agg(F.count("*").alias("n_src"))
     )
@@ -445,7 +448,7 @@ def t_sink_backfill_apply():
     out = os.path.join(tempfile.mkdtemp(prefix="bl13_bfa_"), "applied")
     # naive source read: the raw table, filtered (no partitioned layout)
     (
-        EVENTS.withColumn(
+        events.withColumn(
             "event_date", F.date_format("ts", "yyyy-MM-dd")
         )
         .filter(F.col("event_date").isin(work))
@@ -524,16 +527,20 @@ def t_sink_compaction_apply():
 
 
 def t_sink_orphan_quarantine():
-    dep = CUSTOMER.filter(F.col("c_nationkey") == _Q_DEPARTED_NATION).select(
+    # RERUN class: a fresh maintenance run constructs its reads per run
+    # (the engine's sample re-reads and re-analyzes too)
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    dep = customer.filter(F.col("c_nationkey") == _Q_DEPARTED_NATION).select(
         F.col("c_custkey").alias("k")
     )
-    quarantined = ORDERS.join(
-        dep, ORDERS["o_custkey"] == dep["k"], "left_semi"
+    quarantined = orders.join(
+        dep, orders["o_custkey"] == dep["k"], "left_semi"
     )
     out = os.path.join(tempfile.mkdtemp(prefix="bl13_quar_"), "quarantine")
     quarantined.write.mode("overwrite").parquet(out)
     n_q = spark.read.parquet(out).count()
-    n_total = ORDERS.count()
+    n_total = orders.count()
     rows = [
         ("kept", n_total - n_q, (n_total - n_q) / n_total),
         ("quarantined", n_q, n_q / n_total),
@@ -610,7 +617,8 @@ def t_vec_rank_metrics():
 
 
 def t_graph_community_lpa():
-    lab = DOCS.select(
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    lab = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     )
     for _ in range(_LPA_ROUNDS):
