@@ -468,3 +468,57 @@ def scatter(df: DataFrame, n: int | None = None) -> DataFrame:
     (measured: 5 Lloyd rounds 2.4 s at 32 partitions → 1.3 s at 8 on the
     sf0.1 embeddings); pure JVM row-local work wants full core count."""
     return df.repartition(n or df.sparkSession.sparkContext.defaultParallelism)
+
+
+def tiny_local_frame(spark: SparkSession, rows, ddl: str) -> DataFrame:
+    """Small driver-side result frame WITHOUT the ``createDataFrame``
+    job: rendered as a SQL ``VALUES`` local relation, so ``collect()``
+    never leaves the driver. ``spark.createDataFrame`` on a python list
+    partitions it to ``defaultParallelism`` slices and runs a full
+    32-task job per materialization — ~380 ms for a 2-row ledger on
+    this host vs ~40 ms for the VALUES rendering (measured r12). Use
+    for LEDGERS and drained-result detaches (bounded row counts, plain
+    str/bool/int/float/None cells); every cell is cast to its declared
+    type, so the schema is exactly ``ddl`` regardless of inference.
+
+    Falls back to ``createDataFrame`` for empty input (VALUES cannot be
+    empty)."""
+    cols = []
+    for part in ddl.split(","):
+        name, typ = part.strip().split(None, 1)
+        cols.append((name, typ.strip()))
+    if not rows:
+        return spark.createDataFrame([], ddl)
+
+    def cell(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if isinstance(v, bool):
+            lit = "true" if v else "false"
+        elif isinstance(v, float):
+            lit = repr(v)  # shortest round-trip repr → identical double
+        elif isinstance(v, int):
+            lit = str(v)
+        else:
+            lit = "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return f"CAST({lit} AS {typ})"
+
+    tuples = ", ".join(
+        "(" + ", ".join(cell(v, t) for v, (_, t) in zip(r, cols)) + ")"
+        for r in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({names})")
+
+
+def detach_result(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize a SMALL result frame and re-emit it as a VALUES
+    local relation (:func:`tiny_local_frame`) — the detach step every
+    drained/rewritten op runs before removing its temp sink, minus the
+    32-task ``createDataFrame`` job. Schema is preserved exactly (each
+    cell cast to the source column's type)."""
+    rows = [tuple(r) for r in df.collect()]
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return tiny_local_frame(spark, rows, ddl)

@@ -151,9 +151,11 @@ def sink_backfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tgt_after"),
         )
     )
-    rows = ledger.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, ledger)
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    return spark.createDataFrame(rows, ledger.schema)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -276,9 +278,11 @@ def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.lit(1).cast("long").alias("n_files_after"),
     )
-    rows = ledger.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, ledger)
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    return spark.createDataFrame(rows, ledger.schema)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -349,8 +353,10 @@ def sink_orphan_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("quarantined", n_quar),
         )
     ]
-    return spark.createDataFrame(
-        rows, "action string, n_rows long, share_pct double"
+    from ..io import tiny_local_frame
+
+    return tiny_local_frame(
+        spark, rows, "action string, n_rows long, share_pct double"
     )
 
 

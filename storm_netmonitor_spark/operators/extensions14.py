@@ -601,6 +601,8 @@ def stream_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_pct"),
         )
     )
-    rows = out.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return result

@@ -275,9 +275,11 @@ def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_kept").cast("long").alias("n_kept"),
         )
     )
-    rows = out.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -344,9 +346,11 @@ def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
         "doc_id", "n_emails", "n_phones", "redacted_md5", "redacted_len"
     )
-    rows = out.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +387,6 @@ def stream_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from .extensions7 import drift_from_census
     from .extensions8 import _PROFILE_CELLS, _doc_split, profile_cells
 
     split = _doc_split(spark, sf_dir)
@@ -431,18 +434,48 @@ def stream_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _drain_docs(spark, sf_dir, census_batch)
 
-    delta_counts = (
-        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+    delta = {
+        int(r["cid"]): int(r["n"])
+        for r in spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
         .groupBy("cid")
-        .agg(F.sum("n_delta").alias("n_delta"))
-    )
-    base_df = spark.createDataFrame(
-        [(int(c), int(n)) for c, n in base_census], "cid int, n_base long"
-    )
-    counts = base_df.join(delta_counts, "cid", "full").select(
-        "cid", "n_base", "n_delta"
-    )
-    out = drift_from_census(counts, _PROFILE_CELLS)
-    rows = out.collect()
+        .agg(F.sum("n_delta").alias("n"))
+        .collect()
+    }
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    # the final drift table is BOUNDED (exactly _PROFILE_CELLS rows) and
+    # both censuses are already driver-side integers, so the
+    # drift_from_census arithmetic folds in PYTHON — same dratio
+    # half-away formula (_py_dratio), same DECIMAL-class integer
+    # cross-multiplication (python ints are exact), same empty-
+    # population guard — and the result ships as a VALUES local
+    # relation. Distributing a 160-row fold cost ~0.7 s of plan/window
+    # work per monitoring refresh for zero scale benefit.
+    from ..io import tiny_local_frame
+    from .extensions7 import _DRIFT_DEN
+    from .extensions13 import _py_dratio
+
+    base = {int(c): int(n) for c, n in base_census}
+    tot_b = sum(base.values())
+    tot_d = sum(delta.values())
+    rows = []
+    for cid in range(_PROFILE_CELLS):
+        nb, nd = base.get(cid, 0), delta.get(cid, 0)
+        rows.append(
+            (
+                cid,
+                nb,
+                nd,
+                _py_dratio(nb * 1_000_000, tot_b) if tot_b > 0 else None,
+                _py_dratio(nd * 1_000_000, tot_d) if tot_d > 0 else None,
+                tot_b > 0
+                and tot_d > 0
+                and abs(nd * tot_b - nb * tot_d) * _DRIFT_DEN
+                >= tot_b * tot_d,
+            )
+        )
+    return tiny_local_frame(
+        spark,
+        rows,
+        "cid int, n_base long, n_delta long, share_base double, "
+        "share_delta double, drifted boolean",
+    )

@@ -100,27 +100,26 @@ _AUDITED_COLLECT_SITES = {
     # detach it from the temp output before rmtree (the
     # sink_targeted_delete result-detach precedent); the quarantine
     # collects only its 2-row ledger
+    # (r12 tuning: the ledger/result detaches moved into
+    # io.detach_result / io.tiny_local_frame — a VALUES local relation
+    # instead of the 32-task createDataFrame job — so only the
+    # O(partitions) work-list collect remains op-side)
     "operators/extensions13.py": {
-        "sink_backfill_apply": 2,
-        "sink_compaction_apply": 1,
-        "sink_orphan_quarantine": 1,
+        "sink_backfill_apply": 1,
     },
     # §2.AE staged batch: vec_rank_metrics collects the Q-row query
     # block (the vec_ann_recall precedent — driver-side probe-rank math
-    # on the broadcastable model); stream_serve_recall collects its
-    # drained per-qid recall table to detach it from the temp sink
-    # before rmtree (the result-detach precedent)
+    # on the broadcastable model); the drained-result detaches moved to
+    # io.detach_result in the r12 tuning
     "operators/extensions14.py": {
         "vec_rank_metrics": 1,
-        "stream_serve_recall": 1,
     },
-    # §2.AF staged batch: each gate collects its drained report to
-    # detach it from the temp sink before rmtree (the result-detach
-    # precedent); the profile gate also trains its bounded standing
-    # census once per corpus version (the ivf_base_census precedent)
+    # §2.AF staged batch (post-r12-tuning): the drained-report detaches
+    # live in io.detach_result; the profile gate keeps two collects —
+    # its bounded standing-census train (the ivf_base_census precedent)
+    # and the 160-row folded delta census its python drift final
+    # consumes (the bounded-ledger class)
     "operators/extensions15.py": {
-        "stream_decontaminate_gate": 1,
-        "stream_pii_gate": 1,
         "stream_profile_gate": 2,
     },
     "operators/scans.py": {"observe_metrics": 1},
