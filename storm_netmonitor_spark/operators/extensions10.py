@@ -180,9 +180,11 @@ def sink_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_after"),
     )
-    rows = report.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, report)
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    return spark.createDataFrame(rows, report.schema)
+    return result
 
 # ---------------------------------------------------------------------------
 # dedup_components_retract — label maintenance under deletions

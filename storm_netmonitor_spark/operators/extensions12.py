@@ -450,6 +450,8 @@ def stream_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
         "doc_id", "n_tokens", "oov_tokens", "xent", "keep"
     )
-    rows = out.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return result

@@ -432,11 +432,13 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
         "qid", "vec_id", "cos_sim"
     )
-    rows = out.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -635,9 +635,11 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
         "doc_a", "doc_b", "jaccard"
     )
-    rows = out.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(idx_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return result

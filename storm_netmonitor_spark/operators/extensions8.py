@@ -384,11 +384,13 @@ def stream_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", "n_base", "n_delta"
     )
     out = drift_from_census(counts, IVF_K)
-    rows = out.collect()
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -425,7 +425,7 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from .extensions7 import route_to_centroids
-    from .vectors import _dot_arrays, ivf_index
+    from .vectors import ivf_index
 
     e = load_table(spark, sf_dir, "embeddings")
     corpus, cents = ivf_index(spark, sf_dir)
@@ -455,14 +455,24 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
         "q_id long, q_emb array<double>",
     )
-    sims = (
-        corpus.join(F.broadcast(qb), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            _dot_arrays(F.col("embedding"), F.col("q_emb")).alias("sim"),
-        )
+    # sims feed RANK DECISIONS only (no sim value is emitted — the
+    # output is integer hits + dratio recall), so the dot is a plain
+    # double fold: the audited top-k cut and probe-rank margins
+    # (margin_audit's §2.Z rows, ≥3e-3) dwarf double accumulation noise
+    # (~1e-13) — the vec_ann_ivf float-prefilter argument. The decimal
+    # _dot_arrays discipline stays for ops that EMIT the value.
+    fdot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_emb"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    sims = corpus.join(
+        F.broadcast(qb), F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "vec_id", fdot.alias("sim"))
     # enrich ONCE (every vector carries its cell's probe rank per query)
     # and materialize the barrier: both rank windows below consume this
     # frame, and without it Catalyst re-derives the whole N×Q dot pass —

@@ -47,8 +47,10 @@ _AUDITED_COLLECT_SITES = {
     "operators/corpus.py": {"semdedup_assignment": 1},
     "operators/extensions3.py": {"scan_cache_reuse": 1, "pagerank_over": 1},
     "operators/extensions5.py": {"hamming_topk": 1, "ppl_tercile_buckets_over": 2},
+    # (r12: the post-drain result detaches across the streaming ops
+    # moved into io.detach_result — a VALUES local relation instead of
+    # the 32-task createDataFrame job)
     "operators/extensions6.py": {
-        "stream_ann_serve": 1,
         "text_minhash_index_merge": 1,
     },
     # §2.X staged batch: _embed_split is ONE scalar max (the split-point
@@ -60,7 +62,7 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions7.py": {
         "_embed_split": 1,
         "base_trained_cents": 1,
-        "stream_minhash_index_merge": 2,
+        "stream_minhash_index_merge": 1,
     },
     # §2.Y staged batch: _doc_split is ONE scalar max (the split-point
     # precedent); stream_index_drift collects the K-row base census
@@ -69,7 +71,7 @@ _AUDITED_COLLECT_SITES = {
     # rmtree (the stream_ann_serve result-detach precedent)
     "operators/extensions8.py": {
         "_doc_split": 1,
-        "stream_index_drift": 2,
+        "stream_index_drift": 1,
     },
     # §2.Z staged batch: vec_ann_recall collects the Q-row query block
     # (Q=10 vectors — the vec_ann_ivf single-query-fetch precedent,
@@ -85,15 +87,12 @@ _AUDITED_COLLECT_SITES = {
     # spliced repaired model (model-scalar class, the _lloyd_round
     # partials precedent)
     "operators/extensions10.py": {
-        "sink_targeted_delete": 1,
         "vec_ivf_cell_retrain": 1,
     },
     # §2.AC staged batch: stream_gate_scores collects the drained scored
     # table to detach it from the temp sink before rmtree (the
     # stream_ann_serve / stream_index_drift result-detach precedent)
-    "operators/extensions12.py": {
-        "stream_gate_scores": 1,
-    },
+    "operators/extensions12.py": {},
     # §2.AD staged batch (round-13 candidates): the applies collect
     # (a) the plan's work-list — O(partitions), the scheduler's own
     # list, bounded by the calendar — and (b) the final ledger to
