@@ -324,22 +324,33 @@ def sink_orphan_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantined count read back from the written files.
 
     Join shape: the departed key set is dimension-sized → broadcast
-    LEFT SEMI for the quarantine side and LEFT ANTI for the kept count
-    (the ``join_semi``/``join_anti`` shapes) — the child scans once per
-    side, pruned to the FK column for the counts."""
+    LEFT SEMI for the quarantine side (the ``join_semi`` shape); the
+    kept count is pure arithmetic (total − quarantined).
+
+    Job budget (the r13 pre-registration ratio check flagged this op at
+    2.5× its vanilla twin, all of it fixed per-job session overhead on a
+    ~1 s wall): the child table scans EXACTLY ONCE — ``observe`` folds
+    the total-row census into the quarantine write job instead of a
+    second full-scan ``count()`` — and the audit-trail read-back passes
+    the known schema so it never runs the footer-inference job. Two
+    jobs total (write, read-back), both required by the contract."""
+    from pyspark.sql import Observation
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     dep = c.filter(F.col("c_nationkey") == _Q_DEPARTED_NATION).select(
         F.col("c_custkey").alias("k")
     )
-    quarantined = o.join(
-        F.broadcast(dep), o["o_custkey"] == dep["k"], "left_semi"
+    obs = Observation()
+    o_obs = o.observe(obs, F.count(F.lit(1)).alias("n_total"))
+    quarantined = o_obs.join(
+        F.broadcast(dep), o_obs["o_custkey"] == dep["k"], "left_semi"
     )
     out = os.path.join(tempfile.mkdtemp(prefix="nm_quar_"), "quarantine")
     quarantined.write.mode("overwrite").parquet(out)
 
-    n_quar = spark.read.parquet(out).count()
-    n_total = o.count()
+    n_total = int(obs.get["n_total"])
+    n_quar = spark.read.schema(quarantined.schema).parquet(out).count()
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     # the 2-row ledger is DRIVER-side arithmetic on the two distributed
     # counts — the exact dratio integer formula in python (identical
