@@ -155,6 +155,63 @@ def test_compaction_apply_reconciles_with_the_plan(spark):
     ).count()
 
 
+def test_compaction_apply_plan_shapes(spark):
+    """The fan-out rewrite must be executor-parallel inside ONE job —
+    a single hash exchange on (event_date, bin_id) feeding the write,
+    never per-bin sequential jobs — and the read-back ledger must be a
+    metadata-speed count: partition columns only, ``ReadSchema:
+    struct<>`` (zero data columns deserialized from the compacted
+    layout)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.operators import extensions13 as e13
+
+    src = spark.read.parquet(e13._hourly_layout_dir(spark, SF)).select(
+        F.col("event_date").cast("string").alias("event_date"),
+        F.col("hr").cast("int").alias("hr"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    bins = e13.compaction_bin_map(src.select("event_date", "hr")).select(
+        "event_date", "hr", "bin_id"
+    )
+    routed = src.join(F.broadcast(bins), ["event_date", "hr"]).repartition(
+        "event_date", "bin_id"
+    )
+    wtxt = routed._jdf.queryExecution().executedPlan().toString()
+    # the write-side routing is ONE keyed hash exchange (all rows of a
+    # bin meet in one task → one file per bin dir), not a round-robin
+    assert "hashpartitioning(event_date" in wtxt
+    assert "RoundRobinPartitioning" not in wtxt
+
+    out = os.path.join(tempfile.mkdtemp(prefix="nm_cpt_plan_"), "c")
+    try:
+        routed.write.mode("overwrite").partitionBy(
+            "event_date", "bin_id"
+        ).parquet(out)
+        back = (
+            spark.read.parquet(out)
+            .groupBy(
+                F.col("event_date").cast("string").alias("event_date"),
+                F.col("bin_id").cast("long").alias("bin_id"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+        btxt = back._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema: struct<>" in btxt, (
+            "read-back ledger deserializes data columns"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
 def test_quarantine_conserves_and_detects_the_departure(spark):
     """kept + quarantined tile the child table exactly, the quarantined
     count equals the direct membership computation against the departed
