@@ -41,6 +41,10 @@ _MODULES = (
     "extensions10",
     "extensions11",
     "extensions12",
+    "extensions13",
+    "extensions14",
+    "extensions15",
+    "extensions16",
 )
 
 

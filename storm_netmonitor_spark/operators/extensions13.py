@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dratio_sql
 from ..io import load_table
+from ..registry import query
 from .extensions11 import (
     _BF_STALE_FROM,
     _BF_STALE_TO,
@@ -94,6 +95,7 @@ FROM cls
 """
 
 
+@query("sink_backfill_apply", oracle=sink_backfill_apply_oracle())
 def sink_backfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the §2.AB backfill work-list (SURVEY §2.AD): re-ingest
     exactly the missing+stale target partitions from source and emit
@@ -207,6 +209,7 @@ FROM ({base})
 """
 
 
+@query("sink_compaction_apply", oracle=sink_compaction_apply_oracle())
 def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the §2.AB compaction plan (SURVEY §2.AD): rewrite the
     one-file-per-(date×hour) streaming-sink layout into ONE file per
@@ -313,6 +316,7 @@ FROM cnt, tot
 """
 
 
+@query("sink_orphan_quarantine", oracle=sink_orphan_quarantine_oracle())
 def sink_orphan_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the referential-integrity verdict (SURVEY §2.AD): nation
     {_Q_DEPARTED_NATION} offboards — its customers depart the parent

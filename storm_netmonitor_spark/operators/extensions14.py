@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import dratio, dratio_sql
 from ..io import load_table, session_memo
+from ..registry import query
 
 # ---------------------------------------------------------------------------
 # vec_rank_metrics — MRR@k / NDCG@k of the served IVF ranking
@@ -147,6 +148,7 @@ FROM per
 """
 
 
+@query("vec_rank_metrics", oracle=vec_rank_metrics_oracle())
 def vec_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive quality of the SERVED IVF ranking (SURVEY
     §2.AE): per query of the §2.Z block, MRR@{_RM_K} and NDCG@{_RM_K}
@@ -331,6 +333,7 @@ FROM {prev}
 """
 
 
+@query("graph_community_lpa", oracle=graph_community_lpa_oracle())
 def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round community detection (SURVEY §2.AE): {_LPA_ROUNDS}
     SYNCHRONOUS rounds of majority label propagation over the verified
@@ -468,6 +471,7 @@ LEFT JOIN hits h ON h.qid = q.qid
 """
 
 
+@query("stream_serve_recall", oracle=stream_serve_recall_oracle())
 def stream_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-quality monitor (SURVEY §2.AE): the §2.W query stream
     drains; for each micro-batch the SERVED top-k (the registered serve

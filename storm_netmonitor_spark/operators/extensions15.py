@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dratio_sql
 from ..io import disk_artifact_frame, disk_artifact_json, load_table, session_memo
+from ..registry import query
 
 #: Micro-batches in the staged delta stream — the extensions12
 #: ``gate_stream`` fixture is REUSED (same session-memo key), so one
@@ -230,6 +231,7 @@ def decon_lang_counts(train: DataFrame, bench: DataFrame) -> DataFrame:
     )
 
 
+@query("stream_decontaminate_gate", oracle=stream_decontaminate_gate_oracle())
 def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming benchmark decontamination (SURVEY §2.AF): delta train
     docs arrive as micro-batches; each batch's distinct word
@@ -315,6 +317,7 @@ FROM s
 """
 
 
+@query("stream_pii_gate", oracle=stream_pii_gate_oracle())
 def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PII scrubbing (SURVEY §2.AF): the registered scrub
     kernel (``corpus.pii_report`` — identical row-local regex
@@ -370,6 +373,7 @@ def stream_profile_gate_oracle() -> str:
     return text_profile_drift_oracle()
 
 
+@query("stream_profile_gate", oracle=stream_profile_gate_oracle())
 def stream_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus-profile monitoring (SURVEY §2.AF): delta docs
     arrive as micro-batches; each batch buckets through the registered

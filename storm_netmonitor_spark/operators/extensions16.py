@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import dratio, dratio_sql
 from ..io import load_table
-from ..registry import resolve_oracle
+from ..registry import query, resolve_oracle
 
 # ---------------------------------------------------------------------------
 # vec_pq_distortion — codebook health census
@@ -77,6 +77,7 @@ FROM cells LEFT JOIN agg ON agg.sub = cells.sub AND agg.code = cells.code
 """
 
 
+@query("vec_pq_distortion", oracle=vec_pq_distortion_oracle)
 def vec_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook health census (SURVEY §2.AG): per (subspace, code)
     the assignment count and the exact total/mean reconstruction error
@@ -197,6 +198,7 @@ LEFT JOIN hits h ON h.q_id = q.q_id
 """
 
 
+@query("vec_pq_recall", oracle=vec_pq_recall_oracle)
 def vec_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC ranking quality (SURVEY §2.AG): recall@{_PQR_K} of the
     product-quantized ADC ranking against exact-L2 top-{_PQR_K}, per
@@ -346,6 +348,7 @@ LEFT JOIN fromtot ft ON ft.cid_from = g.cid_from
 """
 
 
+@query("vec_index_snapshot_diff", oracle=vec_index_snapshot_diff_oracle)
 def vec_index_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-version churn census (SURVEY §2.AG): the full corpus routed
     under the STANDING snapshot's centroids (base-trained — the §2.X

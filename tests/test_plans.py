@@ -119,6 +119,11 @@ _CARTESIAN_OK = {
     # scorer (and the gopher gate) so it inherits the rendering
     "text_ppl_frozen_score",
     "quality_gate_drift",
+    # §2.AE/§2.AG: both rank-quality evals attach their broadcast Q-row
+    # exact block (O(N×Q) map work at fixed Q — the vec_batch_knn /
+    # vec_ann_recall bound) as one BNLJ inside a checkpointed eval build
+    "vec_rank_metrics",
+    "vec_pq_recall",
 }
 
 
