@@ -125,6 +125,22 @@ EXTRA_REPORTED = [
     "text_ppl_frozen_score",  # delta scored under the standing-corpus LM
     "quality_gate_drift",  # gate-outcome census drift (4-row exchange)
     "stream_gate_scores",  # streaming frozen scorer (per-batch walls in detail)
+    # round-13 §2.AD registration (orchestration apply)
+    "sink_backfill_apply",  # partition-minimal backfill rewrite + ledger
+    "sink_compaction_apply",  # one-file-per-bin packing rewrite + ledger
+    "sink_orphan_quarantine",  # RI verdict: quarantine landing + 2-row ledger
+    # round-13 §2.AE registration (ranking quality & community)
+    "vec_rank_metrics",  # MRR/NDCG of the served IVF ranking vs exact
+    "graph_community_lpa",  # 3 synchronous LPA rounds over the edge artifact
+    "stream_serve_recall",  # serving-quality monitor (per-batch walls in detail)
+    # round-13 §2.AF registration (streaming ingest hygiene)
+    "stream_decontaminate_gate",  # benchmark-overlap gate on the ingest stream
+    "stream_pii_gate",  # scrub pass on the ingest stream (per-batch walls)
+    "stream_profile_gate",  # corpus-profile monitor on the ingest stream
+    # round-13 §2.AG registration (quantization quality)
+    "vec_pq_distortion",  # PQ codebook census: assignment counts + exact error
+    "vec_pq_recall",  # ADC ranking fidelity vs exact-L2 top-10
+    "vec_index_snapshot_diff",  # K×K assignment-churn census between versions
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -179,36 +195,56 @@ RERUN_FULL = {
     # the streaming scorer drain (foreachBatch over the staged delta doc
     # stream) runs inside the call; the returned frame is a local relation
     "stream_gate_scores",
+    # the three applies rewrite + read back inside the call (the
+    # sink_targeted_delete precedent); the returned frames are ledgers
+    "sink_backfill_apply",
+    "sink_compaction_apply",
+    "sink_orphan_quarantine",
+    # the enriched eval frame materializes during construction
+    # (localCheckpoint barrier + the probe-order collect), the
+    # vec_ann_recall precedent
+    "vec_rank_metrics",
+    # the LPA label fold materializes during construction
+    # (localCheckpoint per round, the pagerank precedent)
+    "graph_community_lpa",
+    # the four round-13 drains (foreachBatch over staged streams) run
+    # inside the call; the returned frames are local relations
+    "stream_serve_recall",
+    "stream_decontaminate_gate",
+    "stream_pii_gate",
+    "stream_profile_gate",
 }
 
-#: Vanilla-PySpark baselines for the round-11/round-12 bench families
-#: (median ms at sf0.1; BASELINE.md family addenda, measured by
-#: tools/baseline_r11_families.py + tools/baseline_r12_families.py —
-#: same env/method/parameters, plain renderings). bench emits
-#: timing/baseline ratios for these rows in the detail record so the
-#: 2× criterion is evaluable per round; sub-100 ms rows are read
-#: structurally (BASELINE.md noise-floor note).
-BASELINE_R11_FAMILY_MS = {
-    "vec_ivf_index_insert": 69.6,
-    "vec_index_drift": 25.5,
-    "text_profile_drift": 30.2,
-    "dedup_components_merge": 10103.0,
-    "vec_ann_recall": 1094.0,
-    "text_minhash_calibration": 34.8,
-    "text_filter_agreement": 2412.6,
-    "sink_targeted_delete": 903.5,
-    "dedup_components_retract": 756.1,
-    "vec_ivf_cell_retrain": 3474.0,
-    "stream_ann_serve": 2200.4,
-    "stream_index_drift": 1206.1,
-    "stream_minhash_index_merge": 9669.5,
-    "plan_incremental_backfill": 37.0,
-    "plan_compaction": 67.6,
-    "audit_referential_integrity": 56.2,
-    "text_ppl_frozen_score": 33.9,
-    "quality_gate_drift": 37.1,
-    "stream_gate_scores": 1475.4,
-}
+def _load_family_baselines() -> dict[str, float]:
+    """Vanilla-PySpark family baselines (median ms at sf0.1): loaded
+    from the committed `BASELINE_R*_FAMILIES.json` sidecars — the SAME
+    records BASELINE.md's addenda quote — so re-measured baselines
+    update the bench ratios without editing constants (ADVICE r12: the
+    hardcoded dict and the sidecars were two sources of truth). Rows
+    measured by tools/baseline_r11/r12/r13_families.py: same method and
+    parameters, plain renderings, local[8]. bench emits timing/baseline
+    ratios for these rows in the detail record so the 2× criterion is
+    evaluable per round; sub-100 ms rows are read structurally
+    (BASELINE.md noise-floor note)."""
+    out: dict[str, float] = {}
+    for fname in (
+        "BASELINE_R11_FAMILIES.json",
+        "BASELINE_R12_FAMILIES.json",
+        "BASELINE_R13_FAMILIES.json",
+    ):
+        try:
+            with open(os.path.join(_REPO, fname)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue  # family not baselined yet — its rows get no ratio
+        for name, rec in data.get("rows", {}).items():
+            ms = rec.get("median_ms")
+            if isinstance(ms, (int, float)) and ms > 0:
+                out[name] = float(ms)
+    return out
+
+
+BASELINE_FAMILY_MS = _load_family_baselines()
 
 WARMUPS = 1
 #: RERUN_FULL queries re-run their whole lifecycle per sample (streaming
@@ -398,11 +434,17 @@ def main() -> None:
         }
 
     from storm_netmonitor_spark.operators import extensions12 as _e12
+    from storm_netmonitor_spark.operators import extensions14 as _e14
+    from storm_netmonitor_spark.operators import extensions15 as _e15
 
     serve_latency = _latency_record(_e6.LAST_SERVE_BATCH_WALLS)
     merge_latency = _latency_record(_e7.LAST_MERGE_BATCH_WALLS)
     drift_latency = _latency_record(_e8.LAST_DRIFT_BATCH_WALLS)
     gate_latency = _latency_record(_e12.LAST_GATE_BATCH_WALLS)
+    serve_recall_latency = _latency_record(_e14.LAST_SERVE_RECALL_WALLS)
+    decon_latency = _latency_record(_e15.LAST_DECON_BATCH_WALLS)
+    pii_latency = _latency_record(_e15.LAST_PII_BATCH_WALLS)
+    profile_latency = _latency_record(_e15.LAST_PROFILE_BATCH_WALLS)
     calibration_end = _calibrate()
     load_at_end = [round(v, 2) for v in os.getloadavg()]
 
@@ -458,12 +500,17 @@ def main() -> None:
         stream_minhash_index_merge_batch_latency=merge_latency,
         stream_index_drift_batch_latency=drift_latency,
         stream_gate_scores_batch_latency=gate_latency,
-        # VERDICT r11 #3: per-op ratio vs the round-11-family baselines
-        # (BASELINE.md addendum; < 1.0 = faster than vanilla PySpark,
-        # criterion is ≤ 2.0). Only meaningful at the baseline's sf0.1.
+        stream_serve_recall_batch_latency=serve_recall_latency,
+        stream_decontaminate_gate_batch_latency=decon_latency,
+        stream_pii_gate_batch_latency=pii_latency,
+        stream_profile_gate_batch_latency=profile_latency,
+        # VERDICT r11 #3: per-op ratio vs the family baselines loaded
+        # from the BASELINE_R*_FAMILIES.json sidecars (< 1.0 = faster
+        # than vanilla PySpark, criterion is ≤ 2.0). Only meaningful at
+        # the baselines' sf0.1.
         baseline_ratios={
             n: round(timings[n] * 1000 / ms, 3)
-            for n, ms in BASELINE_R11_FAMILY_MS.items()
+            for n, ms in BASELINE_FAMILY_MS.items()
             if n in timings
         }
         if sf == 0.1

@@ -482,13 +482,18 @@ def tiny_local_frame(spark: SparkSession, rows, ddl: str) -> DataFrame:
     type, so the schema is exactly ``ddl`` regardless of inference.
 
     Falls back to ``createDataFrame`` for empty input (VALUES cannot be
-    empty)."""
+    empty) and for comma-bearing types (``decimal(p,s)``,
+    ``array<...>``, ``struct<...>`` — a naive comma split would shear
+    them; ADVICE r12)."""
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    if any(ch in ddl for ch in "(<"):
+        # parameterized/nested types: let Spark parse the DDL itself
+        return spark.createDataFrame(rows, ddl)
     cols = []
     for part in ddl.split(","):
         name, typ = part.strip().split(None, 1)
         cols.append((name, typ.strip()))
-    if not rows:
-        return spark.createDataFrame([], ddl)
 
     def cell(v, typ):
         if v is None:
@@ -496,7 +501,14 @@ def tiny_local_frame(spark: SparkSession, rows, ddl: str) -> DataFrame:
         if isinstance(v, bool):
             lit = "true" if v else "false"
         elif isinstance(v, float):
-            lit = repr(v)  # shortest round-trip repr → identical double
+            if v != v:  # NaN: bare repr() tokens parse as column refs
+                lit = "'NaN'"
+            elif v == float("inf"):
+                lit = "'Infinity'"
+            elif v == float("-inf"):
+                lit = "'-Infinity'"
+            else:
+                lit = repr(v)  # shortest round-trip repr → identical double
         elif isinstance(v, int):
             lit = str(v)
         else:
@@ -511,14 +523,28 @@ def tiny_local_frame(spark: SparkSession, rows, ddl: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({names})")
 
 
+#: Above this row count :func:`detach_result` stops rendering VALUES SQL
+#: text and hands the rows to ``createDataFrame``: the VALUES rendering's
+#: parse/analysis cost grows linearly with the text, and a plan literal
+#: should encode a LEDGER, never a batch (ADVICE r12 — the per-delta-doc
+#: gate results scale with the corpus). Below it, VALUES skips the
+#: 32-task local-relation job; above it, the job is the cheaper side.
+_DETACH_VALUES_MAX_ROWS = 2000
+
+
 def detach_result(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Materialize a SMALL result frame and re-emit it as a VALUES
-    local relation (:func:`tiny_local_frame`) — the detach step every
-    drained/rewritten op runs before removing its temp sink, minus the
-    32-task ``createDataFrame`` job. Schema is preserved exactly (each
-    cell cast to the source column's type)."""
+    """Materialize a SMALL result frame and re-emit it as a local
+    relation — the detach step every drained/rewritten op runs before
+    removing its temp sink. Bounded-ledger frames (≤
+    ``_DETACH_VALUES_MAX_ROWS``) render as a VALUES relation
+    (:func:`tiny_local_frame`), skipping the 32-task ``createDataFrame``
+    job; anything larger goes through ``createDataFrame`` so the SQL
+    text (and Catalyst parse cost) never scales with the data. Schema
+    is preserved exactly (each cell cast to the source column's type)."""
     rows = [tuple(r) for r in df.collect()]
     ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    if len(rows) > _DETACH_VALUES_MAX_ROWS:
+        return spark.createDataFrame(rows, df.schema)
     return tiny_local_frame(spark, rows, ddl)

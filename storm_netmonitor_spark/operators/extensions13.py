@@ -1,13 +1,12 @@
-"""Round-13 candidate operators, PRE-STAGED (SURVEY §2.AD; the staging
-discipline of the §2.W–§2.AC batches applied forward).
+"""Round-13 operators, first batch — §2.AD, REGISTERED (registry 303 → 306).
 
-NOTHING in this module is registered: the registry closed the round-12
-registrations at 303, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions13_staged.py`` for the same
-vanilla-session + DuckDB-hash verification the driver will run once
-they ARE registered in round 13. Registration then is a 3-line diff
-per op.
+Staged at round-12 close (plain callables + oracle builders, the
+standing pre-registration discipline: staged-suite parity + property
+tests + the two gate halves — vanilla-session oracle parity and
+`tools/preflight_local_cluster.py --staged` under real executor
+JVMs, run twice at round-13 open for run-to-run determinism) — so
+they register with the standard ``@query`` decorator at round-13
+open.
 
 Capability anchor: SURVEY §2.AD — the ORCHESTRATION APPLY triple.
 Round 12 registered the PLANS (backfill work-list, compaction packing,
@@ -121,6 +120,27 @@ def sink_backfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_dates = plan.count()
 
+    LAST_BACKFILL_IO.clear()
+    LAST_BACKFILL_IO.extend([len(work), int(n_dates)])
+
+    if not work:
+        # fully-current target (ADVICE r12): nothing to re-ingest — an
+        # empty partitioned write would leave a schema-less dataset the
+        # read-back cannot infer. Short-circuit the ledger: every date
+        # is 'current' with n_tgt_after = n_tgt_before, zero I/O.
+        from ..io import detach_result
+
+        return detach_result(
+            spark,
+            plan.select(
+                "event_date",
+                F.lit("current").alias("action"),
+                "n_src",
+                F.col("n_tgt").alias("n_tgt_before"),
+                F.col("n_tgt").cast("long").alias("n_tgt_after"),
+            ),
+        )
+
     src = spark.read.parquet(partitioned_events_path(spark, sf_dir))
     out = os.path.join(tempfile.mkdtemp(prefix="nm_bf_apply_"), "applied")
     (
@@ -131,8 +151,6 @@ def sink_backfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_date")
         .parquet(out)
     )
-    LAST_BACKFILL_IO.clear()
-    LAST_BACKFILL_IO.extend([len(work), int(n_dates)])
 
     applied = (
         spark.read.parquet(out)

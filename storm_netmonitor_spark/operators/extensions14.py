@@ -1,13 +1,10 @@
-"""Round-13 candidate operators, PRE-STAGED (SURVEY §2.AE; the staging
-discipline of the §2.W–§2.AD batches applied forward).
+"""Round-13 operators, second batch — §2.AE, REGISTERED (registry 306 → 309).
 
-NOTHING in this module is registered: the registry closed the round-12
-registrations at 303, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions14_staged.py`` for the same
-vanilla-session + DuckDB-hash verification the driver will run once
-they ARE registered in round 13. Registration then is a 3-line diff
-per op.
+Staged at round-12 close; both gate halves re-run green at round-13
+open (staged local-cluster 12/12 twice — hash-identical across runs,
+which pins the LPA kernel's determinism under real partitioning —
+and vanilla-session oracle parity), so they register with the
+standard ``@query`` decorator.
 
 Capability anchor: SURVEY §2.AE — the RANKING-QUALITY & COMMUNITY
 triple, deepening the §2.Z evaluation family from set-overlap (recall)

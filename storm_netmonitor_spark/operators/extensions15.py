@@ -1,12 +1,7 @@
-"""Round-13 candidate operators, PRE-STAGED (SURVEY §2.AF; the staging
-discipline of the §2.W–§2.AE batches applied forward).
+"""Round-13 operators, third batch — §2.AF, REGISTERED (registry 309 → 312).
 
-NOTHING in this module is registered: the registry closed the round-12
-registrations at 303, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions15_staged.py`` for the same
-vanilla-session + DuckDB-hash verification the driver will run once
-they ARE registered in round 13.
+Staged at round-12 close; both gate halves re-run green at round-13
+open, so they register with the standard ``@query`` decorator.
 
 Capability anchor: SURVEY §2.AF — the STREAMING INGEST-HYGIENE triple.
 The mandatory pre-training hygiene passes exist as BATCH ops

@@ -1,10 +1,7 @@
-"""Round-13 candidate operators, PRE-STAGED (SURVEY §2.AG; the staging
-discipline of the §2.W–§2.AF batches applied forward).
+"""Round-13 operators, fourth batch — §2.AG, REGISTERED (registry 312 → 315).
 
-NOTHING in this module is registered: the registry closed the round-12
-registrations at 303, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions16_staged.py``.
+Staged at round-12 close; both gate halves re-run green at round-13
+open, so they register with the standard ``@query`` decorator.
 
 Capability anchor: SURVEY §2.AG — the QUANTIZATION QUALITY triple.
 The PQ path has encode + ADC serving (§2.Q) and the IVF path has

@@ -563,13 +563,13 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The UNREGISTERED round-13 candidates (§2.AD orchestration apply +
-    # §2.AE ranking-quality/community + §2.AF streaming ingest hygiene
-    # + §2.AG quantization quality): the registration gate requires
-    # each to pass under real executor JVMs BEFORE the registering
-    # commit — this mode is that gate, runnable today. (The §2.AB/§2.AC
-    # batches graduated at round-12 open and are now covered by --full
-    # / the window modes.)
+    # The four round-13 batches (§2.AD orchestration apply + §2.AE
+    # ranking-quality/community + §2.AF streaming ingest hygiene +
+    # §2.AG quantization quality) GRADUATED at round-13 open — they are
+    # registered and covered by --full / the window modes. This mode
+    # stays pointed at them as a fast 12-op regression slice until the
+    # next staged batch exists (the pre-registration gate discipline:
+    # repoint this dict when staging round-14 candidates).
     from storm_netmonitor_spark.operators import extensions13 as e13
     from storm_netmonitor_spark.operators import extensions14 as e14
     from storm_netmonitor_spark.operators import extensions15 as e15
