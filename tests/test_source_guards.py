@@ -121,6 +121,14 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions15.py": {
         "stream_profile_gate": 2,
     },
+    # §2.AH staged batch (round-14 candidates): the BPE induction
+    # kernel collects ONE winning pair per round — a bounded argmax
+    # over the vocab-sized pair census (the pagerank convergence-probe
+    # / _lloyd_round model-scalar class); the merge table itself is the
+    # R-row trained artifact
+    "operators/extensions17.py": {
+        "bpe_merge_rounds": 1,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,
