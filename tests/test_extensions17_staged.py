@@ -118,6 +118,33 @@ def test_bpe_kernel_matches_python_reference_on_adversarial_words(spark):
     assert got == want, f"\nengine: {got}\nreference: {want}"
 
 
+def test_bpe_distributed_kernel_matches_the_driver_induction(spark):
+    """Path identity: the distributed rounds (the beyond-driver-memory
+    scale path) and the registered op's capped driver-side induction
+    must produce the IDENTICAL merge table on the corpus word table —
+    one induction semantics, two execution strategies."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators import extensions17 as e17
+
+    d = load_table(spark, SF, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    distributed = e17.bpe_merge_rounds(words, e17._BPE_ROUNDS)
+    registered = [
+        tuple(r) for r in e17.text_bpe_merge_train(spark, SF).collect()
+    ]
+    assert distributed == registered
+
+
 def test_bpe_merge_counts_are_monotone_and_deterministic(spark):
     """Adopted pair counts never increase round-over-round on this
     corpus class (each merge removes the most frequent adjacency), and

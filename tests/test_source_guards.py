@@ -121,13 +121,15 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions15.py": {
         "stream_profile_gate": 2,
     },
-    # §2.AH staged batch (round-14 candidates): the BPE induction
-    # kernel collects ONE winning pair per round — a bounded argmax
-    # over the vocab-sized pair census (the pagerank convergence-probe
-    # / _lloyd_round model-scalar class); the merge table itself is the
-    # R-row trained artifact
+    # §2.AH staged batch (round-14 candidates): the registered BPE op
+    # collects the CAPPED top-V word-frequency table (_BPE_WORD_CAP
+    # rows — the ivf_index k-seed model-fetch class; the cap is what
+    # makes this bounded at any corpus size) for the driver-side
+    # induction; the distributed scale-path kernel collects ONE
+    # winning pair per round (the pagerank convergence-probe class)
     "operators/extensions17.py": {
         "bpe_merge_rounds": 1,
+        "text_bpe_merge_train": 1,
     },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {

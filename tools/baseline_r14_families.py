@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Vanilla-PySpark baselines for the round-14 candidate batch (§2.AH),
+pre-built at round-13 close per the SURVEY §7.1 checklist so the three
+ops get their BASELINE.md rows the round they register.
+
+Method = `tools/baseline_r11_families.py` (read its docstring): same
+environment (`local[8]`, `shuffle.partitions=8`), same 1-warm-up /
+median-of-3, same timed-region rule — RERUN-class rows (the BPE
+induction's per-round argmax collects, the checkpointed matryoshka
+eval) rebuild per sample exactly like the engine's bench sample; the
+coverage row prebuilds its frame and times `collect()`. The BPE twin
+is the rendering a vanilla engineer writes for a vocab-sized model
+build: ONE Spark rollup to the word-frequency table, collect it (it is
+vocabulary-sized), and run the literal greedy merge loop in python —
+fair because the engine also pays the corpus rollup per sample and its
+per-round work is vocab-bounded. Only CONSTANTS are imported from the
+engine.
+
+Usage: python tools/baseline_r14_families.py [SF_DIR]
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from pyspark.sql import SparkSession, Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from storm_netmonitor_spark.operators.extensions17 import (  # noqa: E402
+    _BPE_ROUNDS,
+    _MAT_DIM,
+    _MAT_K,
+    _MAT_QUERIES,
+    _VOCAB_K,
+)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .appName("baseline-r14-families")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+DOCS = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+EMB = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def _tok_col():
+    return F.explode(
+        F.expr("filter(split(lower(text), ' '), x -> x != '')")
+    ).alias("tok")
+
+
+# -- text_bpe_merge_train (RERUN: per-round driver decisions) ----------------
+
+def t_text_bpe_merge_train():
+    words = {
+        r["w"]: r["wc"]
+        for r in DOCS.select(_tok_col().alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    }
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + c
+        if not cnt:
+            break
+        (left, right), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, left, right, left + right, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+# -- text_vocab_coverage (plain batch: prebuilt frame, timed collect) --------
+
+def build_vocab_coverage():
+    tok = DOCS.select("source", _tok_col())
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.orderBy(F.desc("n"), "tok").limit(_VOCAB_K).select(
+        "tok", F.lit(1).alias("iv")
+    )
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    j = st.join(vocab, "tok", "left").select(
+        "source", "n", F.coalesce("iv", F.lit(0)).alias("iv")
+    )
+    covered = F.sum(F.when(F.col("iv") == 1, F.col("n")).otherwise(0))
+    return j.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        covered.alias("n_covered_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("iv").alias("n_covered_types"),
+        (covered / F.sum("n")).alias("coverage_pct"),
+    )
+
+
+# -- vec_matryoshka_recall (RERUN: rebuilds per sample) ----------------------
+
+def t_vec_matryoshka_recall():
+    qe = EMB.filter(F.col("vec_id") < _MAT_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode("embedding").alias("pos", "qx"),
+    )
+    ee = EMB.filter(F.col("vec_id") >= _MAT_QUERIES).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    prods = ee.join(qe, "pos").select(
+        "q_id",
+        "vec_id",
+        (F.col("x").cast("double") * F.col("qx").cast("double")).alias("px"),
+        "pos",
+    )
+    sims = prods.groupBy("q_id", "vec_id").agg(
+        F.sum("px").alias("sim_full"),
+        F.sum(F.when(F.col("pos") < _MAT_DIM, F.col("px")).otherwise(0.0))
+        .alias("sim_trunc"),
+    ).cache()
+    wf = Window.partitionBy("q_id").orderBy(F.desc("sim_full"), "vec_id")
+    wt = Window.partitionBy("q_id").orderBy(F.desc("sim_trunc"), "vec_id")
+    fr = (
+        sims.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _MAT_K)
+        .select("q_id", "vec_id")
+    )
+    tr = (
+        sims.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _MAT_K)
+        .select("q_id", "vec_id")
+    )
+    hits = fr.join(tr, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    out = hits.withColumn("recall", F.col("n_hits") / _MAT_K).collect()
+    sims.unpersist()
+    return out
+
+
+RERUN = {
+    "text_bpe_merge_train": t_text_bpe_merge_train,
+    "vec_matryoshka_recall": t_vec_matryoshka_recall,
+}
+
+rows: dict[str, dict] = {}
+for name, fn in RERUN.items():
+    fn()  # warm-up
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round((time.perf_counter() - t0) * 1000, 1))
+    rows[name] = {
+        "median_ms": statistics.median(samples),
+        "samples_ms": samples,
+    }
+    print(f"{name}: {rows[name]}", file=sys.stderr)
+
+cov = build_vocab_coverage()
+cov.collect()  # warm-up (plan amortized, the engine-sample method)
+samples = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    cov.collect()
+    samples.append(round((time.perf_counter() - t0) * 1000, 1))
+rows["text_vocab_coverage"] = {
+    "median_ms": statistics.median(samples),
+    "samples_ms": samples,
+}
+print(f"text_vocab_coverage: {rows['text_vocab_coverage']}", file=sys.stderr)
+
+print(
+    json.dumps(
+        {
+            "metric": "baseline_r14_families",
+            "unit": "ms",
+            "sf_dir": SF_DIR,
+            "env": "local[8], shuffle.partitions=8, vanilla renderings",
+            "rows": rows,
+        }
+    )
+)

@@ -395,6 +395,37 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
                  "min per-node float gap shortlist-kth vs shortlist-cut "
                  "(must exceed 2e-6, twice the decimal-6 quantum)",
                  tri_margin, tri_margin >= 2e-6))
+
+    # --- vec_matryoshka_recall (§2.AH staged): the engine ranks by raw
+    # row-local double folds while the oracle ranks by decimal-6-rounded
+    # sums — they agree on the top-k SET whenever every query's rank-k
+    # boundary gap exceeds 2× the decimal-6 rounding quantum, for BOTH
+    # the full-dim and the prefix-dim ranking (within-list swaps cannot
+    # change a recall set).
+    from storm_netmonitor_spark.operators.extensions17 import (
+        _MAT_DIM,
+        _MAT_K,
+        _MAT_QUERIES,
+    )
+
+    vid = np.array(emb_t.column("vec_id").to_pylist())
+    order = np.argsort(vid)
+    emb_all = emb[order]
+    vid = vid[order]
+    qm = emb_all[vid < _MAT_QUERIES]
+    cm = emb_all[vid >= _MAT_QUERIES]
+    mat_margin = math.inf
+    for width in (emb_all.shape[1], _MAT_DIM):
+        dots = cm[:, :width] @ qm[:, :width].T  # (N, Q)
+        top = -np.sort(-dots, axis=0)
+        mat_margin = min(
+            mat_margin, float((top[_MAT_K - 1] - top[_MAT_K]).min())
+        )
+    rows.append(("vec_matryoshka_recall",
+                 "min per-query float gap at the rank-k boundary, full "
+                 "and prefix widths (must exceed 2e-6, twice the "
+                 "decimal-6 quantum)",
+                 mat_margin, mat_margin >= 2e-6))
     return rows
 
 

@@ -563,45 +563,23 @@ if CHAOS_SERVE:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The four round-13 batches (§2.AD orchestration apply + §2.AE
-    # ranking-quality/community + §2.AF streaming ingest hygiene +
-    # §2.AG quantization quality) GRADUATED at round-13 open — they are
-    # registered and covered by --full / the window modes. This mode
-    # stays pointed at them as a fast 12-op regression slice until the
-    # next staged batch exists (the pre-registration gate discipline:
-    # repoint this dict when staging round-14 candidates).
-    from storm_netmonitor_spark.operators import extensions13 as e13
-    from storm_netmonitor_spark.operators import extensions14 as e14
-    from storm_netmonitor_spark.operators import extensions15 as e15
-    from storm_netmonitor_spark.operators import extensions16 as e16
+    # The UNREGISTERED round-14 candidates (§2.AH tokenizer &
+    # representation economics): the registration gate requires each
+    # to pass under real executor JVMs BEFORE the registering commit —
+    # this mode is that gate, runnable today. (The §2.AD–§2.AG batches
+    # graduated at round-13 open and are now covered by --full / the
+    # window modes.)
+    from storm_netmonitor_spark.operators import extensions17 as e17
 
     qd = {
-        "sink_backfill_apply": e13.sink_backfill_apply,
-        "sink_compaction_apply": e13.sink_compaction_apply,
-        "sink_orphan_quarantine": e13.sink_orphan_quarantine,
-        "vec_rank_metrics": e14.vec_rank_metrics,
-        "graph_community_lpa": e14.graph_community_lpa,
-        "stream_serve_recall": e14.stream_serve_recall,
-        "stream_decontaminate_gate": e15.stream_decontaminate_gate,
-        "stream_pii_gate": e15.stream_pii_gate,
-        "stream_profile_gate": e15.stream_profile_gate,
-        "vec_pq_distortion": e16.vec_pq_distortion,
-        "vec_pq_recall": e16.vec_pq_recall,
-        "vec_index_snapshot_diff": e16.vec_index_snapshot_diff,
+        "text_bpe_merge_train": e17.text_bpe_merge_train,
+        "text_vocab_coverage": e17.text_vocab_coverage,
+        "vec_matryoshka_recall": e17.vec_matryoshka_recall,
     }
     od = {
-        "sink_backfill_apply": e13.sink_backfill_apply_oracle(),
-        "sink_compaction_apply": e13.sink_compaction_apply_oracle(),
-        "sink_orphan_quarantine": e13.sink_orphan_quarantine_oracle(),
-        "vec_rank_metrics": e14.vec_rank_metrics_oracle(),
-        "graph_community_lpa": e14.graph_community_lpa_oracle(),
-        "stream_serve_recall": e14.stream_serve_recall_oracle(),
-        "stream_decontaminate_gate": e15.stream_decontaminate_gate_oracle(),
-        "stream_pii_gate": e15.stream_pii_gate_oracle(),
-        "stream_profile_gate": e15.stream_profile_gate_oracle(),
-        "vec_pq_distortion": e16.vec_pq_distortion_oracle(SF),
-        "vec_pq_recall": e16.vec_pq_recall_oracle(SF),
-        "vec_index_snapshot_diff": e16.vec_index_snapshot_diff_oracle(SF),
+        "text_bpe_merge_train": e17.text_bpe_merge_train_oracle(),
+        "text_vocab_coverage": e17.text_vocab_coverage_oracle(),
+        "vec_matryoshka_recall": e17.vec_matryoshka_recall_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
