@@ -158,6 +158,104 @@ def t_vec_matryoshka_recall():
     return out
 
 
+# -- §2.AI twins --------------------------------------------------------------
+
+def build_source_overlap():
+    tk = DOCS.select(
+        "source",
+        F.expr("array_remove(split(lower(text), ' '), '')").alias("tk"),
+    )
+    sgrams = tk.select(
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(size(tk) - 2, 1)),"
+                " i -> concat_ws(' ', slice(tk, i, 3))))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    ssizes = sgrams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sgrams.alias("a"), sgrams.alias("b")
+    spairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = ssizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = ssizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        spairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a", "source_b", "na", "nb", "n_shared",
+            (F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")))
+            .alias("jaccard"),
+        )
+    )
+
+
+def build_l_diversity():
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct(
+            F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")
+        ).alias("grp_l"),
+    )
+    below = F.col("grp_l") < 3
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(below, 1)).alias("groups_below_l"),
+        F.coalesce(F.sum(F.when(below, F.col("grp_n"))), F.lit(0)).alias(
+            "rows_at_risk"
+        ),
+        F.min("grp_l").alias("min_l"),
+        F.sum("grp_n").alias("n_rows"),
+    )
+
+
+def build_dedup_curve(pairs, n_docs):
+    # pairs = the verified near-dup artifact, staged once UNTIMED (the
+    # engine reads it from its artifact store); the curve itself is the
+    # timed region
+    th = spark.createDataFrame(
+        [(t,) for t in (0.05, 0.1, 0.2, 0.4)], "threshold double"
+    )
+    qual = pairs.crossJoin(th).filter(F.col("jaccard") >= F.col("threshold"))
+    docs = qual.select(
+        "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    return (
+        th.join(
+            qual.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs")),
+            "threshold",
+            "left",
+        )
+        .join(
+            docs.groupBy("threshold").agg(
+                F.countDistinct("doc_id").alias("n_docs_touched")
+            ),
+            "threshold",
+            "left",
+        )
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_touched", F.lit(0)).alias("n_docs_touched"),
+            (F.coalesce("n_docs_touched", F.lit(0)) / n_docs).alias(
+                "docs_share"
+            ),
+        )
+    )
+
+
 RERUN = {
     "text_bpe_merge_train": t_text_bpe_merge_train,
     "vec_matryoshka_recall": t_vec_matryoshka_recall,
@@ -177,18 +275,82 @@ for name, fn in RERUN.items():
     }
     print(f"{name}: {rows[name]}", file=sys.stderr)
 
-cov = build_vocab_coverage()
-cov.collect()  # warm-up (plan amortized, the engine-sample method)
-samples = []
-for _ in range(3):
-    t0 = time.perf_counter()
-    cov.collect()
-    samples.append(round((time.perf_counter() - t0) * 1000, 1))
-rows["text_vocab_coverage"] = {
-    "median_ms": statistics.median(samples),
-    "samples_ms": samples,
+print("staging: verified near-dup pairs (untimed, plain code — the "
+      "engine reads the same pairs from its artifact store)",
+      file=sys.stderr)
+_tk = DOCS.select(
+    "doc_id", "lang", "source",
+    F.expr("array_remove(split(lower(text), ' '), '')").alias("tk"),
+)
+_dg = _tk.select(
+    "doc_id", "lang", "source",
+    F.explode(
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(tk) - 2, 1)),"
+            " i -> concat_ws(' ', slice(tk, i, 3))))"
+        )
+    ).alias("gram"),
+)
+_kept = _dg.join(
+    _dg.groupBy("lang", "source", "gram")
+    .agg(F.count(F.lit(1)).alias("df"))
+    .filter(F.col("df") <= 1000)
+    .select("lang", "source", "gram"),
+    ["lang", "source", "gram"],
+)
+_sizes = _kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+_ka, _kb = _kept.alias("ka"), _kept.alias("kb")
+_raw_pairs = (
+    _ka.join(
+        _kb,
+        (F.col("ka.lang") == F.col("kb.lang"))
+        & (F.col("ka.source") == F.col("kb.source"))
+        & (F.col("ka.gram") == F.col("kb.gram"))
+        & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+    )
+    .groupBy(
+        F.col("ka.doc_id").alias("doc_a"), F.col("kb.doc_id").alias("doc_b")
+    )
+    .agg(F.count(F.lit(1)).alias("n_inter"))
+)
+_pairs = (
+    _raw_pairs.join(
+        _sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        "doc_a",
+    )
+    .join(
+        _sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+        "doc_b",
+    )
+    .select(
+        "doc_a", "doc_b",
+        (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .alias("jaccard"),
+    )
+    .filter(F.col("jaccard") >= 0.05)
+    .cache()
+)
+_pairs.collect()
+_N_DOCS = DOCS.count()
+
+PREBUILT = {
+    "text_vocab_coverage": build_vocab_coverage(),
+    "text_source_overlap_matrix": build_source_overlap(),
+    "agg_l_diversity": build_l_diversity(),
+    "pipeline_dedup_rate_curve": build_dedup_curve(_pairs, _N_DOCS),
 }
-print(f"text_vocab_coverage: {rows['text_vocab_coverage']}", file=sys.stderr)
+for name, frame in PREBUILT.items():
+    frame.collect()  # warm-up (plan amortized, the engine-sample method)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        frame.collect()
+        samples.append(round((time.perf_counter() - t0) * 1000, 1))
+    rows[name] = {
+        "median_ms": statistics.median(samples),
+        "samples_ms": samples,
+    }
+    print(f"{name}: {rows[name]}", file=sys.stderr)
 
 print(
     json.dumps(

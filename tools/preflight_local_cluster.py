@@ -564,22 +564,29 @@ if CHAOS_SERVE:
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
     # The UNREGISTERED round-14 candidates (§2.AH tokenizer &
-    # representation economics): the registration gate requires each
-    # to pass under real executor JVMs BEFORE the registering commit —
-    # this mode is that gate, runnable today. (The §2.AD–§2.AG batches
-    # graduated at round-13 open and are now covered by --full / the
-    # window modes.)
+    # representation economics + §2.AI composition integrity): the
+    # registration gate requires each to pass under real executor JVMs
+    # BEFORE the registering commit — this mode is that gate, runnable
+    # today. (The §2.AD–§2.AG batches graduated at round-13 open and
+    # are now covered by --full / the window modes.)
     from storm_netmonitor_spark.operators import extensions17 as e17
+    from storm_netmonitor_spark.operators import extensions18 as e18
 
     qd = {
         "text_bpe_merge_train": e17.text_bpe_merge_train,
         "text_vocab_coverage": e17.text_vocab_coverage,
         "vec_matryoshka_recall": e17.vec_matryoshka_recall,
+        "text_source_overlap_matrix": e18.text_source_overlap_matrix,
+        "agg_l_diversity": e18.agg_l_diversity,
+        "pipeline_dedup_rate_curve": e18.pipeline_dedup_rate_curve,
     }
     od = {
         "text_bpe_merge_train": e17.text_bpe_merge_train_oracle(),
         "text_vocab_coverage": e17.text_vocab_coverage_oracle(),
         "vec_matryoshka_recall": e17.vec_matryoshka_recall_oracle(),
+        "text_source_overlap_matrix": e18.text_source_overlap_matrix_oracle(),
+        "agg_l_diversity": e18.agg_l_diversity_oracle(),
+        "pipeline_dedup_rate_curve": e18.pipeline_dedup_rate_curve_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
