@@ -189,6 +189,71 @@ def test_dedup_curve_kernel_on_planted_pairs(spark):
     assert rows[0.4]["docs_share"] == 0.3
 
 
+def test_staged_plan_shapes(spark):
+    """100 TB plan pins for the batch: the overlap census self-join is
+    a gram-keyed EQUI join (never a cartesian/nested loop), the
+    l-diversity summary has no Expand (two plain hash aggregates), and
+    the curve's threshold frame is a local relation (no scan job for a
+    4-row VALUES table)."""
+    from storm_netmonitor_spark.operators import extensions18 as e18
+
+    p = (
+        e18.text_source_overlap_matrix(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p2 = (
+        e18.agg_l_diversity(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p2
+    assert "Expand" not in p2  # single-distinct stays a two-level agg
+
+    p3 = (
+        e18.pipeline_dedup_rate_curve(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LocalTableScan" in p3 or "LocalRelation" in p3
+    # the T-row threshold attach legitimately renders as a broadcast
+    # nested loop (bounded inner side — the vec_batch_knn class); a
+    # CartesianProduct never does
+    assert "CartesianProduct" not in p3
+
+
+def test_bpe_vocab_cap_is_take_ordered(spark):
+    """The §2.AH BPE word-table cap must render as
+    TakeOrderedAndProject (limit-bounded fetch), never a global sort —
+    the cap is what makes the induction collect model-sized."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import load_table
+    from storm_netmonitor_spark.operators.extensions17 import _BPE_WORD_CAP
+
+    d = load_table(spark, SF, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .orderBy(F.desc("wc"), "w")
+        .limit(_BPE_WORD_CAP)
+    )
+    p = words._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+
+
 @pytest.mark.parametrize(
     "name",
     [
