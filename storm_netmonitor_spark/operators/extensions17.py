@@ -168,9 +168,7 @@ def bpe_merge_rounds(
     the registered op's capped table takes :func:`greedy_bpe_merges`
     instead, and the staged suite pins the two paths identical. The
     hypothesis suite drives this kernel on arbitrary word tables."""
-    seq = words.select(
-        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "wc"
-    ).localCheckpoint()
+    seq = chars_seq_frame(words)
     merges: list[tuple[int, str, str, str, int]] = []
     wseq = Window.partitionBy("seq").orderBy("pos")
     for r in range(1, rounds + 1):
@@ -187,65 +185,83 @@ def bpe_merge_rounds(
             break
         left, right, cnt = win[0]["l"], win[0]["r"], int(win[0]["cnt"])
         merges.append((r, left, right, left + right, cnt))
-        # join-free greedy selection, all windows over ONE frame (a
-        # selected/previous self-join here trips Spark's ambiguous-
-        # self-join resolution): islands of consecutive matches via a
-        # running match count, even offset within the island = greedy
-        run = Window.partitionBy("seq").orderBy("pos").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        flagged = (
-            toks.withColumn(
-                "m",
-                ((F.col("tok") == left) & (F.col("nxt") == right)).cast(
-                    "int"
-                ),
-            )
-            .withColumn("grp", F.col("pos") - F.sum("m").over(run))
-            .withColumn(
-                "sel",
-                (F.col("m") == 1)
-                & (
-                    (
-                        F.col("pos")
-                        - F.min(
-                            F.when(F.col("m") == 1, F.col("pos"))
-                        ).over(Window.partitionBy("seq", "grp"))
-                    )
-                    % 2
-                    == 0
-                ),
-            )
-            .withColumn(
-                "dropped",
-                F.coalesce(F.lag("sel").over(wseq), F.lit(False)),
-            )
-        )
-        rebuilt = flagged.filter(~F.col("dropped")).select(
-            "seq",
-            "wc",
-            "pos",
-            F.when(F.col("sel"), F.lit(left + right))
-            .otherwise(F.col("tok"))
-            .alias("tok2"),
-        )
-        seq = (
-            rebuilt.groupBy("seq", "wc")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "tok2"))
-                        ),
-                        lambda s: s["tok2"],
-                    ),
-                    " ",
-                ).alias("new_seq")
-            )
-            .select(F.col("new_seq").alias("seq"), "wc")
-            .localCheckpoint()
-        )
+        seq = merge_pair(seq, left, right)
     return merges
+
+
+def chars_seq_frame(words: DataFrame) -> DataFrame:
+    """(seq, wc) — each word rendered as its space-joined character
+    sequence (the BPE symbol representation), checkpointed."""
+    return words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "wc"
+    ).localCheckpoint()
+
+
+def merge_pair(seq: DataFrame, left: str, right: str) -> DataFrame:
+    """KERNEL — one exact greedy BPE merge of (left, right) over a
+    (seq, wc) symbol-sequence frame, returned checkpointed.
+
+    Join-free greedy selection, all windows over ONE frame (a
+    selected/previous self-join here trips Spark's ambiguous-self-join
+    resolution): islands of consecutive matches via a running match
+    count, even offset within the island = the greedy selections, then
+    a position-ordered rebuild. Shared by the induction loop
+    (:func:`bpe_merge_rounds`) and the frozen-tokenizer apply path
+    (extensions19's fertility measurement)."""
+    wseq = Window.partitionBy("seq").orderBy("pos")
+    run = Window.partitionBy("seq").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = seq.select(
+        "seq", "wc", F.posexplode(F.split("seq", " ")).alias("pos", "tok")
+    ).withColumn("nxt", F.lead("tok").over(wseq))
+    flagged = (
+        toks.withColumn(
+            "m",
+            ((F.col("tok") == left) & (F.col("nxt") == right)).cast("int"),
+        )
+        .withColumn("grp", F.col("pos") - F.sum("m").over(run))
+        .withColumn(
+            "sel",
+            (F.col("m") == 1)
+            & (
+                (
+                    F.col("pos")
+                    - F.min(F.when(F.col("m") == 1, F.col("pos"))).over(
+                        Window.partitionBy("seq", "grp")
+                    )
+                )
+                % 2
+                == 0
+            ),
+        )
+        .withColumn(
+            "dropped",
+            F.coalesce(F.lag("sel").over(wseq), F.lit(False)),
+        )
+    )
+    rebuilt = flagged.filter(~F.col("dropped")).select(
+        "seq",
+        "wc",
+        "pos",
+        F.when(F.col("sel"), F.lit(left + right))
+        .otherwise(F.col("tok"))
+        .alias("tok2"),
+    )
+    return (
+        rebuilt.groupBy("seq", "wc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok2"))),
+                    lambda s: s["tok2"],
+                ),
+                " ",
+            ).alias("new_seq")
+        )
+        .select(F.col("new_seq").alias("seq"), "wc")
+        .localCheckpoint()
+    )
 
 
 def greedy_bpe_merges(

@@ -131,6 +131,12 @@ _AUDITED_COLLECT_SITES = {
         "bpe_merge_rounds": 1,
         "text_bpe_merge_train": 1,
     },
+    # §2.AJ staged batch: the fertility op collects the R-row trained
+    # merge table (the frozen-artifact fetch — bounded by _BPE_ROUNDS)
+    # to drive the apply kernel
+    "operators/extensions19.py": {
+        "text_bpe_fertility": 1,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,

@@ -256,6 +256,121 @@ def build_dedup_curve(pairs, n_docs):
     )
 
 
+# -- §2.AJ twins --------------------------------------------------------------
+
+def build_bpe_fertility():
+    # the frozen-tokenizer serving report: the merge table is a trained
+    # ARTIFACT on both sides (the engine trains once per corpus version
+    # into its store; the twin stages the same python-trained merges
+    # UNTIMED), so the timed region is the serving query — census +
+    # word→token-count map + per-source fold
+    words: dict[str, int] = {}
+    for r in (
+        DOCS.select(_tok_col().alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    ):
+        words[r["w"]] = int(r["wc"])
+    table = dict(
+        sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:65536]
+    )
+    tseqs = {w: list(w) for w in table}
+    seqs = {w: list(w) for w in words}
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, c in table.items():
+            s = tseqs[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + c
+        if not cnt:
+            break
+        (left, right), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for d in (tseqs, seqs):
+            for w, s in d.items():
+                out, i = [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == left
+                        and s[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                d[w] = out
+    wtok = spark.createDataFrame(
+        [(w, len(s)) for w, s in seqs.items()], "w string, tok_n int"
+    )
+    census = DOCS.select("source", _tok_col().alias("w")).groupBy(
+        "source", "w"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        census.join(wtok, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("tok_n")).alias("n_tokens"),
+            (
+                F.sum(F.col("cnt") * F.col("tok_n")) / F.sum("cnt")
+            ).alias("fertility"),
+        )
+    )
+
+
+def build_pack_efficiency():
+    budget = 4096  # = the engine's PACK_BUDGET_CHARS (constant parity)
+    assigned = DOCS.select(
+        "doc_id", "lang", "n_chars",
+        F.sum("n_chars").over(
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("running"),
+    ).withColumn("bin_id", F.expr(f"(running - n_chars) div {budget}"))
+    bins = assigned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("bin_chars")
+    )
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("bin_chars").alias("total_chars"),
+        F.max("bin_chars").alias("max_bin_chars"),
+        F.count(F.when(F.col("bin_chars") > budget, 1)).alias(
+            "overflow_bins"
+        ),
+        (F.sum("bin_chars") / (F.count(F.lit(1)) * budget)).alias(
+            "fill_pct"
+        ),
+    )
+
+
+def build_fano():
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mom = per_min.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return mom.select(
+        "event_type", "n", "sum_c",
+        (
+            (F.col("n") * F.col("sum_sq") - F.col("sum_c") * F.col("sum_c"))
+            / (F.col("n") * F.col("sum_c"))
+        ).alias("fano"),
+    )
+
+
 RERUN = {
     "text_bpe_merge_train": t_text_bpe_merge_train,
     "vec_matryoshka_recall": t_vec_matryoshka_recall,
@@ -338,6 +453,9 @@ PREBUILT = {
     "text_source_overlap_matrix": build_source_overlap(),
     "agg_l_diversity": build_l_diversity(),
     "pipeline_dedup_rate_curve": build_dedup_curve(_pairs, _N_DOCS),
+    "pipeline_pack_efficiency": build_pack_efficiency(),
+    "events_burstiness_fano": build_fano(),
+    "text_bpe_fertility": build_bpe_fertility(),
 }
 for name, frame in PREBUILT.items():
     frame.collect()  # warm-up (plan amortized, the engine-sample method)

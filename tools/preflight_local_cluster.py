@@ -571,6 +571,7 @@ if STAGED:
     # are now covered by --full / the window modes.)
     from storm_netmonitor_spark.operators import extensions17 as e17
     from storm_netmonitor_spark.operators import extensions18 as e18
+    from storm_netmonitor_spark.operators import extensions19 as e19
 
     qd = {
         "text_bpe_merge_train": e17.text_bpe_merge_train,
@@ -579,6 +580,9 @@ if STAGED:
         "text_source_overlap_matrix": e18.text_source_overlap_matrix,
         "agg_l_diversity": e18.agg_l_diversity,
         "pipeline_dedup_rate_curve": e18.pipeline_dedup_rate_curve,
+        "text_bpe_fertility": e19.text_bpe_fertility,
+        "pipeline_pack_efficiency": e19.pipeline_pack_efficiency,
+        "events_burstiness_fano": e19.events_burstiness_fano,
     }
     od = {
         "text_bpe_merge_train": e17.text_bpe_merge_train_oracle(),
@@ -587,6 +591,9 @@ if STAGED:
         "text_source_overlap_matrix": e18.text_source_overlap_matrix_oracle(),
         "agg_l_diversity": e18.agg_l_diversity_oracle(),
         "pipeline_dedup_rate_curve": e18.pipeline_dedup_rate_curve_oracle(),
+        "text_bpe_fertility": e19.text_bpe_fertility_oracle(),
+        "pipeline_pack_efficiency": e19.pipeline_pack_efficiency_oracle(),
+        "events_burstiness_fano": e19.events_burstiness_fano_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
