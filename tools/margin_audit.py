@@ -246,6 +246,22 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
     non_ascii = sum(1 for x in texts if len(x.encode()) != len(x))
     odd_ws = sum(1 for x in texts if ("\t" in x or "\n" in x or "  " in x))
     clean = not (non_ascii or odd_ws)
+    # gram-window symmetry: the engine renders 3-gram windows with
+    # `sequence(1, greatest(size(tk) - 2, 1))` (a doc with < 3 tokens
+    # yields ONE short gram) while the DuckDB twins use
+    # `generate_series(1, len(tk) - 2)` (empty for < 3 tokens) — the
+    # two agree ONLY while every doc carries ≥ 3 tokens. Covers the
+    # registered text_ngram_* family and the staged
+    # text_source_overlap_matrix.
+    min_tokens = min(
+        (len([t for t in x.lower().split(" ") if t]) for x in texts),
+        default=0,
+    )
+    rows.append(("text_ngram_* / text_source_overlap_matrix",
+                 "min tokens per doc (gram-window oracles need >= 3; "
+                 "below it the engine emits a short gram the SQL twin "
+                 "does not)",
+                 float(min_tokens), min_tokens >= 3))
     rows.append(("text_near_dedup_*", "docs violating ASCII/space-tokenizer "
                  "preconditions (1 = none)",
                  1.0 if clean else 0.0, clean))
