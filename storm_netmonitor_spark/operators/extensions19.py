@@ -56,15 +56,15 @@ from .pipeline import PACK_BUDGET_CHARS
 # ---------------------------------------------------------------------------
 
 
-def text_bpe_fertility_oracle() -> str:
-    # the §2.AH induction chain verbatim (winners trained on the CAPPED
-    # table), then application CTEs over ALL words: the same islands
-    # merge per round, driven by the trained w{r} winners
-    train = _WORDS_CTE + "".join(
-        "," + _bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1)
-    )
+def bpe_apply_rounds_sql(rounds: int) -> str:
+    """The frozen-apply CTE chain (aseq1 → aseq{rounds}): per trained
+    round the same islands merge as the induction, driven by the
+    w{r} winner CTEs. Expects an ``aseq0`` CTE of (w, seq) char
+    sequences and the train chain's w{r} CTEs to exist; shared by the
+    batch fertility oracle and the streaming fertility gate
+    (extensions20)."""
     apply_rounds = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         prev = "aseq0" if r == 1 else f"aseq{r - 1}"
         apply_rounds.append(f"""
 at{r} AS (
@@ -95,6 +95,16 @@ at{r} AS (
   WHERE prv.pos IS NULL
   GROUP BY t.w
 )""")
+    return ",".join(apply_rounds)
+
+
+def text_bpe_fertility_oracle() -> str:
+    # the §2.AH induction chain verbatim (winners trained on the CAPPED
+    # table), then application CTEs over ALL words: the same islands
+    # merge per round, driven by the trained w{r} winners
+    train = _WORDS_CTE + "".join(
+        "," + _bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1)
+    )
     fert = dratio_sql("SUM(cnt * tok_n) * 1000000", "SUM(cnt)")
     return f"""
 WITH {train},
@@ -103,7 +113,7 @@ all_words AS (
 ), aseq0 AS (
   SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
   FROM all_words
-),{",".join(apply_rounds)},
+),{bpe_apply_rounds_sql(_BPE_ROUNDS)},
 wtok AS (
   SELECT w, len(string_split(seq, ' ')) AS tok_n FROM aseq{_BPE_ROUNDS}
 ), census AS (

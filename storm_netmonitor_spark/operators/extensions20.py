@@ -1,0 +1,496 @@
+"""Round-14 candidate operators, fourth batch, PRE-STAGED (SURVEY
+§2.AK; the staging discipline of the §2.W–§2.AJ batches applied
+forward).
+
+NOTHING in this module is registered: the registry closed the round-13
+registrations at 315, so there is no ``@query`` decorator here — each
+candidate ships as a plain callable plus a module-level oracle builder,
+wired into ``tests/test_extensions20_staged.py``.
+
+Capability anchor: SURVEY §2.AK — the ROUND-14 MONITORS ON THE INGEST
+STREAM. The §2.AH/§2.AJ batch measurements (vocabulary coverage,
+tokenizer fertility, burstiness) run in production ON the arriving
+data, each delta batch checked before it lands — the
+``stream_gate_scores`` / ``stream_profile_gate`` batch-twin discipline
+applied to the round-14 families:
+
+- ``stream_vocab_gate`` — delta docs' token coverage against the
+  STANDING corpus's top-K vocabulary (the frozen-artifact split: the
+  vocabulary trains on the standing corpus, the stream scores only the
+  delta), per-source integer counters folded batch_id-keyed;
+- ``stream_fertility_gate`` — the frozen STANDING-trained merge table
+  served on the ingest stream: per batch one census rollup + one
+  Arrow-batched tokenize pass, per-source (n_words, n_chars, n_tokens)
+  counters landed batch_id-keyed, drained fertility ≡ the batch
+  computation on the delta;
+- ``stream_fano_fold`` — the burstiness monitor as a streaming fold:
+  per batch the (event_type, minute) counter census lands
+  batch_id-keyed (minute counters are ADDITIVE, so the fold is exact
+  in any batch-arrival order — even when a batch boundary splits a
+  minute), and the drained moment fold ≡ the batch Fano table over
+  the whole stream.
+
+All per-batch landings are batch_id-keyed (retry-idempotent); every
+folded quantity is an integer counter, so arrival order cannot change
+a single output bit.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import dratio, dratio_sql
+from ..io import disk_artifact_frame, disk_artifact_json, session_memo
+from .extensions15 import _delta_stream_dir, _drain_docs
+from .extensions17 import _BPE_ROUNDS, _VOCAB_K, greedy_bpe_merges
+from .extensions19 import apply_merges_token_counts, bpe_apply_rounds_sql
+
+#: Shared split-point SQL (the extensions8/12/15 delta convention).
+_DSPLIT_SQL = "SELECT (MAX(doc_id) + 1) * 4 // 5 AS v FROM documents"
+
+
+def _doc_split_point(spark: SparkSession, sf_dir: str) -> int:
+    from .extensions8 import _doc_split
+
+    return _doc_split(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# stream_vocab_gate — coverage of the delta against the standing vocabulary
+# ---------------------------------------------------------------------------
+
+LAST_VOCAB_GATE_WALLS: list[float] = []
+
+
+def stream_vocab_gate_oracle() -> str:
+    cov = "SUM(iv)"
+    return f"""
+WITH dsplit AS ({_DSPLIT_SQL}),
+tok_all AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS n FROM tok_all
+  WHERE doc_id < (SELECT v FROM dsplit) GROUP BY tok
+), vocab AS (
+  SELECT tok FROM counts ORDER BY n DESC, tok LIMIT {_VOCAB_K}
+), delta AS (
+  SELECT source, tok FROM tok_all
+  WHERE doc_id >= (SELECT v FROM dsplit)
+), j AS (
+  SELECT source, CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS iv
+  FROM delta LEFT JOIN vocab v USING (tok)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST({cov} AS BIGINT) AS n_covered_tokens,
+       {dratio_sql(f"{cov} * 1000000", "COUNT(*)")} AS coverage_pct
+FROM j GROUP BY source
+"""
+
+
+def _standing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE standing vocabulary — top-{_VOCAB_K} types of the standing
+    corpus (doc_id < split), persisted through the artifact store and
+    session-memoized (the ``_bench_grams`` precedent)."""
+    split = _doc_split_point(spark, sf_dir)
+
+    def build() -> DataFrame:
+        from ..io import load_table
+
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < split
+        )
+        tok = d.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("tok")
+        )
+        return (
+            tok.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "tok")
+            .limit(_VOCAB_K)
+            .select("tok")
+        )
+
+    return session_memo(
+        spark,
+        ("standing_vocab", os.path.abspath(sf_dir), split),
+        lambda: disk_artifact_frame(
+            spark, "standing_vocab", "v1", sf_dir, build
+        ).cache(),
+        sf_dir=sf_dir,
+    )
+
+
+def vocab_coverage_counters(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """KERNEL — per-source (n_tokens, n_covered_tokens) of a
+    (source, text) frame against a one-column vocabulary: row-local
+    token explode + ONE broadcast join + a source-keyed integer
+    rollup. Factored for the streaming gate and the planted-OOV
+    property test."""
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("tok"),
+    )
+    j = tok.join(
+        F.broadcast(vocab.withColumn("iv", F.lit(1))), "tok", "left"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("iv"), F.lit(0))
+        .cast("long")
+        .alias("n_covered_tokens"),
+    )
+
+
+def stream_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary-coverage monitor on the ingest stream (SURVEY
+    §2.AK): delta docs arrive as micro-batches, each batch's tokens
+    score against the STANDING corpus's top-{_VOCAB_K} vocabulary
+    (trained once per corpus version — the frozen-artifact split), and
+    per-source integer counters land batch_id-keyed. The drained
+    coverage table must equal the batch computation on the delta — the
+    "is incoming data still speaking our vocabulary" alarm.
+
+    Shape at scale: per batch one row-local token explode + ONE
+    broadcast join against the K-row vocabulary + a source-keyed
+    counter fold; steady-state cost tracks the ingest stream, never
+    the standing corpus."""
+    vocab = _standing_vocab(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="nm_vocab_gate_")
+    LAST_VOCAB_GATE_WALLS.clear()
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.perf_counter()
+        if not batch_df.take(1):
+            return
+        vocab_coverage_counters(batch_df, vocab).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        LAST_VOCAB_GATE_WALLS.append(_time.perf_counter() - t0)
+
+    _drain_docs(spark, sf_dir, gate_batch)
+
+    out = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_covered_tokens")
+            .cast("long")
+            .alias("n_covered_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_covered_tokens",
+            dratio(
+                F.col("n_covered_tokens") * 1_000_000, F.col("n_tokens")
+            ).alias("coverage_pct"),
+        )
+    )
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# stream_fertility_gate — the standing-trained tokenizer on the stream
+# ---------------------------------------------------------------------------
+
+LAST_FERTILITY_GATE_WALLS: list[float] = []
+
+
+def stream_fertility_gate_oracle() -> str:
+    fert = dratio_sql("SUM(cnt * tok_n) * 1000000", "SUM(cnt)")
+    # the §2.AH train chain RESTRICTED to the standing corpus, the
+    # frozen apply over the DELTA's words, the census fold over the
+    # delta — train-standing / score-delta, the frozen-LM discipline
+    from .extensions17 import _BPE_WORD_CAP, _bpe_round_ctes
+
+    train_rounds = "".join(
+        "," + _bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH dsplit AS ({_DSPLIT_SQL}),
+toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS w
+  FROM documents WHERE doc_id < (SELECT v FROM dsplit)
+), words AS (
+  SELECT w, wc FROM (SELECT w, COUNT(*) AS wc FROM toks GROUP BY w)
+  ORDER BY wc DESC, w LIMIT {_BPE_WORD_CAP}
+), seq0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, wc FROM words
+){train_rounds},
+census AS (
+  SELECT source, w, COUNT(*) AS cnt FROM (
+    SELECT source,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS w
+    FROM documents WHERE doc_id >= (SELECT v FROM dsplit))
+  GROUP BY source, w
+), all_words AS (
+  SELECT DISTINCT w FROM census
+), aseq0 AS (
+  SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+  FROM all_words
+),{bpe_apply_rounds_sql(_BPE_ROUNDS)},
+wtok AS (
+  SELECT w, len(string_split(seq, ' ')) AS tok_n FROM aseq{_BPE_ROUNDS}
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(cnt * tok_n) AS BIGINT) AS n_tokens,
+       {fert} AS fertility
+FROM census JOIN wtok USING (w)
+GROUP BY source
+"""
+
+
+def _standing_merges(spark: SparkSession, sf_dir: str) -> list:
+    """THE standing-trained merge table — the §2.AH induction run on
+    the standing corpus only (doc_id < split), persisted as a JSON
+    artifact (train once per corpus version)."""
+    from ..io import load_table
+    from .extensions17 import _BPE_WORD_CAP
+
+    split = _doc_split_point(spark, sf_dir)
+
+    def train() -> list:
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < split
+        )
+        capped = (
+            d.select(
+                F.explode(
+                    F.expr(
+                        "filter(split(lower(text), ' '), x -> x != '')"
+                    )
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("wc"))
+            .orderBy(F.desc("wc"), "w")
+            .limit(_BPE_WORD_CAP)
+            .collect()
+        )
+        return greedy_bpe_merges(
+            {r["w"]: int(r["wc"]) for r in capped}, _BPE_ROUNDS
+        )
+
+    return [
+        tuple(m)
+        for m in disk_artifact_json(
+            "bpe_merges_standing", "v1", sf_dir, train, extra=(split,)
+        )
+    ]
+
+
+def fertility_counters(docs: DataFrame, merges) -> DataFrame:
+    """KERNEL — per-source (n_words, n_chars, n_tokens) of a
+    (source, text) frame under a frozen merge table: one census rollup
+    + the Arrow tokenize pass + a source-keyed integer fold. Factored
+    for the streaming gate and the zero-merge identity test."""
+    census = docs.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("w"),
+    ).groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    j = apply_merges_token_counts(census, merges)
+    return j.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+        F.sum(F.col("cnt") * F.col("tok_n")).cast("long").alias("n_tokens"),
+    )
+
+
+def stream_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-cost monitor on the ingest stream (SURVEY §2.AK):
+    each delta micro-batch tokenizes under the STANDING-trained merge
+    artifact (train-standing / score-delta — the frozen-LM split), and
+    per-source (n_words, n_chars, n_tokens) counters land
+    batch_id-keyed. The drained fertility table must equal the batch
+    computation on the delta — the "is incoming data still pricing at
+    the standing fertility" alarm.
+
+    Shape at scale: per batch one (source, word) rollup + one
+    Arrow-batched row-local tokenize pass + a source-keyed counter
+    fold; the merge table loads once per gating session."""
+    merges = _standing_merges(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="nm_fert_gate_")
+    LAST_FERTILITY_GATE_WALLS.clear()
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.perf_counter()
+        if not batch_df.take(1):
+            return
+        fertility_counters(batch_df, merges).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        LAST_FERTILITY_GATE_WALLS.append(_time.perf_counter() - t0)
+
+    _drain_docs(spark, sf_dir, gate_batch)
+
+    out = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            dratio(F.col("n_tokens") * 1_000_000, F.col("n_words")).alias(
+                "fertility"
+            ),
+        )
+    )
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# stream_fano_fold — the burstiness monitor as a streaming fold
+# ---------------------------------------------------------------------------
+
+LAST_FANO_BATCH_WALLS: list[float] = []
+
+#: The staged event stream splits the table into this many files (one
+#: micro-batch each) — ≥2 so the fold across batch boundaries is real,
+#: including minutes SPLIT across two batches.
+_FANO_BATCHES = 3
+
+
+def stream_fano_fold_oracle() -> str:
+    # the batch op's oracle VERBATIM (the stream covers the whole
+    # events table — the stream_gate_scores batch-twin precedent)
+    from .extensions19 import events_burstiness_fano_oracle
+
+    return events_burstiness_fano_oracle()
+
+
+def _events_stream_dir_split(spark: SparkSession, sf_dir: str) -> str:
+    """The staged multi-batch event stream: the events table
+    ts-ordered, split into {_FANO_BATCHES} files (so minute windows
+    straddle batch boundaries), session-memoized."""
+    import pyarrow.parquet as pq
+
+    def build(dir_: str) -> str:
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet")
+        ).sort_by("ts")
+        per = max(1, -(-t.num_rows // _FANO_BATCHES))
+        for i in range(0, t.num_rows, per):
+            f = os.path.join(dir_, f"e{i // per}.parquet")
+            pq.write_table(t.slice(i, per), f)
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        return dir_
+
+    return session_memo(
+        spark,
+        ("fano_stream", os.path.abspath(sf_dir)),
+        lambda: build(tempfile.mkdtemp(prefix="nm_fano_e_")),
+        sf_dir=sf_dir,
+    )
+
+
+def stream_fano_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness on the live event stream (SURVEY §2.AK): each
+    micro-batch lands its (event_type, minute) counter census
+    batch_id-keyed — minute counters are ADDITIVE integers, so the
+    fold is exact in any batch-arrival order, including minutes split
+    across batch boundaries (the staged stream deliberately cuts
+    mid-minute) — and the drained moment fold equals the batch Fano
+    table over the whole stream.
+
+    Shape at scale: per batch one (type, minute)-keyed rollup
+    (map-side combining, O(|batch|)); the standing state is the landed
+    census, O(types × minutes), never raw events."""
+    from ..streaming.core import ckpt_dir
+
+    out_dir = tempfile.mkdtemp(prefix="nm_fano_fold_")
+    LAST_FANO_BATCH_WALLS.clear()
+    src = _events_stream_dir_split(spark, sf_dir)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.perf_counter()
+        if not batch_df.take(1):
+            return
+        (
+            batch_df.groupBy(
+                "event_type", F.date_trunc("minute", "ts").alias("m")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+        LAST_FANO_BATCH_WALLS.append(_time.perf_counter() - t0)
+
+    # maxFilesPerTrigger is a SOURCE option — one staged file per
+    # micro-batch, so the ≥{_FANO_BATCHES}-batch fold is real; the
+    # staged dir is µs-typed (rewritten by pyarrow), so the source
+    # schema is the stream's own read schema for these two columns
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).select("ts", "event_type").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    minutes = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("event_type", "m")
+        .agg(F.sum("c").alias("c"))
+    )
+    moments = minutes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    out = moments.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_minutes"),
+        F.col("sum_c").cast("long").alias("n_events"),
+        dratio(
+            (F.col("n") * F.col("sum_sq") - F.col("sum_c") * F.col("sum_c"))
+            * 1_000_000,
+            F.col("n") * F.col("sum_c"),
+        ).alias("fano"),
+    )
+    from ..io import detach_result
+
+    result = detach_result(spark, out)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result

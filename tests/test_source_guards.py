@@ -137,6 +137,12 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions19.py": {
         "text_bpe_fertility": 1,
     },
+    # §2.AK staged batch: the standing-merge trainer collects the
+    # CAPPED word table once per corpus version (the text_bpe_fertility
+    # model-fetch class, artifact-persisted)
+    "operators/extensions20.py": {
+        "_standing_merges": 1,
+    },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {
         "_lloyd_round": 1,

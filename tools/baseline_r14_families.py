@@ -371,9 +371,236 @@ def build_fano():
     )
 
 
+# -- §2.AK stream twins (drain-vs-drain, batch_id-keyed landings) ------------
+
+import shutil  # noqa: E402
+import tempfile  # noqa: E402
+
+_D_SPLIT = (DOCS.agg(F.max("doc_id")).collect()[0][0] + 1) * 4 // 5
+_GATE_BATCHES = 2  # = extensions12._STREAM_GATE_BATCHES (constant parity)
+_FANO_BATCHES = 3  # = extensions20._FANO_BATCHES (constant parity)
+
+
+def _stage_stream(df, order_col, n_batches, prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    rows = df.orderBy(order_col).collect()
+    per = max(1, -(-len(rows) // n_batches))
+    for i in range(0, len(rows), per):
+        spark.createDataFrame(rows[i : i + per], df.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(d, f"b{i // per}"))
+    return d
+
+
+_doc_stream = _stage_stream(
+    DOCS.filter(F.col("doc_id") >= _D_SPLIT), "doc_id", _GATE_BATCHES,
+    "bl14_docs_",
+)
+EVENTS = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+    "ts", F.col("ts").cast("timestamp")
+)
+_ev_stream = _stage_stream(
+    EVENTS.select("ts", "event_type"), "ts", _FANO_BATCHES, "bl14_ev_"
+)
+
+
+def _drain(src, schema_df, fn):
+    ckpt = tempfile.mkdtemp(prefix="bl14_ckpt_")
+    q = (
+        spark.readStream.schema(schema_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+        .writeStream.foreachBatch(fn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# standing vocabulary + standing-trained merges: session-stable inputs
+# the engine reads from its artifact store — staged once UNTIMED
+_STANDING_VOCAB = (
+    DOCS.filter(F.col("doc_id") < _D_SPLIT)
+    .select(_tok_col())
+    .groupBy("tok")
+    .agg(F.count(F.lit(1)).alias("n"))
+    .orderBy(F.desc("n"), "tok")
+    .limit(_VOCAB_K)
+    .select("tok")
+    .cache()
+)
+_STANDING_VOCAB.collect()
+
+_standing_words = {
+    r["w"]: int(r["wc"])
+    for r in DOCS.filter(F.col("doc_id") < _D_SPLIT)
+    .select(_tok_col().alias("w"))
+    .groupBy("w")
+    .agg(F.count(F.lit(1)).alias("wc"))
+    .collect()
+}
+_st_table = dict(
+    sorted(_standing_words.items(), key=lambda kv: (-kv[1], kv[0]))[:65536]
+)
+_st_seqs = {w: list(w) for w in _st_table}
+_ST_MERGES = []
+for _rnd in range(1, _BPE_ROUNDS + 1):
+    _cnt = {}
+    for _w, _c in _st_table.items():
+        _s = _st_seqs[_w]
+        for _i in range(len(_s) - 1):
+            _cnt[(_s[_i], _s[_i + 1])] = _cnt.get((_s[_i], _s[_i + 1]), 0) + _c
+    if not _cnt:
+        break
+    (_l, _r), _ = min(_cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    _ST_MERGES.append((_l, _r))
+    for _w, _s in _st_seqs.items():
+        _out, _i = [], 0
+        while _i < len(_s):
+            if _i + 1 < len(_s) and _s[_i] == _l and _s[_i + 1] == _r:
+                _out.append(_l + _r)
+                _i += 2
+            else:
+                _out.append(_s[_i])
+                _i += 1
+        _st_seqs[_w] = _out
+
+
+def _py_tokn(w):
+    s = list(w)
+    for left, right in _ST_MERGES:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return len(s)
+
+
+def t_stream_vocab_gate():
+    out_dir = tempfile.mkdtemp(prefix="bl14_vg_")
+
+    def gate(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        tok = batch_df.select("source", _tok_col())
+        j = tok.join(_STANDING_VOCAB.withColumn("iv", F.lit(1)), "tok", "left")
+        j.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(F.sum("iv"), F.lit(0)).alias("n_covered_tokens"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    _drain(_doc_stream, DOCS, gate)
+    rows = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_covered_tokens").alias("n_covered_tokens"),
+        )
+        .withColumn(
+            "coverage_pct", F.col("n_covered_tokens") / F.col("n_tokens")
+        )
+        .collect()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
+
+
+def t_stream_fertility_gate():
+    out_dir = tempfile.mkdtemp(prefix="bl14_fg_")
+
+    def gate(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        census = (
+            batch_df.select("source", _tok_col().alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        agg = {}
+        for r in census:
+            a = agg.setdefault(r["source"], [0, 0, 0])
+            a[0] += r["cnt"]
+            a[1] += r["cnt"] * len(r["w"])
+            a[2] += r["cnt"] * _py_tokn(r["w"])
+        spark.createDataFrame(
+            [(k, v[0], v[1], v[2]) for k, v in agg.items()],
+            "source string, n_words long, n_chars long, n_tokens long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    _drain(_doc_stream, DOCS, gate)
+    rows = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn("fertility", F.col("n_tokens") / F.col("n_words"))
+        .collect()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
+
+
+def t_stream_fano_fold():
+    out_dir = tempfile.mkdtemp(prefix="bl14_ff_")
+
+    def fold(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        batch_df.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("m")
+        ).agg(F.count(F.lit(1)).alias("c")).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    _drain(_ev_stream, EVENTS.select("ts", "event_type"), fold)
+    minutes = (
+        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        .groupBy("event_type", "m")
+        .agg(F.sum("c").alias("c"))
+    )
+    rows = (
+        minutes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sum_c"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .select(
+            "event_type", "n", "sum_c",
+            (
+                (F.col("n") * F.col("sum_sq") - F.col("sum_c") * F.col("sum_c"))
+                / (F.col("n") * F.col("sum_c"))
+            ).alias("fano"),
+        )
+        .collect()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
+
+
 RERUN = {
     "text_bpe_merge_train": t_text_bpe_merge_train,
     "vec_matryoshka_recall": t_vec_matryoshka_recall,
+    "stream_vocab_gate": t_stream_vocab_gate,
+    "stream_fertility_gate": t_stream_fertility_gate,
+    "stream_fano_fold": t_stream_fano_fold,
 }
 
 rows: dict[str, dict] = {}

@@ -572,6 +572,7 @@ if STAGED:
     from storm_netmonitor_spark.operators import extensions17 as e17
     from storm_netmonitor_spark.operators import extensions18 as e18
     from storm_netmonitor_spark.operators import extensions19 as e19
+    from storm_netmonitor_spark.operators import extensions20 as e20
 
     qd = {
         "text_bpe_merge_train": e17.text_bpe_merge_train,
@@ -583,6 +584,9 @@ if STAGED:
         "text_bpe_fertility": e19.text_bpe_fertility,
         "pipeline_pack_efficiency": e19.pipeline_pack_efficiency,
         "events_burstiness_fano": e19.events_burstiness_fano,
+        "stream_vocab_gate": e20.stream_vocab_gate,
+        "stream_fertility_gate": e20.stream_fertility_gate,
+        "stream_fano_fold": e20.stream_fano_fold,
     }
     od = {
         "text_bpe_merge_train": e17.text_bpe_merge_train_oracle(),
@@ -594,6 +598,9 @@ if STAGED:
         "text_bpe_fertility": e19.text_bpe_fertility_oracle(),
         "pipeline_pack_efficiency": e19.pipeline_pack_efficiency_oracle(),
         "events_burstiness_fano": e19.events_burstiness_fano_oracle(),
+        "stream_vocab_gate": e20.stream_vocab_gate_oracle(),
+        "stream_fertility_gate": e20.stream_fertility_gate_oracle(),
+        "stream_fano_fold": e20.stream_fano_fold_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
