@@ -231,12 +231,16 @@ def _load_family_baselines() -> dict[str, float]:
         "BASELINE_R11_FAMILIES.json",
         "BASELINE_R12_FAMILIES.json",
         "BASELINE_R13_FAMILIES.json",
+        "BASELINE_R14_FAMILIES.json",
     ):
-        try:
-            with open(os.path.join(_REPO, fname)) as fh:
-                data = json.load(fh)
-        except (OSError, ValueError):
+        path = os.path.join(_REPO, fname)
+        if not os.path.exists(path):
             continue  # family not baselined yet — its rows get no ratio
+        # a sidecar that EXISTS but can't be parsed is a broken gate,
+        # not a missing one — fail loudly instead of silently dropping
+        # that family's ratios from BENCH_DETAIL (ADVICE r13)
+        with open(path) as fh:
+            data = json.load(fh)
         for name, rec in data.get("rows", {}).items():
             ms = rec.get("median_ms")
             if isinstance(ms, (int, float)) and ms > 0:

@@ -89,7 +89,12 @@ def _bpe_round_ctes(r: int) -> str:
     even-offset positions within each island are the greedy-selected
     merges, and the sequence rebuilds by ordered string aggregation
     (merged token at a selected position, token dropped at
-    selected+1, kept otherwise). A plain string ``replace`` is WRONG
+    selected+1, kept otherwise). The winner attaches via ``LEFT JOIN
+    … ON TRUE`` (not CROSS JOIN) so a degenerate corpus that exhausts
+    mergeable pairs before ``_BPE_ROUNDS`` passes the sequence through
+    unchanged instead of emptying every downstream CTE — matching the
+    python trainer's loop break (ADVICE r13). A plain string
+    ``replace`` is WRONG
     here: the match consumes its boundary space, so ``b b b b b``
     merges (1,2)(4,5) instead of greedy's (1,2)(3,4) — caught by the
     hypothesis sweep against the pure-python reference."""
@@ -123,7 +128,7 @@ t{r} AS (
                          ELSE t.tok END, ' ' ORDER BY t.pos) AS seq,
          t.wc
   FROM t{r} t
-  CROSS JOIN w{r} w
+  LEFT JOIN w{r} w ON TRUE
   LEFT JOIN s{r} sel ON t.seq = sel.seq AND t.pos = sel.pos
   LEFT JOIN s{r} prv ON t.seq = prv.seq AND t.pos = prv.pos + 1
   WHERE prv.pos IS NULL

@@ -99,12 +99,20 @@ def source_overlap_over(docs: DataFrame) -> DataFrame:
         "source",
         F.expr("array_remove(split(lower(text), ' '), '')").alias("tk"),
     )
+    # size >= 3 guard, same rendering as text_ngram_jaccard (text.py):
+    # a doc with < 3 tokens contributes NO grams — matching the oracle's
+    # generate_series(1, len(tk)-2), which emits nothing for such docs
+    # (ADVICE r13: the old greatest(size-2, 1) emitted one short/empty
+    # gram and made oracle parity depend on an every-doc->=3-token corpus
+    # precondition).
     sgrams = tk.select(
         "source",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(1, greatest(size(tk) - 2, 1)),"
+                "CASE WHEN size(tk) >= 3 THEN"
+                " array_distinct(transform(sequence(1, size(tk) - 2),"
                 " i -> concat_ws(' ', slice(tk, i, 3))))"
+                " ELSE CAST(array() AS array<string>) END"
             )
         ).alias("gram"),
     ).distinct()

@@ -89,7 +89,7 @@ at{r} AS (
          string_agg(CASE WHEN sel.pos IS NOT NULL THEN wn.l || wn.r
                          ELSE t.tok END, ' ' ORDER BY t.pos) AS seq
   FROM at{r} t
-  CROSS JOIN w{r} wn
+  LEFT JOIN w{r} wn ON TRUE
   LEFT JOIN as{r} sel ON t.w = sel.w AND t.pos = sel.pos
   LEFT JOIN as{r} prv ON t.w = prv.w AND t.pos = prv.pos + 1
   WHERE prv.pos IS NULL

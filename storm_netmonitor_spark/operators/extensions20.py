@@ -60,6 +60,20 @@ def _doc_split_point(spark: SparkSession, sf_dir: str) -> int:
     return _doc_split(spark, sf_dir)
 
 
+def _read_landed(spark: SparkSession, out_dir: str, ddl: str) -> DataFrame:
+    """Read back the batch_id-keyed landings, tolerating an
+    all-empty stream: ``gate_batch``/``fold_batch`` early-return
+    without writing on empty micro-batches, so an empty delta leaves
+    NO ``batch_id=*`` directory and a bare ``spark.read.parquet``
+    would throw PATH_NOT_FOUND instead of producing the empty ledger
+    (ADVICE r13). ``ddl`` is the landed-counter schema."""
+    if not any(e.startswith("batch_id=") for e in os.listdir(out_dir)):
+        from ..io import tiny_local_frame
+
+        return tiny_local_frame(spark, [], ddl)
+    return spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+
+
 # ---------------------------------------------------------------------------
 # stream_vocab_gate — coverage of the delta against the standing vocabulary
 # ---------------------------------------------------------------------------
@@ -183,7 +197,10 @@ def stream_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drain_docs(spark, sf_dir, gate_batch)
 
     out = (
-        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        _read_landed(
+            spark, out_dir,
+            "source string, n_tokens long, n_covered_tokens long",
+        )
         .groupBy("source")
         .agg(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
@@ -348,7 +365,10 @@ def stream_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drain_docs(spark, sf_dir, gate_batch)
 
     out = (
-        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        _read_landed(
+            spark, out_dir,
+            "source string, n_words long, n_chars long, n_tokens long",
+        )
         .groupBy("source")
         .agg(
             F.sum("n_words").cast("long").alias("n_words"),
@@ -470,7 +490,9 @@ def stream_fano_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     minutes = (
-        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        _read_landed(
+            spark, out_dir, "event_type string, m timestamp, c long"
+        )
         .groupBy("event_type", "m")
         .agg(F.sum("c").alias("c"))
     )

@@ -271,3 +271,53 @@ def test_run_to_run_determinism(spark, name):
     assert canon_rows(a.columns, a.collect()) == canon_rows(
         b.columns, b.collect()
     )
+
+
+def _duck_on_docs(sql: str, rows):
+    """Run an oracle against a SYNTHETIC (source, text) documents view —
+    the corpus-independence harness for the gram-window guard."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents(source VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", list(rows))
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        out = cur.fetchall()
+    finally:
+        con.close()
+    return cols, out
+
+
+def test_source_overlap_short_docs_agree_with_oracle(spark):
+    """ADVICE r13 regression: a doc with < 3 tokens contributes NO
+    grams in BOTH engines (the old greatest(size-2, 1) rendering
+    emitted one short/empty gram Spark-side, making parity depend on
+    an every-doc->=3-token corpus precondition). Engine and oracle
+    must agree on a corpus that violates that precondition."""
+    from storm_netmonitor_spark.io import tiny_local_frame
+    from storm_netmonitor_spark.operators.extensions18 import (
+        source_overlap_over,
+        text_source_overlap_matrix_oracle,
+    )
+
+    rows = [
+        ("a", "alpha beta gamma delta"),
+        ("a", "two tokens"),          # < 3 tokens: zero grams
+        ("b", "alpha beta gamma"),
+        ("b", ""),                    # zero tokens: zero grams
+        ("c", "solo"),                # source with ONLY short docs:
+        ("c", "just two"),            # zero grams -> pairs with nobody
+    ]
+    docs = tiny_local_frame(spark, rows, "source string, text string")
+    s_cols, s_rows = docs.sparkSession, source_overlap_over(docs)
+    s_cols, s_rows = s_rows.columns, s_rows.collect()
+    o_cols, o_rows = _duck_on_docs(text_source_overlap_matrix_oracle(), rows)
+    assert sorted(s_cols) == sorted(o_cols)
+    assert canon_rows(s_cols, s_rows) == canon_rows(o_cols, o_rows)
+    got = {(r["source_a"], r["source_b"]): r for r in s_rows}
+    # only a<->b pair (c has zero grams); short docs added no grams
+    assert set(got) == {("a", "b")}
+    ab = got[("a", "b")]
+    assert (ab["n_grams_a"], ab["n_grams_b"], ab["n_shared"]) == (2, 1, 1)

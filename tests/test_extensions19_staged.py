@@ -224,3 +224,50 @@ def test_run_to_run_determinism(spark, name):
     assert canon_rows(a.columns, a.collect()) == canon_rows(
         b.columns, b.collect()
     )
+
+
+def test_bpe_oracles_tolerate_merge_exhaustion():
+    """ADVICE r13 regression: when induction exhausts before
+    _BPE_ROUNDS (every word collapses to one symbol), the w{r}
+    winner CTEs go empty — the old CROSS JOIN emptied every
+    downstream seq/aseq CTE and the whole oracle result, while the
+    python trainer breaks out of its loop and still emits rows. The
+    LEFT JOIN ... ON TRUE rendering must pass sequences through
+    unchanged instead."""
+    from storm_netmonitor_spark.operators.extensions17 import (
+        _BPE_ROUNDS,
+        greedy_bpe_merges,
+        text_bpe_merge_train_oracle,
+    )
+    from storm_netmonitor_spark.operators.extensions19 import (
+        text_bpe_fertility_oracle,
+    )
+    from tests.test_extensions18_staged import _duck_on_docs
+
+    assert _BPE_ROUNDS >= 2  # the exhaustion scenarios below need it
+
+    # partial exhaustion: one two-char word -> round 1 merges it to a
+    # single symbol, rounds 2.._BPE_ROUNDS have no pairs left
+    rows = [("s", "aa aa aa")]
+    assert greedy_bpe_merges({"aa": 3}, _BPE_ROUNDS) == [
+        (1, "a", "a", "aa", 3)
+    ]
+    _, train = _duck_on_docs(text_bpe_merge_train_oracle(), rows)
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in train] == [
+        (1, "a", "a", "aa", 3)
+    ]
+    cols, fert = _duck_on_docs(text_bpe_fertility_oracle(), rows)
+    rec = dict(zip(cols, fert[0]))
+    assert (rec["n_words"], rec["n_chars"], rec["n_tokens"]) == (3, 6, 3)
+    assert rec["fertility"] == 1.0
+
+    # total exhaustion: every word is already a single symbol -> zero
+    # merge rounds ever fire, fertility = 1 token/word
+    rows0 = [("s", "a b c a")]
+    assert greedy_bpe_merges({"a": 2, "b": 1, "c": 1}, _BPE_ROUNDS) == []
+    _, train0 = _duck_on_docs(text_bpe_merge_train_oracle(), rows0)
+    assert train0 == []
+    cols0, fert0 = _duck_on_docs(text_bpe_fertility_oracle(), rows0)
+    rec0 = dict(zip(cols0, fert0[0]))
+    assert (rec0["n_words"], rec0["n_tokens"]) == (4, 4)
+    assert rec0["fertility"] == 1.0

@@ -176,3 +176,25 @@ def test_run_to_run_determinism(spark, name):
     assert canon_rows(a.columns, a.collect()) == canon_rows(
         b.columns, b.collect()
     )
+
+
+def test_read_landed_tolerates_an_all_empty_stream(spark):
+    """ADVICE r13 regression: gate_batch/fold_batch early-return
+    without writing on empty micro-batches, so an all-empty stream
+    leaves NO batch_id=* directory — the read-back must produce the
+    empty ledger frame (right schema, foldable), not PATH_NOT_FOUND."""
+    import tempfile
+
+    from storm_netmonitor_spark.operators.extensions20 import _read_landed
+
+    d = tempfile.mkdtemp(prefix="nm_empty_landing_")
+    df = _read_landed(
+        spark, d, "source string, n_tokens long, n_covered_tokens long"
+    )
+    assert df.columns == ["source", "n_tokens", "n_covered_tokens"]
+    assert df.count() == 0
+    # the downstream fold over the empty landing must also run clean
+    from pyspark.sql import functions as F
+
+    folded = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    assert folded.collect() == []

@@ -246,22 +246,23 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
     non_ascii = sum(1 for x in texts if len(x.encode()) != len(x))
     odd_ws = sum(1 for x in texts if ("\t" in x or "\n" in x or "  " in x))
     clean = not (non_ascii or odd_ws)
-    # gram-window symmetry: the engine renders 3-gram windows with
-    # `sequence(1, greatest(size(tk) - 2, 1))` (a doc with < 3 tokens
-    # yields ONE short gram) while the DuckDB twins use
-    # `generate_series(1, len(tk) - 2)` (empty for < 3 tokens) — the
-    # two agree ONLY while every doc carries ≥ 3 tokens. Covers the
-    # registered text_ngram_* family and the staged
-    # text_source_overlap_matrix.
+    # gram-window symmetry: BOTH gram engines now guard short docs the
+    # same way — the Spark side renders `CASE WHEN size(tk) >= 3 THEN
+    # transform(sequence(1, size(tk) - 2), ...) ELSE array() END`
+    # (text.py text_ngram_* family AND extensions18
+    # text_source_overlap_matrix since the ADVICE r13 fix) and the
+    # DuckDB twins use `generate_series(1, len(tk) - 2)` (also empty
+    # for < 3 tokens), so parity holds unconditionally. The min-token
+    # census stays as an informational margin row (short docs change
+    # result SHAPE — zero-gram sources — not engine/oracle agreement).
     min_tokens = min(
         (len([t for t in x.lower().split(" ") if t]) for x in texts),
         default=0,
     )
     rows.append(("text_ngram_* / text_source_overlap_matrix",
-                 "min tokens per doc (gram-window oracles need >= 3; "
-                 "below it the engine emits a short gram the SQL twin "
-                 "does not)",
-                 float(min_tokens), min_tokens >= 3))
+                 "min tokens per doc (informational: gram engines agree "
+                 "unconditionally; < 3 just means zero-gram docs)",
+                 float(min_tokens), True))
     rows.append(("text_near_dedup_*", "docs violating ASCII/space-tokenizer "
                  "preconditions (1 = none)",
                  1.0 if clean else 0.0, clean))
