@@ -141,6 +141,22 @@ EXTRA_REPORTED = [
     "vec_pq_distortion",  # PQ codebook census: assignment counts + exact error
     "vec_pq_recall",  # ADC ranking fidelity vs exact-L2 top-10
     "vec_index_snapshot_diff",  # K×K assignment-churn census between versions
+    # round-14 §2.AH registration (tokenizer & representation economics)
+    "text_bpe_merge_train",  # BPE induction over the capped word table
+    "text_vocab_coverage",  # per-source top-K vocabulary coverage
+    "vec_matryoshka_recall",  # prefix-dim recall vs full-dim exact ranking
+    # round-14 §2.AI registration (composition integrity)
+    "text_source_overlap_matrix",  # S×S distinct-gram overlap census
+    "agg_l_diversity",  # diversity floor atop the k-anonymity census
+    "pipeline_dedup_rate_curve",  # dedup yield curve over the pair artifact
+    # round-14 §2.AJ registration (serving economics & traffic shape)
+    "text_bpe_fertility",  # frozen merge table served corpus-wide
+    "pipeline_pack_efficiency",  # packing fill census per language
+    "events_burstiness_fano",  # exact integer Fano factor per event type
+    # round-14 §2.AK registration (ingest-stream monitors)
+    "stream_vocab_gate",  # vocabulary gate on the ingest stream
+    "stream_fertility_gate",  # fertility gate on the ingest stream
+    "stream_fano_fold",  # burstiness fold on the live event stream
 ]
 
 #: Queries whose work happens inside the callable itself (streaming drain
@@ -213,6 +229,17 @@ RERUN_FULL = {
     "stream_decontaminate_gate",
     "stream_pii_gate",
     "stream_profile_gate",
+    # the capped-table collect + driver induction run inside the call;
+    # the returned merge table is a local relation
+    "text_bpe_merge_train",
+    # the enriched eval frame materializes during construction
+    # (localCheckpoint barrier, the vec_ann_recall precedent)
+    "vec_matryoshka_recall",
+    # the three round-14 drains (foreachBatch over staged streams) run
+    # inside the call; the returned ledgers are local relations
+    "stream_vocab_gate",
+    "stream_fertility_gate",
+    "stream_fano_fold",
 }
 
 def _load_family_baselines() -> dict[str, float]:

@@ -45,6 +45,10 @@ _MODULES = (
     "extensions14",
     "extensions15",
     "extensions16",
+    "extensions17",
+    "extensions18",
+    "extensions19",
+    "extensions20",
 )
 
 

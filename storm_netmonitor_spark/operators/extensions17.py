@@ -1,12 +1,11 @@
-"""Round-14 candidate operators, PRE-STAGED (SURVEY §2.AH; the staging
+"""Round-14 operators (SURVEY §2.AH; the staging
 discipline of the §2.W–§2.AG batches applied forward).
 
-NOTHING in this module is registered: the registry closed the round-13
-registrations at 315, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions17_staged.py`` for the same
-vanilla-session + DuckDB-hash verification the driver will run once
-they ARE registered in round 14.
+REGISTERED in round 14 (the §2.AH batch, staged unregistered through
+round 13 per the standing staging discipline): each op carries a full
+DuckDB hash oracle, the staged parity/property suite in
+``tests/test_extensions17_staged.py``, and a committed vanilla-twin
+baseline row.
 
 Capability anchor: SURVEY §2.AH — the TOKENIZER & REPRESENTATION
 ECONOMICS triple. A training-data pipeline prices its corpus in tokens
@@ -47,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import dratio, dratio_sql
 from ..io import load_table, tiny_local_frame
+from ..registry import query
 from .vectors import _DOT_SUM_SQL
 
 # ---------------------------------------------------------------------------
@@ -307,6 +307,7 @@ def greedy_bpe_merges(
     return merges
 
 
+@query("text_bpe_merge_train", oracle=text_bpe_merge_train_oracle())
 def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first {_BPE_ROUNDS} BPE merge-induction rounds (SURVEY
     §2.AH). Output is the merge table — ``(round, left_sym, right_sym,
@@ -385,6 +386,7 @@ FROM j GROUP BY source
 """
 
 
+@query("text_vocab_coverage", oracle=text_vocab_coverage_oracle())
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source coverage of the global top-{_VOCAB_K} type vocabulary
     (SURVEY §2.AH): token share and type share the fixed vocabulary
@@ -483,6 +485,7 @@ FROM (SELECT DISTINCT q_id FROM q) s LEFT JOIN hits h USING (q_id)
 """
 
 
+@query("vec_matryoshka_recall", oracle=vec_matryoshka_recall_oracle())
 def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{_MAT_K} of the prefix-{_MAT_DIM}-dim ranking against the
     full-dim exact ranking per evaluation query (SURVEY §2.AH) — the

@@ -1,11 +1,12 @@
-"""Round-14 candidate operators, second batch, PRE-STAGED (SURVEY
+"""Round-14 operators, second batch (SURVEY
 §2.AI; the staging discipline of the §2.W–§2.AH batches applied
 forward).
 
-NOTHING in this module is registered: the registry closed the round-13
-registrations at 315, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions18_staged.py``.
+REGISTERED in round 14 (the §2.AI batch, staged unregistered through
+round 13 per the standing staging discipline): each op carries a full
+DuckDB hash oracle, the staged parity/property suite in
+``tests/test_extensions18_staged.py``, and a committed vanilla-twin
+baseline row.
 
 Capability anchor: SURVEY §2.AI — the COMPOSITION INTEGRITY triple.
 Before a corpus ships, its COMPOSITION is audited the way its rows
@@ -40,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dratio, dratio_sql, dround, dround_sql
 from ..io import load_table
+from ..registry import query
 from .text import NGRAM_PAIRS_CTE, text_ngram_jaccard
 
 # ---------------------------------------------------------------------------
@@ -159,6 +161,7 @@ def source_overlap_over(docs: DataFrame) -> DataFrame:
     )
 
 
+@query("text_source_overlap_matrix", oracle=text_source_overlap_matrix_oracle())
 def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination census (SURVEY §2.AI): for every
     source pair, the overlap of their DISTINCT word-3-gram sets —
@@ -211,6 +214,7 @@ FROM qi
 """
 
 
+@query("agg_l_diversity", oracle=agg_l_diversity_oracle())
 def agg_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit of the (c_nationkey, c_mktsegment)
     quasi-identifier against the account-balance thousand-bucket
@@ -301,6 +305,7 @@ FROM curve, tot
 """
 
 
+@query("pipeline_dedup_rate_curve", oracle=pipeline_dedup_rate_curve_oracle())
 def pipeline_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup yield curve (SURVEY §2.AI): for each candidate
     Jaccard threshold, how many VERIFIED near-dup pairs qualify, how

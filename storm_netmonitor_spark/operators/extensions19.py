@@ -1,11 +1,12 @@
-"""Round-14 candidate operators, third batch, PRE-STAGED (SURVEY
+"""Round-14 operators, third batch (SURVEY
 §2.AJ; the staging discipline of the §2.W–§2.AI batches applied
 forward).
 
-NOTHING in this module is registered: the registry closed the round-13
-registrations at 315, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions19_staged.py``.
+REGISTERED in round 14 (the §2.AJ batch, staged unregistered through
+round 13 per the standing staging discipline): each op carries a full
+DuckDB hash oracle, the staged parity/property suite in
+``tests/test_extensions19_staged.py``, and a committed vanilla-twin
+baseline row.
 
 Capability anchor: SURVEY §2.AJ — the SERVING ECONOMICS & TRAFFIC
 SHAPE triple. The §2.AH batch TRAINS the tokenizer; production then
@@ -43,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dratio, dratio_sql
 from ..io import load_table
+from ..registry import query
 from .extensions17 import (
     _BPE_ROUNDS,
     _WORDS_CTE,
@@ -174,6 +176,7 @@ def apply_merges_token_counts(words: DataFrame, merges) -> DataFrame:
     return words.withColumn("tok_n", tokn(F.col("w")))
 
 
+@query("text_bpe_fertility", oracle=text_bpe_fertility_oracle())
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frozen §2.AH tokenizer SERVED corpus-wide (SURVEY §2.AJ):
     per source, words / chars / tokens under the trained merge table
@@ -264,6 +267,7 @@ FROM bins GROUP BY lang
 """
 
 
+@query("pipeline_pack_efficiency", oracle=pipeline_pack_efficiency_oracle())
 def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill census of the registered ``pack_sequences`` packing
     (SURVEY §2.AJ): per language — bins, docs, char totals, the
@@ -327,6 +331,7 @@ FROM moments
 """
 
 
+@query("events_burstiness_fano", oracle=events_burstiness_fano_oracle())
 def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burstiness of the event stream per type (SURVEY §2.AJ): the
     Fano factor of per-minute counts — variance/mean, EXACT from

@@ -1,11 +1,12 @@
-"""Round-14 candidate operators, fourth batch, PRE-STAGED (SURVEY
+"""Round-14 operators, fourth batch (SURVEY
 §2.AK; the staging discipline of the §2.W–§2.AJ batches applied
 forward).
 
-NOTHING in this module is registered: the registry closed the round-13
-registrations at 315, so there is no ``@query`` decorator here — each
-candidate ships as a plain callable plus a module-level oracle builder,
-wired into ``tests/test_extensions20_staged.py``.
+REGISTERED in round 14 (the §2.AK batch, staged unregistered through
+round 13 per the standing staging discipline): each op carries a full
+DuckDB hash oracle, the staged parity/property suite in
+``tests/test_extensions20_staged.py``, and a committed vanilla-twin
+baseline row.
 
 Capability anchor: SURVEY §2.AK — the ROUND-14 MONITORS ON THE INGEST
 STREAM. The §2.AH/§2.AJ batch measurements (vocabulary coverage,
@@ -46,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dratio, dratio_sql
 from ..io import disk_artifact_frame, disk_artifact_json, session_memo
+from ..registry import query
 from .extensions15 import _delta_stream_dir, _drain_docs
 from .extensions17 import _BPE_ROUNDS, _VOCAB_K, greedy_bpe_merges
 from .extensions19 import apply_merges_token_counts, bpe_apply_rounds_sql
@@ -168,6 +170,7 @@ def vocab_coverage_counters(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+@query("stream_vocab_gate", oracle=stream_vocab_gate_oracle())
 def stream_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vocabulary-coverage monitor on the ingest stream (SURVEY
     §2.AK): delta docs arrive as micro-batches, each batch's tokens
@@ -337,6 +340,7 @@ def fertility_counters(docs: DataFrame, merges) -> DataFrame:
     )
 
 
+@query("stream_fertility_gate", oracle=stream_fertility_gate_oracle())
 def stream_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving-cost monitor on the ingest stream (SURVEY §2.AK):
     each delta micro-batch tokenizes under the STANDING-trained merge
@@ -437,6 +441,7 @@ def _events_stream_dir_split(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+@query("stream_fano_fold", oracle=stream_fano_fold_oracle())
 def stream_fano_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burstiness on the live event stream (SURVEY §2.AK): each
     micro-batch lands its (event_type, minute) counter census

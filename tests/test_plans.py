@@ -124,6 +124,10 @@ _CARTESIAN_OK = {
     # vec_ann_recall bound) as one BNLJ inside a checkpointed eval build
     "vec_rank_metrics",
     "vec_pq_recall",
+    # §2.AI: the dedup yield curve attaches its T-row (4) broadcast
+    # threshold frame to the verified-pair ARTIFACT (census-sized,
+    # never corpus-sized) — the standing threshold-frame-attach class
+    "pipeline_dedup_rate_curve",
 }
 
 
