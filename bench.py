@@ -494,6 +494,16 @@ def main() -> None:
         "metric": "suite_wall_seconds",
         "unit": "sec",
         "sf": sf,
+        # one-word host-load bracket (VERDICT r13 #4): the driver-archived
+        # BENCH_r*.json line is self-describing about contention — r13's
+        # driver capture ran at 1-min loadavg 5.68 while the builder's
+        # committed run was quiet, and the ambiguity cost a bisect.
+        # Bracketed on loadavg AT START (pre-suite: the suite's own work
+        # hasn't polluted the 1-min average yet); ≥ 3.0 on this 32-cpu
+        # host = some other process is competing. The raw triples stay in
+        # the sidecar's method record; the fixed-work calibration medians
+        # there remain the quantitative cross-round normalizer.
+        "load": "loaded" if load_at_start[0] >= 3.0 else "quiet",
         "queries": timings,
         # the BASELINE-comparable total: headline queries only —
         # EXTRA_REPORTED timings are informational rows in

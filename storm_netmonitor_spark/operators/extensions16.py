@@ -356,25 +356,27 @@ def vec_index_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cache entries, routing tables, co-location), so the report says
     what the rollover actually costs before it happens.
 
-    Shape at scale: ONE corpus scan feeding BOTH routings (the two
-    K×dim models are artifacts — nothing trains here), one K²-row keyed
-    exchange for the census, per-source totals by a K-row join-back
-    (no window), and the K×K grid is arithmetic on ``spark.range`` —
-    no cross join, no pairwise term."""
+    Shape at scale: the STANDING snapshot's side reads the index's
+    persisted posting lists (``base_routed_assignments`` — the same
+    artifact the drift monitor audits; nothing re-routes the standing
+    corpus), ONE corpus scan routes the RETRAIN candidate (that routing
+    is genuinely new — the candidate has no posting lists yet), one
+    K²-row keyed exchange for the census, per-source totals by a K-row
+    join-back (no window), and the K×K grid is arithmetic on
+    ``spark.range`` — no cross join, no pairwise term."""
     from .extensions7 import (
         _embed_split,
-        base_trained_cents,
+        base_routed_assignments,
         route_to_centroids,
     )
     from .vectors import IVF_K, ivf_index
 
     corpus, full_cents = ivf_index(spark, sf_dir)
     split = _embed_split(spark, sf_dir)
-    base_cents = base_trained_cents(spark, sf_dir, split)
 
-    routed_from = route_to_centroids(corpus, base_cents).withColumnRenamed(
-        "cid", "cid_from"
-    )
+    routed_from = base_routed_assignments(
+        spark, sf_dir, split
+    ).withColumnRenamed("cid", "cid_from")
     routed_to = route_to_centroids(corpus, full_cents).withColumnRenamed(
         "cid", "cid_to"
     )

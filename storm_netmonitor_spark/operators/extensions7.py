@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dratio, dratio_sql
 from ..io import (
+    disk_artifact_frame,
     disk_artifact_json,
     load_table,
     scatter,
@@ -122,6 +123,47 @@ def base_trained_cents(
             "v1",
             sf_dir,
             train,
+            extra=(IVF_K, IVF_ITERS, split),
+        ),
+        sf_dir=sf_dir,
+    )
+
+
+def base_routed_assignments(
+    spark: SparkSession, sf_dir: str, split: int
+) -> DataFrame:
+    """The index's POSTING-LIST view under the standing (base-trained)
+    snapshot: the full corpus's ``(vec_id, cid)`` assignments, persisted
+    in the artifact store NEXT TO the centroids they were routed
+    against. A real IVF index IS its assignments — serving reads the
+    posting lists, it never re-routes the standing corpus — so every
+    monitor that audits the standing snapshot (the §2.X drift census,
+    the §2.AG snapshot-churn census) reads this artifact instead of
+    re-running the O(N·K·dim) routing pass per invocation (VERDICT r13
+    #5: the census consumers share one materialized routing). Routing
+    is deterministic (argmax, first-max tie-break), so the artifact
+    round-trip's order loss is invisible to the census/join consumers;
+    population labels derive row-locally from ``vec_id`` (both
+    consumers slice by the split point, never by a second read)."""
+    cents = base_trained_cents(spark, sf_dir, split)
+
+    def build() -> DataFrame:
+        corpus = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") >= 1)
+            .select("vec_id", "embedding")
+        )
+        return route_to_centroids(scatter(corpus, 8), cents)
+
+    return session_memo(
+        spark,
+        ("ivf_base_routed", os.path.abspath(sf_dir), split),
+        lambda: disk_artifact_frame(
+            spark,
+            "ivf_base_routed",
+            "v1",
+            sf_dir,
+            build,
             extra=(IVF_K, IVF_ITERS, split),
         ),
         sf_dir=sf_dir,
@@ -341,25 +383,17 @@ def vec_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~10^12 rows at ~100 B/row). The only float decision anywhere is
     the routing argmax, shared with ``vec_ivf_index_insert``.
 
-    Shape at scale: ONE table scan (the population label is computed
-    from vec_id, not a second filtered read), ONE Arrow routing pass
-    over both populations together (``passthrough`` tagging), ONE keyed
-    exchange for the census, and totals via a window over the census —
-    whose size is pinned at exactly K = {IVF_K} rows by construction, so
-    the single window partition is constant-bounded at any corpus
-    size."""
+    Shape at scale: the monitor reads the index's PERSISTED posting
+    lists (:func:`base_routed_assignments` — the artifact the snapshot
+    already maintains; nothing re-routes), derives the population label
+    row-locally from vec_id, and folds ONE keyed exchange for the
+    census; totals ride a window over the census — whose size is pinned
+    at exactly K = {IVF_K} rows by construction, so the single window
+    partition is constant-bounded at any corpus size."""
     split = _embed_split(spark, sf_dir)
-    cents = base_trained_cents(spark, sf_dir, split)
-    both = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") >= 1)
-        .select(
-            "vec_id",
-            "embedding",
-            (F.col("vec_id") >= split).cast("int").alias("pop"),
-        )
+    routed = base_routed_assignments(spark, sf_dir, split).select(
+        "cid", (F.col("vec_id") >= split).cast("int").alias("pop")
     )
-    routed = route_to_centroids(scatter(both, 8), cents, passthrough=("pop",))
     return index_drift_tagged(routed, IVF_K)
 
 

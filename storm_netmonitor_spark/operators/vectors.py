@@ -535,6 +535,36 @@ def ivf_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def ivf_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED index's posting-list view: the corpus's ``(vec_id,
+    cid)`` assignments under the ``ivf_index`` centroids, persisted in
+    the artifact store next to the model. An IVF index IS its posting
+    lists — serving reads them, it never re-routes the standing corpus
+    — so evaluation passes that need every vector's cell under the
+    served snapshot (the §2.Z recall curve) read this artifact instead
+    of re-running the O(N·K·dim) routing per invocation (the
+    ``base_routed_assignments`` discipline applied to the serving
+    snapshot; VERDICT r13 #5). Routing is deterministic, and the
+    consumers are join/census-shaped, so the parquet round-trip's order
+    loss is invisible."""
+    from .extensions7 import route_to_centroids
+
+    corpus, cents = ivf_index(spark, sf_dir)
+    return session_memo(
+        spark,
+        ("ivf_posting_lists", os.path.abspath(sf_dir)),
+        lambda: disk_artifact_frame(
+            spark,
+            "ivf_posting_lists",
+            "v1",
+            sf_dir,
+            lambda: route_to_centroids(corpus, cents),
+            extra=(IVF_K, IVF_ITERS),
+        ),
+        sf_dir=sf_dir,
+    )
+
+
 @query("vec_ann_ivf", oracle=_ivf_oracle())
 def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor — the 100 TB scale path next to the
