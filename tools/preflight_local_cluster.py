@@ -29,6 +29,14 @@ Usage:
         # drain; the served top-k must be identical to the healthy run
         # (streaming replay + idempotent batch_id sink + cached-frame
         # broadcast all composed in one op)
+    python tools/preflight_local_cluster.py --chaos-apply [SF_DIR]
+        # round-14 extension (VERDICT r13 #8): SIGKILL one executor JVM
+        # while an orchestration APPLY sink's FileOutputCommitter
+        # ``_temporary`` job directory exists (the in-flight marker —
+        # the kill provably lands mid-write), then assert the fan-out
+        # write's idempotence: the apply ledger is identical to the
+        # healthy run and the one-file-per-bin identity holds (retried
+        # task attempts must not double up output files)
     python tools/preflight_local_cluster.py --chaos [SF_DIR]
         # executor-LOSS drill (VERDICT r9 #4): SIGKILL a real executor
         # JVM mid-query and assert each recovery class behaves as
@@ -74,6 +82,9 @@ if STAGED:
 CHAOS_SERVE = "--chaos-serve" in _args
 if CHAOS_SERVE:
     _args.remove("--chaos-serve")
+CHAOS_APPLY = "--chaos-apply" in _args
+if CHAOS_APPLY:
+    _args.remove("--chaos-apply")
 WINDOW = None
 if len(_args) >= 2 and _args[0].isdigit() and _args[1].isdigit():
     WINDOW = (int(_args[0]), int(_args[1]))
@@ -554,12 +565,159 @@ def run_chaos_serve() -> int:
     return 0
 
 
+def run_chaos_apply() -> int:
+    """Round-14 extension of the chaos drill (VERDICT r13 #8): the
+    orchestration APPLY sinks (``sink_backfill_apply``,
+    ``sink_compaction_apply``) write REAL partitioned directories via
+    the FileOutputCommitter fan-out — SIGKILL one executor JVM while a
+    write job's ``_temporary`` directory exists (the committer's
+    in-flight marker, so the kill provably lands with uncommitted task
+    attempts outstanding) and assert the write discipline's idempotence
+    claims hold through the loss:
+
+    - the apply LEDGER is identical to the healthy run (task retry +
+      stage retry re-execute the lost attempts; the committer only
+      promotes committed attempts, so read-back counts cannot drift);
+    - the one-file-per-bin identity survives (``LAST_COMPACTION_IO``
+      max-files-per-bin stays 1 — a retried attempt whose orphaned
+      files leaked past the commit would read 2);
+    - the partition-minimality accounting (``LAST_BACKFILL_IO``) is
+      unchanged — the apply rewrites the same work-list, not more.
+
+    Honesty gate (the chaos-serve discipline): if no kill landed while
+    a ``_temporary`` marker existed, the drill FAILS loudly rather
+    than passing without exercising anything.
+    """
+    import glob
+    import signal
+    import threading
+    import time as _t
+
+    from storm_netmonitor_spark.operators import extensions13 as x13
+    from storm_netmonitor_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    import tempfile as _tf
+
+    failures = []
+    cases = [
+        # (op name, callable, IO box, temp-dir prefix of the apply's
+        #  own output — the dir whose _temporary marker gates the kill)
+        (
+            "sink_compaction_apply",
+            x13.sink_compaction_apply,
+            x13.LAST_COMPACTION_IO,
+            "nm_cpt_out_",
+        ),
+        (
+            "sink_backfill_apply",
+            x13.sink_backfill_apply,
+            x13.LAST_BACKFILL_IO,
+            "nm_bf_apply_",
+        ),
+    ]
+    for op_name, fn, io_box, prefix in cases:
+        _wait_executors(2)
+        # healthy pass — also warms the session fixtures (the staged
+        # hourly layout, the partitioned events layout), so the chaos
+        # pass's wall is dominated by the write under test
+        healthy = sorted(tuple(r) for r in fn(spark, SF).collect())
+        healthy_io = list(io_box)
+
+        pat = os.path.join(_tf.gettempdir(), prefix + "*")
+        pre_dirs = set(glob.glob(pat))
+        killed: dict = {}
+        done = threading.Event()
+
+        def kill_mid_write() -> None:
+            # poll for a NEW apply output dir carrying an uncommitted
+            # FileOutputCommitter ``_temporary`` job dir; kill while it
+            # exists. 2 ms cadence — the write fans out over dozens of
+            # partition dirs on 2×2 cores, a multi-second window.
+            deadline = _t.time() + 60.0
+            while _t.time() < deadline and not done.is_set():
+                for d in glob.glob(pat):
+                    if d in pre_dirs:
+                        continue
+                    if glob.glob(os.path.join(d, "*", "_temporary")):
+                        pids = _executor_pids()
+                        if pids:
+                            os.kill(pids[0], signal.SIGKILL)
+                            killed["pid"] = pids[0]
+                            killed["ts"] = _t.time()
+                            return
+                _t.sleep(0.002)
+
+        th = threading.Thread(target=kill_mid_write, daemon=True)
+        th.start()
+        try:
+            survived = sorted(tuple(r) for r in fn(spark, SF).collect())
+        except Exception as exc:  # noqa: BLE001
+            done.set()
+            th.join()
+            failures.append(
+                f"{op_name}: apply FAILED after executor kill "
+                f"({type(exc).__name__}: {str(exc)[:160]})"
+            )
+            continue
+        done_ts = _t.time()
+        done.set()
+        th.join()
+        survived_io = list(io_box)
+
+        if "pid" not in killed:
+            failures.append(
+                f"{op_name}: no kill landed while a _temporary marker "
+                f"existed — the failure path was never exercised"
+            )
+            continue
+        if killed["ts"] >= done_ts:
+            failures.append(
+                f"{op_name}: the kill landed after the apply returned — "
+                f"the failure path was never exercised"
+            )
+            continue
+        if survived != healthy:
+            failures.append(
+                f"{op_name}: ledger drifted after killing executor "
+                f"{killed['pid']} ({len(survived)} vs {len(healthy)} rows)"
+            )
+            continue
+        if survived_io != healthy_io:
+            failures.append(
+                f"{op_name}: I/O accounting drifted {survived_io} != "
+                f"{healthy_io} after executor loss"
+            )
+            continue
+        if op_name == "sink_compaction_apply" and survived_io[1] != 1:
+            failures.append(
+                f"{op_name}: one-file-per-bin identity broken after "
+                f"executor loss (max files/bin = {survived_io[1]})"
+            )
+            continue
+        print(
+            f"OK chaos-apply {op_name}: executor {killed['pid']} "
+            f"SIGKILLed with _temporary in flight "
+            f"({done_ts - killed['ts']:.1f}s before the apply returned); "
+            f"ledger identical ({len(healthy)} rows), IO {survived_io}"
+        )
+
+    print(
+        "CHAOS-APPLY:",
+        failures if failures else "both apply sinks idempotent under "
+        "executor loss mid-write",
+    )
+    return 1 if failures else 0
+
+
 if RECOVERY:
     sys.exit(run_recovery())
 if CHAOS:
     sys.exit(run_chaos())
 if CHAOS_SERVE:
     sys.exit(run_chaos_serve())
+if CHAOS_APPLY:
+    sys.exit(run_chaos_apply())
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
