@@ -721,44 +721,47 @@ if CHAOS_APPLY:
 
 qd, od = m.queries(), m.oracle_sql()
 if STAGED:
-    # The UNREGISTERED round-14 candidates (§2.AH tokenizer &
-    # representation economics + §2.AI composition integrity): the
-    # registration gate requires each to pass under real executor JVMs
-    # BEFORE the registering commit — this mode is that gate, runnable
-    # today. (The §2.AD–§2.AG batches graduated at round-13 open and
-    # are now covered by --full / the window modes.)
-    from storm_netmonitor_spark.operators import extensions17 as e17
-    from storm_netmonitor_spark.operators import extensions18 as e18
-    from storm_netmonitor_spark.operators import extensions19 as e19
-    from storm_netmonitor_spark.operators import extensions20 as e20
+    # The UNREGISTERED round-15 candidates (§2.AL split hygiene,
+    # §2.AM mixture & curriculum, §2.AN embedding geometry, §2.AO
+    # ingest gates): the registration gate requires each to pass under
+    # real executor JVMs BEFORE the registering commit — this mode is
+    # that gate, runnable today. (The §2.AH–§2.AK batches graduated at
+    # round-14 open and are now covered by --full / the window modes.)
+    from storm_netmonitor_spark.operators import extensions21 as e21
+    from storm_netmonitor_spark.operators import extensions22 as e22
+    from storm_netmonitor_spark.operators import extensions23 as e23
+    from storm_netmonitor_spark.operators import extensions24 as e24
 
     qd = {
-        "text_bpe_merge_train": e17.text_bpe_merge_train,
-        "text_vocab_coverage": e17.text_vocab_coverage,
-        "vec_matryoshka_recall": e17.vec_matryoshka_recall,
-        "text_source_overlap_matrix": e18.text_source_overlap_matrix,
-        "agg_l_diversity": e18.agg_l_diversity,
-        "pipeline_dedup_rate_curve": e18.pipeline_dedup_rate_curve,
-        "text_bpe_fertility": e19.text_bpe_fertility,
-        "pipeline_pack_efficiency": e19.pipeline_pack_efficiency,
-        "events_burstiness_fano": e19.events_burstiness_fano,
-        "stream_vocab_gate": e20.stream_vocab_gate,
-        "stream_fertility_gate": e20.stream_fertility_gate,
-        "stream_fano_fold": e20.stream_fano_fold,
+        "sample_split_leakage": e21.sample_split_leakage,
+        "sample_kfold_balance": e21.sample_kfold_balance,
+        "pipeline_temporal_split_gate": e21.pipeline_temporal_split_gate,
+        "sample_temperature_resample": e22.sample_temperature_resample,
+        "pipeline_curriculum_stages": e22.pipeline_curriculum_stages,
+        "pipeline_epoch_mix_drift": e22.pipeline_epoch_mix_drift,
+        "vec_energy_concentration": e23.vec_energy_concentration,
+        "vec_nn_margin_census": e23.vec_nn_margin_census,
+        "vec_hubness_census": e23.vec_hubness_census,
+        "stream_mixture_gate": e24.stream_mixture_gate,
+        "stream_curriculum_gate": e24.stream_curriculum_gate,
+        "stream_energy_gate": e24.stream_energy_gate,
     }
     od = {
-        "text_bpe_merge_train": e17.text_bpe_merge_train_oracle(),
-        "text_vocab_coverage": e17.text_vocab_coverage_oracle(),
-        "vec_matryoshka_recall": e17.vec_matryoshka_recall_oracle(),
-        "text_source_overlap_matrix": e18.text_source_overlap_matrix_oracle(),
-        "agg_l_diversity": e18.agg_l_diversity_oracle(),
-        "pipeline_dedup_rate_curve": e18.pipeline_dedup_rate_curve_oracle(),
-        "text_bpe_fertility": e19.text_bpe_fertility_oracle(),
-        "pipeline_pack_efficiency": e19.pipeline_pack_efficiency_oracle(),
-        "events_burstiness_fano": e19.events_burstiness_fano_oracle(),
-        "stream_vocab_gate": e20.stream_vocab_gate_oracle(),
-        "stream_fertility_gate": e20.stream_fertility_gate_oracle(),
-        "stream_fano_fold": e20.stream_fano_fold_oracle(),
+        "sample_split_leakage": e21.sample_split_leakage_oracle(),
+        "sample_kfold_balance": e21.sample_kfold_balance_oracle(),
+        "pipeline_temporal_split_gate":
+            e21.pipeline_temporal_split_gate_oracle(),
+        "sample_temperature_resample":
+            e22.sample_temperature_resample_oracle(),
+        "pipeline_curriculum_stages":
+            e22.pipeline_curriculum_stages_oracle(),
+        "pipeline_epoch_mix_drift": e22.pipeline_epoch_mix_drift_oracle(),
+        "vec_energy_concentration": e23.vec_energy_concentration_oracle(),
+        "vec_nn_margin_census": e23.vec_nn_margin_census_oracle(),
+        "vec_hubness_census": e23.vec_hubness_census_oracle(),
+        "stream_mixture_gate": e24.stream_mixture_gate_oracle(),
+        "stream_curriculum_gate": e24.stream_curriculum_gate_oracle(),
+        "stream_energy_gate": e24.stream_energy_gate_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
