@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import dec_scaled, dec_scaled_sql, dratio, dratio_sql
 from ..io import load_table
-from .vectors import _DOT_SUM_SQL, _dot_arrays
 
 # ---------------------------------------------------------------------------
 # vec_energy_concentration — per-dimension energy share, rank-ordered
@@ -154,29 +153,43 @@ q AS (
          unnest(embedding) AS x
   FROM embeddings WHERE vec_id % {_Q_MOD} <> 0
 ), dots AS (
-  SELECT q_id, vec_id, {_DOT_SUM_SQL} AS sim
-  FROM (SELECT q.q_id, e.vec_id,
-               CAST(e.x AS DOUBLE) * CAST(q.qx AS DOUBLE) AS px
-        FROM e JOIN q USING (pos))
+  SELECT q_id, vec_id,
+         SUM(CAST(e.x AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS sim
+  FROM e JOIN q USING (pos)
   GROUP BY q_id, vec_id
 )"""
 
 
 def _q_sims(e: DataFrame, q_mod: int) -> DataFrame:
     """(q_id, vec_id, sim) for the deterministic query sample against
-    all other vectors: broadcast Q block, row-local decimal-stable
-    dots — the ``vec_batch_knn`` shape (O(N × Q) map work, one
-    Q-keyed exchange; the BNLJ is the broadcast Q-frame attach)."""
+    all other vectors: broadcast Q block, row-local double-fold dots —
+    the ``vec_batch_knn`` shape (O(N × Q) map work, one Q-keyed
+    exchange; the BNLJ is the broadcast Q-frame attach).
+
+    Sims here feed RANK DECISIONS and centi-wide BANDS only (no raw
+    sim value is emitted), so the dot is a plain double fold — the
+    ``vec_ann_recall`` float-prefilter argument: the audited rank and
+    band-boundary margins (margin_audit §2.AN rows) dwarf double
+    accumulation noise (~1e-13), and the plain fold is ~50× the
+    decimal HOF's throughput on the N×Q pass. The decimal
+    ``_dot_arrays`` discipline stays for ops that EMIT the value."""
     q = e.filter(F.col("vec_id") % q_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     cand = e.filter(F.col("vec_id") % q_mod != 0).select(
         "vec_id", "embedding"
     )
+    fdot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_emb"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return cand.crossJoin(F.broadcast(q)).select(
-        "q_id",
-        "vec_id",
-        _dot_arrays(F.col("embedding"), F.col("q_emb")).alias("sim"),
+        "q_id", "vec_id", fdot.alias("sim")
     )
 
 
