@@ -64,6 +64,11 @@ _AUDITED_COLLECT_SITES = {
         "base_trained_cents": 1,
         "stream_minhash_index_merge": 1,
     },
+    # §2.AO staged batch (round 15): _vec_split is ONE scalar max over
+    # vec_id — the embeddings twin of _doc_split (split-point class)
+    "operators/extensions24.py": {
+        "_vec_split": 1,
+    },
     # §2.Y staged batch: _doc_split is ONE scalar max (the split-point
     # precedent); stream_index_drift collects the K-row base census
     # (model-scalar class, artifact-store trained) and the final
