@@ -55,12 +55,17 @@ _RESAMPLE_BUDGET = 100_000
 _W_SCALE = 1_000
 
 
-def sample_temperature_resample_oracle() -> str:
-    ashare = dratio_sql("alloc_n * 1000000", f"{_RESAMPLE_BUDGET}")
-    cshare = dratio_sql("n_docs * 1000000", "tot.n")
+def temperature_ctes_sql(where: str) -> str:
+    """THE largest-remainder CTE chain over ``documents WHERE {where}``
+    — the single SQL rendering of :func:`temperature_alloc_over`,
+    shared by this oracle and the §2.AO mixture gate's (which restricts
+    it to the standing corpus) so the two cannot drift (the ADVICE r13
+    duplicated-CTE lesson applied forward). Ends with ``alloc(source,
+    n_docs, weight_milli, alloc_n)``."""
     return f"""
-WITH src AS (
-  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents
+  WHERE {where} GROUP BY source
 ), w AS (
   SELECT source, n_docs,
          CAST(FLOOR(SQRT(n_docs) * {_W_SCALE}) AS BIGINT) AS weight_milli
@@ -81,7 +86,15 @@ base AS (
          floor_n + CASE WHEN rk <= (SELECT leftover FROM lo)
                         THEN 1 ELSE 0 END AS alloc_n
   FROM ranked
-), tot AS (SELECT SUM(n_docs) AS n FROM src)
+)"""
+
+
+def sample_temperature_resample_oracle() -> str:
+    ashare = dratio_sql("alloc_n * 1000000", f"{_RESAMPLE_BUDGET}")
+    cshare = dratio_sql("n_docs * 1000000", "tot.n")
+    return f"""
+WITH {temperature_ctes_sql("1 = 1")},
+tot AS (SELECT SUM(n_docs) AS n FROM src)
 SELECT source,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(weight_milli AS BIGINT) AS weight_milli,

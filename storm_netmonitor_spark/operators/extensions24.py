@@ -72,44 +72,14 @@ _VSPLIT_SQL = "SELECT (MAX(vec_id) + 1) * 4 // 5 AS v FROM embeddings"
 LAST_MIX_GATE_WALLS: list[float] = []
 
 
-def _temperature_ctes(where: str) -> str:
-    """The §2.AM exact integer largest-remainder chain over the
-    standing corpus (``documents WHERE {where}``) — the oracle twin of
-    :func:`extensions22.temperature_alloc_over`, restricted so the
-    target trains on the STANDING corpus only."""
-    return f"""
-src AS (
-  SELECT source, COUNT(*) AS n_docs FROM documents
-  WHERE {where} GROUP BY source
-), w AS (
-  SELECT source, n_docs,
-         CAST(FLOOR(SQRT(n_docs) * 1000) AS BIGINT) AS weight_milli
-  FROM src
-), tw AS (SELECT SUM(weight_milli) AS ws FROM w),
-base AS (
-  SELECT source, weight_milli,
-         ({_RESAMPLE_BUDGET} * weight_milli) // ws AS floor_n,
-         ({_RESAMPLE_BUDGET} * weight_milli) % ws AS rem
-  FROM w, tw
-), lo AS (
-  SELECT {_RESAMPLE_BUDGET} - SUM(floor_n) AS leftover FROM base
-), ranked AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
-  FROM base
-), alloc AS (
-  SELECT source,
-         floor_n + CASE WHEN rk <= (SELECT leftover FROM lo)
-                        THEN 1 ELSE 0 END AS alloc_n
-  FROM ranked
-)"""
-
-
 def stream_mixture_gate_oracle() -> str:
+    from .extensions22 import temperature_ctes_sql
+
     dshare = dratio_sql("n_docs_delta * 1000000", "dtot.t")
     tshare = dratio_sql("alloc_n * 1000000", f"{_RESAMPLE_BUDGET}")
     return f"""
 WITH dsplit AS ({_DSPLIT_SQL}),
-{_temperature_ctes("doc_id < (SELECT v FROM dsplit)")},
+{temperature_ctes_sql("doc_id < (SELECT v FROM dsplit)")},
 d AS (
   SELECT source, COUNT(*) AS n_docs_delta FROM documents
   WHERE doc_id >= (SELECT v FROM dsplit) GROUP BY source
