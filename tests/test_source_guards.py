@@ -69,6 +69,13 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions24.py": {
         "_vec_split": 1,
     },
+    # §2.AP staged batch (round 15): the k-core peel fetches ONE
+    # 3-integer census row per unrolled round (the
+    # pagerank-convergence-probe model-scalar class; rounds are a
+    # constant, never data)
+    "operators/extensions25.py": {
+        "kcore_rounds_over": 1,
+    },
     # §2.Y staged batch: _doc_split is ONE scalar max (the split-point
     # precedent); stream_index_drift collects the K-row base census
     # (model-scalar class, artifact-store trained) and the final

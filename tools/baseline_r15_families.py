@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Vanilla-PySpark baselines for the round-15 candidate batches
-(§2.AL–§2.AO), pre-built at round-14 close per the SURVEY §7.1
-checklist so the twelve ops get their BASELINE.md rows the round they
+(§2.AL–§2.AP), pre-built at round-14 close per the SURVEY §7.1
+checklist so the fifteen ops get their BASELINE.md rows the round they
 register.
 
 Method = `tools/baseline_r11_families.py` (read its docstring): same
@@ -642,10 +642,96 @@ def t_stream_energy_gate():
     return rows
 
 
+# -- §2.AP twins --------------------------------------------------------------
+
+LINEITEM = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+ORDERS = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+
+
+def _edges_plain():
+    return LINEITEM.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+
+
+def build_degree_census():
+    e = _edges_plain()
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("src").alias("side"), "degree")
+        .unionByName(
+            e.groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.lit("dst").alias("side"), "degree")
+        )
+    )
+    census = deg.groupBy("side", "degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    st = census.groupBy("side").agg(F.sum("n_nodes").alias("t"))
+    return census.join(st, "side").select(
+        "side", "degree", "n_nodes",
+        (F.col("n_nodes") / F.col("t")).alias("node_share_pct"),
+    )
+
+
+def t_kcore_decompose():
+    # RERUN class: the per-round census fetches are driver decisions,
+    # so the twin reruns the whole peel per sample (engine-sample
+    # method parity) — same loop, plain ops, no lineage truncation
+    k, rounds = 30, 4  # = extensions25 constants (constant parity)
+    u = _edges_plain().selectExpr("src AS a", "dst AS b").unionByName(
+        _edges_plain().selectExpr("dst AS a", "src AS b")
+    )
+    out = []
+    for r in range(1, rounds + 1):
+        deg = u.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        rm = deg.filter(F.col("deg") < k).select("a")
+        u = (
+            u.join(rm, "a", "left_anti")
+            .join(rm.withColumnRenamed("a", "b"), "b", "left_anti")
+            .select("a", "b")
+        )
+        stats = u.agg(
+            F.countDistinct("a").alias("n"),
+            (F.count(F.lit(1)) / 2).alias("m"),
+        ).collect()[0]
+        out.append((r, rm.count(), stats["n"], stats["m"]))
+    return out
+
+
+def build_column_profile():
+    cols = (
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    one = ORDERS.agg(*aggs)
+    stack = ", ".join(f"'{c}', __nn_{c}, __nd_{c}" for c in cols)
+    long = one.selectExpr(
+        "__rows",
+        f"stack({len(cols)}, {stack}) AS (column_name, n_nonnull, n_distinct)",
+    )
+    return long.select(
+        "column_name", "__rows",
+        (F.col("__rows") - F.col("n_nonnull")).alias("n_nulls"),
+        ((F.col("__rows") - F.col("n_nonnull")) / F.col("__rows")).alias(
+            "null_ppm"
+        ),
+        "n_distinct",
+    )
+
+
 RERUN = {
     "stream_mixture_gate": t_stream_mixture_gate,
     "stream_curriculum_gate": t_stream_curriculum_gate,
     "stream_energy_gate": t_stream_energy_gate,
+    "graph_kcore_decompose": t_kcore_decompose,
 }
 
 rows: dict[str, dict] = {}
@@ -734,6 +820,8 @@ PREBUILT = {
     "vec_energy_concentration": build_energy_concentration(),
     "vec_nn_margin_census": build_nn_margin(),
     "vec_hubness_census": build_hubness(),
+    "graph_degree_census": build_degree_census(),
+    "quality_column_profile": build_column_profile(),
 }
 for name, frame in PREBUILT.items():
     frame.collect()  # warm-up (plan amortized, the engine-sample method)

@@ -731,6 +731,7 @@ if STAGED:
     from storm_netmonitor_spark.operators import extensions22 as e22
     from storm_netmonitor_spark.operators import extensions23 as e23
     from storm_netmonitor_spark.operators import extensions24 as e24
+    from storm_netmonitor_spark.operators import extensions25 as e25
 
     qd = {
         "sample_split_leakage": e21.sample_split_leakage,
@@ -745,6 +746,9 @@ if STAGED:
         "stream_mixture_gate": e24.stream_mixture_gate,
         "stream_curriculum_gate": e24.stream_curriculum_gate,
         "stream_energy_gate": e24.stream_energy_gate,
+        "graph_degree_census": e25.graph_degree_census,
+        "graph_kcore_decompose": e25.graph_kcore_decompose,
+        "quality_column_profile": e25.quality_column_profile,
     }
     od = {
         "sample_split_leakage": e21.sample_split_leakage_oracle(),
@@ -762,6 +766,9 @@ if STAGED:
         "stream_mixture_gate": e24.stream_mixture_gate_oracle(),
         "stream_curriculum_gate": e24.stream_curriculum_gate_oracle(),
         "stream_energy_gate": e24.stream_energy_gate_oracle(),
+        "graph_degree_census": e25.graph_degree_census_oracle(),
+        "graph_kcore_decompose": e25.graph_kcore_decompose_oracle(),
+        "quality_column_profile": e25.quality_column_profile_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
