@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Vanilla-PySpark baselines for the round-15 candidate batches
-(§2.AL–§2.AP), pre-built at round-14 close per the SURVEY §7.1
-checklist so the fifteen ops get their BASELINE.md rows the round they
-register.
+(§2.AL–§2.AQ), pre-built at round-14 close per the SURVEY §7.1
+checklist so the eighteen ops get their BASELINE.md rows the round
+they register.
 
 Method = `tools/baseline_r11_families.py` (read its docstring): same
 environment (`local[8]`, `shuffle.partitions=8`), same 1-warm-up /
@@ -727,6 +727,100 @@ def build_column_profile():
     )
 
 
+# -- §2.AQ twins --------------------------------------------------------------
+
+CUSTOMER = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+
+
+def build_t_closeness():
+    sens = F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")
+    rows_f = CUSTOMER.select("c_nationkey", "c_mktsegment", sens.alias("b"))
+    gb = rows_f.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    tot = gb.agg(F.sum("nb").alias("n"), F.count(F.lit(1)).alias("nbk"))
+    grp = rows_f.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("g")
+    )
+    cell = rows_f.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count(F.lit(1)).alias("ngb")
+    )
+    grid = (
+        grp.crossJoin(gb)
+        .join(cell, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .crossJoin(tot)
+        .select(
+            "c_nationkey", "c_mktsegment", "g", "b", "nb", "n", "nbk",
+            F.coalesce("ngb", F.lit(0)).alias("ngb"),
+        )
+    )
+    wc = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "b"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "c_nationkey", "c_mktsegment", "g", "n", "nbk",
+        F.sum(
+            F.col("ngb") / F.col("g") - F.col("nb") / F.col("n")
+        ).over(wc).alias("c"),
+    )
+    dgrp = cum.groupBy("c_nationkey", "c_mktsegment", "g", "nbk").agg(
+        F.sum(F.abs(F.col("c"))).alias("d")
+    )
+    emds = dgrp.select(
+        "g",
+        (F.col("d") / (F.col("nbk") - 1)).alias("emd"),
+    )
+    above = F.col("emd") > 0.35
+    return emds.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(above, 1)).alias("groups_above_t"),
+        F.coalesce(F.sum(F.when(above, F.col("g"))), F.lit(0)).alias(
+            "rows_at_risk"
+        ),
+        F.max("emd").alias("max_emd"),
+        F.sum("g").alias("n_rows"),
+    )
+
+
+def build_reservoir():
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("r15|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        DOCS.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+def build_benford():
+    import math as _m
+
+    v = ORDERS.filter(F.col("o_totalprice") > 0).select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        ).alias("digit")
+    )
+    census = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    bf = spark.createDataFrame(
+        [(d, _m.log10(1 + 1 / d)) for d in range(1, 10)],
+        "digit long, benford double",
+    )
+    tot = census.agg(F.sum("n").alias("t"))
+    return (
+        bf.join(census, "digit", "left")
+        .crossJoin(tot)
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            (F.coalesce("n", F.lit(0)) / F.col("t")).alias("share"),
+            "benford",
+            (F.coalesce("n", F.lit(0)) / F.col("t") - F.col("benford")).alias(
+                "dev"
+            ),
+        )
+    )
+
+
 RERUN = {
     "stream_mixture_gate": t_stream_mixture_gate,
     "stream_curriculum_gate": t_stream_curriculum_gate,
@@ -822,6 +916,9 @@ PREBUILT = {
     "vec_hubness_census": build_hubness(),
     "graph_degree_census": build_degree_census(),
     "quality_column_profile": build_column_profile(),
+    "agg_t_closeness": build_t_closeness(),
+    "sample_reservoir_hash": build_reservoir(),
+    "agg_benford_deviation": build_benford(),
 }
 for name, frame in PREBUILT.items():
     frame.collect()  # warm-up (plan amortized, the engine-sample method)

@@ -732,6 +732,7 @@ if STAGED:
     from storm_netmonitor_spark.operators import extensions23 as e23
     from storm_netmonitor_spark.operators import extensions24 as e24
     from storm_netmonitor_spark.operators import extensions25 as e25
+    from storm_netmonitor_spark.operators import extensions26 as e26
 
     qd = {
         "sample_split_leakage": e21.sample_split_leakage,
@@ -749,6 +750,9 @@ if STAGED:
         "graph_degree_census": e25.graph_degree_census,
         "graph_kcore_decompose": e25.graph_kcore_decompose,
         "quality_column_profile": e25.quality_column_profile,
+        "agg_t_closeness": e26.agg_t_closeness,
+        "sample_reservoir_hash": e26.sample_reservoir_hash,
+        "agg_benford_deviation": e26.agg_benford_deviation,
     }
     od = {
         "sample_split_leakage": e21.sample_split_leakage_oracle(),
@@ -769,6 +773,9 @@ if STAGED:
         "graph_degree_census": e25.graph_degree_census_oracle(),
         "graph_kcore_decompose": e25.graph_kcore_decompose_oracle(),
         "quality_column_profile": e25.quality_column_profile_oracle(),
+        "agg_t_closeness": e26.agg_t_closeness_oracle(),
+        "sample_reservoir_hash": e26.sample_reservoir_hash_oracle(),
+        "agg_benford_deviation": e26.agg_benford_deviation_oracle(),
     }
 if FULL or STAGED:
     RUN = list(qd)
