@@ -4,12 +4,17 @@ gets a pure-python reference driven over arbitrary inputs BEFORE
 registration, so the DuckDB parity tests verify engine agreement and
 these verify the algorithm itself).
 
-Covered kernel: `temperature_alloc_over` (extensions22) — the exact
-integer largest-remainder allocation must (a) sum EXACTLY to the
-budget on every census, and (b) match the literal python
-largest-remainder reference source by source, including remainder
-ties (broken by source name) and budgets smaller than the source
-count."""
+Covered kernels:
+
+- `temperature_alloc_over` (extensions22) — the exact integer
+  largest-remainder allocation must (a) sum EXACTLY to the budget on
+  every census, and (b) match the literal python largest-remainder
+  reference source by source, including remainder ties (broken by
+  source name) and budgets smaller than the source count.
+- `t_closeness_summary` (extensions26) — the cross-multiplied
+  integer-cumulant EMD and its above-t decision must match a literal
+  python probability-space EMD over arbitrary group/bucket
+  populations, including groups missing buckets entirely."""
 
 from __future__ import annotations
 
@@ -75,3 +80,66 @@ def test_allocation_matches_literal_largest_remainder(census, budget):
     want = py_largest_remainder(census, budget)
     assert got == want, f"\ncensus: {census}\nbudget: {budget}"
     assert sum(got.values()) == budget
+
+
+def py_t_closeness(rows, t_pct):
+    """Literal probability-space reference: EMD = Σ|cum(p−q)|/(B−1)
+    over the globally-observed ordered buckets."""
+    from collections import Counter
+
+    glob = Counter(b for _, b in rows)
+    buckets = sorted(glob)
+    n = sum(glob.values())
+    groups: dict = {}
+    for g, b in rows:
+        groups.setdefault(g, Counter())[b] += 1
+    out = {}
+    for g, cnt in groups.items():
+        gsz = sum(cnt.values())
+        cum, d = 0.0, 0.0
+        for b in buckets:
+            cum += cnt.get(b, 0) / gsz - glob[b] / n
+            d += abs(cum)
+        emd = d / (len(buckets) - 1) if len(buckets) > 1 else 0.0
+        out[g] = (gsz, emd, emd > t_pct / 100 + 1e-12)
+    return out
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(0, 4),
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda r: len({b for _, b in r}) >= 2),
+    t_pct=st.integers(5, 80),
+)
+def test_t_closeness_matches_literal_probability_emd(rows, t_pct):
+    """Arbitrary group/bucket populations (groups may miss buckets
+    entirely — the grid fill path) and arbitrary thresholds: the
+    integer-cumulant summary must agree with the float reference on
+    the group count, the flagged set, the exposed rows, and the max
+    EMD to the dratio quantum."""
+    from pyspark.sql import functions as F
+
+    from storm_netmonitor_spark.io import tiny_local_frame
+    from storm_netmonitor_spark.operators.extensions26 import (
+        t_closeness_summary,
+    )
+
+    spark = _spark()
+    frame = tiny_local_frame(spark, rows, "q string, b int")
+    got = t_closeness_summary(frame, ["q"], F.col("b"), t_pct).collect()[0]
+    ref = py_t_closeness(rows, t_pct)
+    assert got["n_groups"] == len(ref)
+    assert got["n_rows"] == len(rows)
+    assert got["groups_above_t"] == sum(1 for _, _, a in ref.values() if a)
+    assert got["rows_at_risk"] == sum(
+        g for g, _, a in ref.values() if a
+    )
+    assert abs(got["max_emd"] - max(e for _, e, _ in ref.values())) < 1e-6
