@@ -37,7 +37,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dratio_sql
-from ..io import disk_artifact_frame, disk_artifact_json, load_table, session_memo
+from ..io import (
+    disk_artifact_frame,
+    disk_artifact_json,
+    land_bounded_frame,
+    load_table,
+    session_memo,
+)
 from ..registry import query
 
 #: Micro-batches in the staged delta stream — the extensions12
@@ -253,13 +259,15 @@ def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
         train = batch_df.filter(F.col("source") != BENCH_SOURCE)
-        decon_lang_counts(train, bench).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
-        LAST_DECON_BATCH_WALLS.append(_time.perf_counter() - t0)
+        # one executor-side census job + a driver-side ≤|langs|-row
+        # landing replaces the take(1) guard and per-batch write jobs
+        # (io.land_bounded_frame, r14); empty censuses land nothing
+        if land_bounded_frame(
+            decon_lang_counts(train, bench),
+            os.path.join(out_dir, f"batch_id={batch_id}"),
+        ):
+            LAST_DECON_BATCH_WALLS.append(_time.perf_counter() - t0)
 
     _drain_docs(spark, sf_dir, gate_batch)
 
@@ -420,16 +428,16 @@ def stream_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def census_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
-        (
+        # one executor-side census job + a driver-side ≤|cells|-row
+        # landing replaces the take(1) guard and per-batch write jobs
+        # (io.land_bounded_frame, r14); empty censuses land nothing
+        if land_bounded_frame(
             profile_cells(batch_df)
             .groupBy("cid")
-            .agg(F.count("*").alias("n_delta"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-        )
-        LAST_PROFILE_BATCH_WALLS.append(_time.perf_counter() - t0)
+            .agg(F.count("*").alias("n_delta")),
+            os.path.join(out_dir, f"batch_id={batch_id}"),
+        ):
+            LAST_PROFILE_BATCH_WALLS.append(_time.perf_counter() - t0)
 
     _drain_docs(spark, sf_dir, census_batch)
 
