@@ -555,8 +555,6 @@ def stream_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
         qframe = batch_df.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
@@ -590,10 +588,15 @@ def stream_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("qid", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
         )
-        hits.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
-        LAST_SERVE_RECALL_WALLS.append(_time.perf_counter() - t0)
+        # one executor-side census job + a driver-side ≤|batch queries|-
+        # row landing replaces the take(1) guard and per-batch write
+        # jobs (io.land_bounded_frame, r14); empty batches land nothing
+        from ..io import land_bounded_frame
+
+        if land_bounded_frame(
+            hits, os.path.join(out_dir, f"batch_id={batch_id}")
+        ):
+            LAST_SERVE_RECALL_WALLS.append(_time.perf_counter() - t0)
 
     q = (
         spark.readStream.schema(
@@ -611,8 +614,13 @@ def stream_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
+    # driver-side fold of the driver-landed Q-bounded hit censuses (the
+    # land_bounded_frame mirror, io.read_landed_local — r14); the SAME
+    # Spark projection runs on the local relation
+    from ..io import read_landed_local
+
     out = (
-        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        read_landed_local(spark, out_dir, "qid long, n_hits long")
         .select(
             F.col("qid").cast("long").alias("qid"),
             F.col("n_hits").cast("long").alias("n_hits"),

@@ -271,8 +271,18 @@ def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _drain_docs(spark, sf_dir, gate_batch)
 
+    # driver-side fold of the driver-landed ≤|langs|-row censuses (the
+    # land_bounded_frame mirror, io.read_landed_local — r14: the
+    # distributed read-back + shuffle was ~0.9 s of fixed cost per
+    # drain); the SAME Spark aggregate runs on the local relation
+    from ..io import read_landed_local
+
     out = (
-        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
+        read_landed_local(
+            spark,
+            out_dir,
+            "lang string, n_train long, n_contaminated long, n_kept long",
+        )
         .groupBy("lang")
         .agg(
             F.sum("n_train").cast("long").alias("n_train"),
@@ -441,13 +451,23 @@ def stream_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _drain_docs(spark, sf_dir, census_batch)
 
-    delta = {
-        int(r["cid"]): int(r["n"])
-        for r in spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
-        .groupBy("cid")
-        .agg(F.sum("n_delta").alias("n"))
-        .collect()
-    }
+    # driver-side fold of the driver-landed ≤|cells|-row censuses (the
+    # land_bounded_frame mirror; integer sums are exact in python) —
+    # the distributed read-back + shuffle + collect was fixed cost
+    # proportional to nothing (r14)
+    import pyarrow.parquet as _pq
+
+    delta: dict[int, int] = {}
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("batch_id="):
+            continue
+        d_ = os.path.join(out_dir, entry)
+        for f_ in sorted(os.listdir(d_)):
+            if f_.endswith(".parquet"):
+                t_ = _pq.read_table(os.path.join(d_, f_))
+                for r in t_.to_pylist():
+                    cid = int(r["cid"])
+                    delta[cid] = delta.get(cid, 0) + int(r["n_delta"])
     shutil.rmtree(out_dir, ignore_errors=True)
     # the final drift table is BOUNDED (exactly _PROFILE_CELLS rows) and
     # both censuses are already driver-side integers, so the

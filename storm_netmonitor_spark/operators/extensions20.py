@@ -46,7 +46,13 @@ import time as _time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dratio, dratio_sql
-from ..io import disk_artifact_frame, disk_artifact_json, session_memo
+from ..io import (
+    disk_artifact_frame,
+    disk_artifact_json,
+    land_bounded_frame,
+    read_landed_local,
+    session_memo,
+)
 from ..registry import query
 from .extensions15 import _delta_stream_dir, _drain_docs
 from .extensions17 import _BPE_ROUNDS, _VOCAB_K, greedy_bpe_merges
@@ -190,17 +196,19 @@ def stream_vocab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
-        vocab_coverage_counters(batch_df, vocab).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-        LAST_VOCAB_GATE_WALLS.append(_time.perf_counter() - t0)
+        # one executor-side census job + a driver-side ≤|sources|-row
+        # landing replaces the take(1) guard and per-batch write jobs
+        # (io.land_bounded_frame, r14); empty censuses land nothing
+        if land_bounded_frame(
+            vocab_coverage_counters(batch_df, vocab),
+            os.path.join(out_dir, f"batch_id={batch_id}"),
+        ):
+            LAST_VOCAB_GATE_WALLS.append(_time.perf_counter() - t0)
 
     _drain_docs(spark, sf_dir, gate_batch)
 
     out = (
-        _read_landed(
+        read_landed_local(
             spark, out_dir,
             "source string, n_tokens long, n_covered_tokens long",
         )
@@ -359,17 +367,19 @@ def stream_fertility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
-        fertility_counters(batch_df, merges).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
-        LAST_FERTILITY_GATE_WALLS.append(_time.perf_counter() - t0)
+        # one executor-side census job + a driver-side ≤|sources|-row
+        # landing replaces the take(1) guard and per-batch write jobs
+        # (io.land_bounded_frame, r14); empty censuses land nothing
+        if land_bounded_frame(
+            fertility_counters(batch_df, merges),
+            os.path.join(out_dir, f"batch_id={batch_id}"),
+        ):
+            LAST_FERTILITY_GATE_WALLS.append(_time.perf_counter() - t0)
 
     _drain_docs(spark, sf_dir, gate_batch)
 
     out = (
-        _read_landed(
+        read_landed_local(
             spark, out_dir,
             "source string, n_words long, n_chars long, n_tokens long",
         )

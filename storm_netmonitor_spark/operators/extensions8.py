@@ -60,7 +60,6 @@ from ..registry import query
 from .extensions7 import (
     _embed_split,
     base_trained_cents,
-    drift_from_census,
     index_drift_tagged,
     route_to_centroids,
     vec_index_drift_oracle,
@@ -347,6 +346,11 @@ def stream_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def census_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
+        # routing kernel choice (r14, measured): the Arrow kernel keeps
+        # the batch wall at ~0.28 s; the codegen twin was TRIED here and
+        # measured 1.48 s/batch — its K×dim literal expression tree is
+        # re-analyzed/compiled per micro-batch plan, which dwarfs the
+        # Python-worker round trip it avoids at this batch size
         counts = route_to_centroids(
             batch_df.select("vec_id", "embedding"), cents
         ).groupBy("cid").agg(F.count("*").alias("n_delta"))
@@ -376,21 +380,56 @@ def stream_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    delta_counts = (
-        spark.read.parquet(os.path.join(out_dir, "batch_id=*"))
-        .groupBy("cid")
-        .agg(F.sum("n_delta").alias("n_delta"))
-    )
-    base_df = spark.createDataFrame(
-        [(int(c), int(n)) for c, n in base_census], "cid int, n_base long"
-    )
-    counts = base_df.join(delta_counts, "cid", "full").select(
-        "cid", "n_base", "n_delta"
-    )
-    out = drift_from_census(counts, IVF_K)
-    from ..io import detach_result
+    # driver-side fold of the driver-landed ≤K-row censuses (the
+    # land_bounded_frame mirror; integer sums are exact in python), then
+    # the drift arithmetic in PYTHON — the stream_profile_gate precedent
+    # (r14): both censuses are bounded driver-side integers, so the
+    # distributed read-back + range-join-window drift plan was ~1.6 s of
+    # fixed plan/collect cost per refresh for a 16-row table. Same
+    # _py_dratio half-away formula, same integer cross-multiplication
+    # (python ints are exact), same empty-population guard as
+    # drift_from_census; result ships as a VALUES local relation.
+    import pyarrow.parquet as _pq
 
-    result = detach_result(spark, out)
+    delta: dict[int, int] = {}
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("batch_id="):
+            continue
+        d_ = os.path.join(out_dir, entry)
+        for f_ in sorted(os.listdir(d_)):
+            if f_.endswith(".parquet"):
+                for r in _pq.read_table(os.path.join(d_, f_)).to_pylist():
+                    cid = int(r["cid"])
+                    delta[cid] = delta.get(cid, 0) + int(r["n_delta"])
+    from ..io import tiny_local_frame
+    from .extensions7 import _DRIFT_DEN
+    from .extensions13 import _py_dratio
+
+    base = {int(c): int(n) for c, n in base_census}
+    tot_b = sum(base.values())
+    tot_d = sum(delta.values())
+    rows = []
+    for cid in range(IVF_K):
+        nb, nd = base.get(cid, 0), delta.get(cid, 0)
+        rows.append(
+            (
+                cid,
+                nb,
+                nd,
+                _py_dratio(nb * 1_000_000, tot_b) if tot_b > 0 else None,
+                _py_dratio(nd * 1_000_000, tot_d) if tot_d > 0 else None,
+                tot_b > 0
+                and tot_d > 0
+                and abs(nd * tot_b - nb * tot_d) * _DRIFT_DEN
+                >= tot_b * tot_d,
+            )
+        )
+    result = tiny_local_frame(
+        spark,
+        rows,
+        "cid int, n_base long, n_delta long, share_base double, "
+        "share_delta double, drifted boolean",
+    )
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
