@@ -113,32 +113,38 @@ def sink_backfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     own list, bounded by the calendar, never by table size."""
     from .scans import partitioned_events_path
 
-    plan = plan_incremental_backfill(spark, sf_dir)
+    from ..io import tiny_local_frame
+
+    # ONE collect of the O(dates) plan (r14: the work-list filter, the
+    # date count, and the ledger join each re-executed the plan's
+    # manifest-census subtree as separate actions — guide §1.2, don't
+    # compute the same thing twice); every downstream decision is
+    # driver-side integer arithmetic on the calendar-bounded rows
+    plan_rows = plan_incremental_backfill(spark, sf_dir).collect()
     work = sorted(
-        r["event_date"]
-        for r in plan.filter(F.col("status") != "current").collect()
+        r["event_date"] for r in plan_rows if r["status"] != "current"
     )
-    n_dates = plan.count()
 
     LAST_BACKFILL_IO.clear()
-    LAST_BACKFILL_IO.extend([len(work), int(n_dates)])
+    LAST_BACKFILL_IO.extend([len(work), len(plan_rows)])
 
+    ledger_ddl = (
+        "event_date string, action string, n_src bigint, "
+        "n_tgt_before bigint, n_tgt_after bigint"
+    )
     if not work:
         # fully-current target (ADVICE r12): nothing to re-ingest — an
         # empty partitioned write would leave a schema-less dataset the
         # read-back cannot infer. Short-circuit the ledger: every date
         # is 'current' with n_tgt_after = n_tgt_before, zero I/O.
-        from ..io import detach_result
-
-        return detach_result(
+        return tiny_local_frame(
             spark,
-            plan.select(
-                "event_date",
-                F.lit("current").alias("action"),
-                "n_src",
-                F.col("n_tgt").alias("n_tgt_before"),
-                F.col("n_tgt").cast("long").alias("n_tgt_after"),
-            ),
+            [
+                (r["event_date"], "current", int(r["n_src"]),
+                 int(r["n_tgt"]), int(r["n_tgt"]))
+                for r in sorted(plan_rows, key=lambda r: r["event_date"])
+            ],
+            ledger_ddl,
         )
 
     src = spark.read.parquet(partitioned_events_path(spark, sf_dir))
@@ -152,28 +158,37 @@ def sink_backfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
 
-    applied = (
-        spark.read.parquet(out)
-        .groupBy(F.col("event_date").cast("string").alias("event_date"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_applied"))
-    )
-    ledger = (
-        plan.join(applied, "event_date", "left")
-        .select(
-            "event_date",
-            F.when(F.col("status") == "current", "current")
-            .otherwise("backfilled")
-            .alias("action"),
-            "n_src",
-            F.col("n_tgt").alias("n_tgt_before"),
-            F.coalesce("n_applied", F.col("n_tgt"))
-            .cast("long")
-            .alias("n_tgt_after"),
-        )
-    )
-    from ..io import detach_result
+    # n_tgt_after read back from the files the apply actually wrote —
+    # their parquet FOOTERS hold the authoritative written row counts
+    # (O(work dates) driver-side metadata reads; r14 — previously a
+    # distributed re-scan + aggregate + join over the just-written
+    # partitions for a calendar-bounded ledger, guide §6)
+    import pyarrow.parquet as pq
 
-    result = detach_result(spark, ledger)
+    applied: dict[str, int] = {}
+    for date_dir in sorted(os.listdir(out)):
+        if not date_dir.startswith("event_date="):
+            continue
+        d = os.path.join(out, date_dir)
+        applied[date_dir.split("=", 1)[1]] = sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    result = tiny_local_frame(
+        spark,
+        [
+            (
+                r["event_date"],
+                "current" if r["status"] == "current" else "backfilled",
+                int(r["n_src"]),
+                int(r["n_tgt"]),
+                int(applied.get(r["event_date"], r["n_tgt"])),
+            )
+            for r in sorted(plan_rows, key=lambda r: r["event_date"])
+        ],
+        ledger_ddl,
+    )
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     return result
 
@@ -242,7 +257,22 @@ def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no second packing arithmetic to drift). The rewrite routes rows
     with ``repartition(event_date, bin_id)`` (each bin lands in exactly
     one task → exactly one file per bin directory) and time clustering
-    survives: each bin holds whole, consecutive hours."""
+    survives: each bin holds whole, consecutive hours.
+
+    Plan shape (r14 optimization): the bin map is bounded by the
+    calendar (O(dates × 24) rows) and its census scans only the
+    layout's PARTITION columns (``ReadSchema: struct<>`` — footer row
+    counts, no data deserialized), so it is collected ONCE and shipped
+    back as a broadcast VALUES relation — the write job no longer
+    re-executes the census+window subtree to build its broadcast side.
+    The ledger's ``n_rows`` then comes from the written bins' parquet
+    FOOTERS (each bin is exactly one file; its footer ``num_rows`` is
+    the authoritative written count — still "read back from the
+    written bins", at metadata speed): O(bins) driver-side footer
+    reads replace the distributed read-back scan + aggregate + join +
+    collect the ledger previously paid (guide §2.4/§6 — the only
+    remaining distributed work is the one genuine O(corpus) rewrite
+    with its single keyed exchange)."""
     src = spark.read.parquet(_hourly_layout_dir(spark, sf_dir)).select(
         F.col("event_date").cast("string").alias("event_date"),
         F.col("hr").cast("int").alias("hr"),
@@ -251,9 +281,17 @@ def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    bins = compaction_bin_map(
-        src.select("event_date", "hr")
-    ).select("event_date", "hr", "bin_id")
+    from ..io import tiny_local_frame
+
+    bin_rows = [
+        (r["event_date"], int(r["hr"]), int(r["bin_id"]))
+        for r in compaction_bin_map(src.select("event_date", "hr"))
+        .select("event_date", "hr", "bin_id")
+        .collect()
+    ]
+    bins = tiny_local_frame(
+        spark, bin_rows, "event_date string, hr int, bin_id bigint"
+    )
     out = os.path.join(tempfile.mkdtemp(prefix="nm_cpt_out_"), "compacted")
     (
         src.join(F.broadcast(bins), ["event_date", "hr"])
@@ -263,45 +301,41 @@ def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
 
-    # file-count identity from the REAL output layout (bounded by the
-    # plan size — O(bins) directory entries, never data)
+    # file-count identity from the REAL output layout and row counts
+    # from the written files' footers (both bounded by the plan size —
+    # O(bins) directory entries and footer reads, never data)
+    import pyarrow.parquet as pq
+
     max_files = 0
-    n_bins = 0
-    for date_dir in os.listdir(out):
+    n_rows_by_bin: dict[tuple[str, int], int] = {}
+    for date_dir in sorted(os.listdir(out)):
         if not date_dir.startswith("event_date="):
             continue
-        for bin_dir in os.listdir(os.path.join(out, date_dir)):
+        date = date_dir.split("=", 1)[1]
+        for bin_dir in sorted(os.listdir(os.path.join(out, date_dir))):
             if not bin_dir.startswith("bin_id="):
                 continue
-            n = len(
-                [
-                    f
-                    for f in os.listdir(os.path.join(out, date_dir, bin_dir))
-                    if f.endswith(".parquet")
-                ]
+            d = os.path.join(out, date_dir, bin_dir)
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            max_files = max(max_files, len(files))
+            n_rows_by_bin[(date, int(bin_dir.split("=", 1)[1]))] = sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows for f in files
             )
-            n_bins += 1
-            max_files = max(max_files, n)
     LAST_COMPACTION_IO.clear()
-    LAST_COMPACTION_IO.extend([n_bins, max_files])
+    LAST_COMPACTION_IO.extend([len(n_rows_by_bin), max_files])
 
-    back = spark.read.parquet(out).groupBy(
-        F.col("event_date").cast("string").alias("event_date"),
-        F.col("bin_id").cast("long").alias("bin_id"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    inputs = bins.groupBy("event_date", "bin_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_input_files")
+    n_inputs: dict[tuple[str, int], int] = {}
+    for date, _hr, b in bin_rows:
+        n_inputs[(date, b)] = n_inputs.get((date, b), 0) + 1
+    result = tiny_local_frame(
+        spark,
+        [
+            (date, b, n_inputs[(date, b)], n, 1)
+            for (date, b), n in sorted(n_rows_by_bin.items())
+        ],
+        "event_date string, bin_id bigint, n_input_files bigint, "
+        "n_rows bigint, n_files_after bigint",
     )
-    ledger = back.join(inputs, ["event_date", "bin_id"]).select(
-        "event_date",
-        "bin_id",
-        "n_input_files",
-        "n_rows",
-        F.lit(1).cast("long").alias("n_files_after"),
-    )
-    from ..io import detach_result
-
-    result = detach_result(spark, ledger)
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     return result
 

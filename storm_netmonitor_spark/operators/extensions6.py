@@ -397,8 +397,6 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         import time as _time
 
         _t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
         # (plain re-reads of the tiny micro-batch file, NOT a
         # localCheckpoint: checkpoint blocks are the one non-recoverable
         # class under executor loss, and the --chaos-serve drill SIGKILLs
@@ -408,10 +406,16 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qvec"),
         )
         top = serve_topk_plan(cells, corpus, cents, qframe)
-        top.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
-        LAST_SERVE_BATCH_WALLS.append(_time.perf_counter() - _t0)
+        # one executor-side serve job + a driver-side ≤Q·topk-row
+        # landing replaces the take(1) guard and per-batch write jobs
+        # (io.land_bounded_frame, r14); empty batches land nothing —
+        # the probe/join/top-k work itself stays executor-side
+        from ..io import land_bounded_frame
+
+        if land_bounded_frame(
+            top, os.path.join(out_dir, f"batch_id={batch_id}")
+        ):
+            LAST_SERVE_BATCH_WALLS.append(_time.perf_counter() - _t0)
 
     from ..streaming.core import ckpt_dir
 
@@ -429,12 +433,15 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    out = spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
-        "qid", "vec_id", "cos_sim"
-    )
-    from ..io import detach_result
+    # driver-side fold of the driver-landed Q·topk-bounded servings
+    # (the land_bounded_frame mirror, io.read_landed_local — r14: the
+    # distributed read-back + detach collect was fixed cost for a
+    # bounded result); the landed columns ARE the result columns
+    from ..io import read_landed_local
 
-    result = detach_result(spark, out)
+    result = read_landed_local(
+        spark, out_dir, "qid long, vec_id long, cos_sim double"
+    )
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -212,6 +212,32 @@ def test_compaction_apply_plan_shapes(spark):
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
 
 
+def test_apply_job_counts_are_bounded(spark):
+    """r14 optimization: the apply ledgers come from written-file
+    parquet FOOTERS plus the one collected calendar-bounded plan/bin
+    map — each apply must run a BOUNDED number of Spark jobs (census +
+    rewrite only; no distributed read-back of its own output, no
+    per-partition jobs, no repeated plan actions). Warm job counts
+    measured 7 (compaction, was 12) and 9 (backfill, was 19); the caps
+    leave AQE headroom while still failing if a read-back returns."""
+    from storm_netmonitor_spark.operators import extensions13 as e13
+
+    sc = spark.sparkContext
+    for fn, cap in (
+        (e13.sink_compaction_apply, 9),
+        (e13.sink_backfill_apply, 13),
+    ):
+        fn(spark, SF).collect()  # warm the staged layouts/session memos
+        group = f"jobcount_{fn.__name__}"
+        sc.setJobGroup(group, "r14 job-count audit")
+        try:
+            fn(spark, SF).collect()
+        finally:
+            sc.setJobGroup("jobcount_done", "sentinel")
+        n = len(sc.statusTracker().getJobIdsForGroup(group))
+        assert n <= cap, f"{fn.__name__} ran {n} Spark jobs (cap {cap})"
+
+
 def test_quarantine_conserves_and_detects_the_departure(spark):
     """kept + quarantined tile the child table exactly, the quarantined
     count equals the direct membership computation against the departed

@@ -115,8 +115,15 @@ _AUDITED_COLLECT_SITES = {
     # io.detach_result / io.tiny_local_frame — a VALUES local relation
     # instead of the 32-task createDataFrame job — so only the
     # O(partitions) work-list collect remains op-side)
+    # (r14 optimization: sink_compaction_apply collects the bin map —
+    # O(dates × 24) rows from a partition-columns-only census scan —
+    # once, feeding both the write join's broadcast side as a VALUES
+    # relation and the driver-side footer ledger; the ledgers
+    # themselves now come from written-file footer metadata, so the
+    # distributed read-back collects are gone)
     "operators/extensions13.py": {
         "sink_backfill_apply": 1,
+        "sink_compaction_apply": 1,
     },
     # §2.AE staged batch: vec_rank_metrics collects the Q-row query
     # block (the vec_ann_recall precedent — driver-side probe-rank math
@@ -126,12 +133,13 @@ _AUDITED_COLLECT_SITES = {
         "vec_rank_metrics": 1,
     },
     # §2.AF staged batch (post-r12-tuning): the drained-report detaches
-    # live in io.detach_result; the profile gate keeps two collects —
-    # its bounded standing-census train (the ivf_base_census precedent)
-    # and the 160-row folded delta census its python drift final
-    # consumes (the bounded-ledger class)
+    # live in io.detach_result; the profile gate keeps ONE collect —
+    # its bounded standing-census train (the ivf_base_census precedent).
+    # (r14 optimization: the 160-row folded delta census is now read
+    # driver-side from the land_bounded_frame landings with pyarrow —
+    # no distributed read-back, no second collect)
     "operators/extensions15.py": {
-        "stream_profile_gate": 2,
+        "stream_profile_gate": 1,
     },
     # §2.AH staged batch (round-14 candidates): the registered BPE op
     # collects the CAPPED top-V word-frequency table (_BPE_WORD_CAP
