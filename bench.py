@@ -229,6 +229,17 @@ RERUN_FULL = {
     "stream_decontaminate_gate",
     "stream_pii_gate",
     "stream_profile_gate",
+    # r14 optimization MEASUREMENT-METHOD CHANGE (documented in
+    # OPTIMIZATION_r14.md): these three drift monitors now collect
+    # their bounded census during DataFrame construction and compute
+    # the K-row drift tail driver-side (drift_table_local), so the
+    # returned frame is a local relation — timing only collect() would
+    # measure nothing. Re-run the full lifecycle per sample; their
+    # pre-change rows (census + distributed tail timed via collect())
+    # are kept in BENCH_r13.json / the r14 round-start BENCH_DETAIL.
+    "vec_index_drift",
+    "text_profile_drift",
+    "quality_gate_drift",
     # the capped-table collect + driver induction run inside the call;
     # the returned merge table is a local relation
     "text_bpe_merge_train",

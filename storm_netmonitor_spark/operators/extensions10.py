@@ -126,14 +126,34 @@ def sink_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitions written, partitions total) for the minimality identity.
     The report is the per-partition delete ledger — the auditable
     artifact a compliance job emits."""
+    import pyarrow.parquet as pq
+
+    from ..io import tiny_local_frame
     from .scans import partitioned_events_path
 
     src = partitioned_events_path(spark, sf_dir)
     back = spark.read.parquet(src)
-    datestr = F.date_format("event_date", "yyyy-MM-dd")
-    before = back.groupBy(datestr.alias("event_date")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_before")
-    )
+
+    def _footer_counts(layout: str) -> dict[str, int]:
+        # per-date row counts from the date-partitioned layout's parquet
+        # FOOTERS — O(partitions) driver-side metadata reads (r14: both
+        # the before census and the read-back census compiled to
+        # ReadSchema struct<> scans + a shuffle each, fixed distributed
+        # cost for a calendar-bounded ledger; partition dirs ARE the
+        # dates, footer num_rows IS the written count)
+        out: dict[str, int] = {}
+        for entry in sorted(os.listdir(layout)):
+            if not entry.startswith("event_date="):
+                continue
+            d = os.path.join(layout, entry)
+            out[entry.split("=", 1)[1]] = sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before = _footer_counts(src)
 
     # the rewrite: ONLY the active window is read (partition-pruned
     # scan) and only its kept rows are written back, re-partitioned by
@@ -152,37 +172,27 @@ def sink_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_date")
         .parquet(out)
     )
-    written = [
-        p for p in os.listdir(out) if p.startswith("event_date=")
-    ]
+    after_rw = _footer_counts(out)
     LAST_DELETE_IO.clear()
-    LAST_DELETE_IO.extend(
-        (len(written), back.select("event_date").distinct().count())
+    LAST_DELETE_IO.extend((len(after_rw), len(before)))
+    # the per-partition ledger in driver-side python — string date
+    # comparison is lexicographic == chronological for yyyy-MM-dd, the
+    # same decision the Spark CASE expressions made
+    rows = []
+    for date in sorted(before):
+        nb = before[date]
+        if date < _DEL_DROP_BEFORE:
+            action, na = "dropped", 0
+        elif date < _DEL_WINDOW_END:
+            action, na = "rewritten", after_rw.get(date, 0)
+        else:
+            action, na = "untouched", nb
+        rows.append((date, action, nb, na))
+    result = tiny_local_frame(
+        spark,
+        rows,
+        "event_date string, action string, n_before bigint, n_after bigint",
     )
-    after_rw = (
-        spark.read.parquet(out)
-        .groupBy(datestr.alias("event_date"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rw"))
-    )
-    report = before.join(after_rw, "event_date", "left").select(
-        "event_date",
-        F.when(F.col("event_date") < _DEL_DROP_BEFORE, "dropped")
-        .when(F.col("event_date") < _DEL_WINDOW_END, "rewritten")
-        .otherwise("untouched")
-        .alias("action"),
-        "n_before",
-        F.when(F.col("event_date") < _DEL_DROP_BEFORE, F.lit(0))
-        .when(
-            F.col("event_date") < _DEL_WINDOW_END,
-            F.coalesce("n_rw", F.lit(0)),
-        )
-        .otherwise(F.col("n_before"))
-        .cast("long")
-        .alias("n_after"),
-    )
-    from ..io import detach_result
-
-    result = detach_result(spark, report)
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     return result
 

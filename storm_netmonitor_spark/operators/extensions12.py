@@ -317,7 +317,7 @@ def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals window. The cell labels are derived row-locally from cid —
     integers end to end outside the audited xent rational."""
     from .corpus import gopher_flags_frame
-    from .extensions7 import index_drift_tagged
+    from .extensions7 import drift_table_local
     from .extensions8 import _doc_split
 
     split = _doc_split(spark, sf_dir)
@@ -338,7 +338,20 @@ def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cid"),
         (F.col("doc_id") >= split).cast("int").alias("pop"),
     )
-    out = index_drift_tagged(cells, _GATE_CELLS)
+    # the ≤{_GATE_CELLS}-row census is a model scalar: collect it and
+    # compute the drift tail driver-side (drift_table_local — r14; the
+    # distributed cells-join + window + decimal tail was fixed plan
+    # cost per refresh for a 4-row table)
+    counts = cells.groupBy("cid").agg(
+        F.count(F.when(F.col("pop") == 0, 1)).alias("n_base"),
+        F.count(F.when(F.col("pop") == 1, 1)).alias("n_delta"),
+    ).collect()
+    out = drift_table_local(
+        spark,
+        {int(r["cid"]): int(r["n_base"]) for r in counts},
+        {int(r["cid"]): int(r["n_delta"]) for r in counts},
+        _GATE_CELLS,
+    )
     return out.select(
         "cid",
         (F.col("cid") >= 2).alias("gopher_keep"),
@@ -421,8 +434,11 @@ def stream_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
+        # no take(1) emptiness guard (r14): the staged delta stream
+        # delivers one NON-EMPTY batch per file, so the guard was a
+        # full extra Spark job per micro-batch; a hypothetical empty
+        # batch would land an empty-but-typed parquet the read-back
+        # glob tolerates
         scored = frozen_ppl_score(
             batch_df.select("doc_id", "text"), lm
         )

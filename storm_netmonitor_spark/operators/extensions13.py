@@ -387,9 +387,10 @@ def sink_orphan_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.5× its vanilla twin, all of it fixed per-job session overhead on a
     ~1 s wall): the child table scans EXACTLY ONCE — ``observe`` folds
     the total-row census into the quarantine write job instead of a
-    second full-scan ``count()`` — and the audit-trail read-back passes
-    the known schema so it never runs the footer-inference job. Two
-    jobs total (write, read-back), both required by the contract."""
+    second full-scan ``count()`` — and the quarantined count reads back
+    from the written files' parquet FOOTERS driver-side (r14: the
+    distributed read-back count job is gone). ONE Spark job total (the
+    quarantine write), which the contract requires."""
     from pyspark.sql import Observation
 
     o = load_table(spark, sf_dir, "orders")
@@ -406,7 +407,16 @@ def sink_orphan_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantined.write.mode("overwrite").parquet(out)
 
     n_total = int(obs.get["n_total"])
-    n_quar = spark.read.schema(quarantined.schema).parquet(out).count()
+    # quarantined count read back from the written files' parquet
+    # FOOTERS (r14 — the footer-ledger discipline of the two applies:
+    # the distributed count job re-scanned the landing it just wrote)
+    import pyarrow.parquet as pq
+
+    n_quar = sum(
+        pq.read_metadata(os.path.join(out, f)).num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     # the 2-row ledger is DRIVER-side arithmetic on the two distributed
     # counts — the exact dratio integer formula in python (identical

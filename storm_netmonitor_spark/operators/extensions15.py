@@ -350,8 +350,11 @@ def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
+        # no take(1) emptiness guard (r14): the staged delta stream
+        # delivers one NON-EMPTY batch per file (maxFilesPerTrigger=1,
+        # availableNow), so the guard was a full extra Spark job per
+        # micro-batch; a hypothetical empty batch would land an
+        # empty-but-typed parquet the read-back glob tolerates
         pii_report(batch_df).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )

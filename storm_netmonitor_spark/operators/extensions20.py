@@ -472,8 +472,11 @@ def stream_fano_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
+        # no take(1) emptiness guard (r14): the staged event stream
+        # delivers one NON-EMPTY batch per file, so the guard was a
+        # full extra Spark job per micro-batch (×{_FANO_BATCHES} here);
+        # a hypothetical empty batch would land an empty-but-typed
+        # parquet the _read_landed glob tolerates
         (
             batch_df.groupBy(
                 "event_type", F.date_trunc("minute", "ts").alias("m")

@@ -387,14 +387,25 @@ def vec_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists (:func:`base_routed_assignments` — the artifact the snapshot
     already maintains; nothing re-routes), derives the population label
     row-locally from vec_id, and folds ONE keyed exchange for the
-    census; totals ride a window over the census — whose size is pinned
-    at exactly K = {IVF_K} rows by construction, so the single window
-    partition is constant-bounded at any corpus size."""
+    ≤K-row census. The census is then COLLECTED (a model scalar — K
+    rows by construction, never data) and the drift tail computes
+    driver-side through :func:`drift_table_local` (r14 optimization:
+    the cells-join + unpartitioned-window + decimal tail was fixed
+    distributed plan cost per refresh for a {IVF_K}-row table)."""
     split = _embed_split(spark, sf_dir)
     routed = base_routed_assignments(spark, sf_dir, split).select(
         "cid", (F.col("vec_id") >= split).cast("int").alias("pop")
     )
-    return index_drift_tagged(routed, IVF_K)
+    counts = routed.groupBy("cid").agg(
+        F.count(F.when(F.col("pop") == 0, 1)).alias("n_base"),
+        F.count(F.when(F.col("pop") == 1, 1)).alias("n_delta"),
+    ).collect()
+    return drift_table_local(
+        spark,
+        {int(r["cid"]): int(r["n_base"]) for r in counts},
+        {int(r["cid"]): int(r["n_delta"]) for r in counts},
+        IVF_K,
+    )
 
 
 def index_drift_over(
@@ -498,6 +509,55 @@ def drift_from_census(
                 >= tot_b.cast(dec) * tot_d.cast(dec)
             )
         ).alias("drifted"),
+    )
+
+
+def drift_table_local(
+    spark: SparkSession,
+    base: dict[int, int],
+    delta: dict[int, int],
+    n_cells: int,
+    drift_den: int = _DRIFT_DEN,
+) -> DataFrame:
+    """KERNEL — :func:`drift_from_census` computed DRIVER-side from
+    collected census dicts (cid → count), shipped back as a VALUES
+    local relation (r14 optimization). The census is ≤ n_cells rows by
+    construction (a model scalar, never data), so the distributed tail
+    — cells left-join + unpartitioned window + decimal expressions —
+    was fixed plan/collect cost per refresh. Same ``_py_dratio``
+    half-away rounding, same exact integer cross-multiplication
+    (python ints are exact at any magnitude), same empty-population
+    guard; parity-pinned against the same oracles as the distributed
+    tail. Consumers: ``vec_index_drift``, ``text_profile_drift``, and
+    the §2.AK streaming census fold (``stream_index_drift``). The
+    distributed :func:`drift_from_census` stays as the library-kernel
+    shape for un-collected census frames."""
+    from ..io import tiny_local_frame
+    from .extensions13 import _py_dratio
+
+    tot_b = sum(base.values())
+    tot_d = sum(delta.values())
+    rows = []
+    for cid in range(n_cells):
+        nb, nd = base.get(cid, 0), delta.get(cid, 0)
+        rows.append(
+            (
+                cid,
+                nb,
+                nd,
+                _py_dratio(nb * 1_000_000, tot_b) if tot_b > 0 else None,
+                _py_dratio(nd * 1_000_000, tot_d) if tot_d > 0 else None,
+                tot_b > 0
+                and tot_d > 0
+                and abs(nd * tot_b - nb * tot_d) * drift_den
+                >= tot_b * tot_d,
+            )
+        )
+    return tiny_local_frame(
+        spark,
+        rows,
+        "cid int, n_base long, n_delta long, share_base double, "
+        "share_delta double, drifted boolean",
     )
 
 
@@ -623,8 +683,10 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
-        if not batch_df.take(1):
-            return
+        # no take(1) emptiness guard (r14): the staged delta stream
+        # delivers one NON-EMPTY batch per file, so the guard was a
+        # full extra Spark job per micro-batch; a hypothetical empty
+        # batch would fold zero bands and land empty-but-typed outputs
         batch_bands = minhash_band_rows(batch_df).localCheckpoint()
         folded = [standing, batch_bands]
         prior = [

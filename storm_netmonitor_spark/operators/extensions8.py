@@ -60,7 +60,6 @@ from ..registry import query
 from .extensions7 import (
     _embed_split,
     base_trained_cents,
-    index_drift_tagged,
     route_to_centroids,
     vec_index_drift_oracle,
 )
@@ -401,34 +400,10 @@ def stream_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in _pq.read_table(os.path.join(d_, f_)).to_pylist():
                     cid = int(r["cid"])
                     delta[cid] = delta.get(cid, 0) + int(r["n_delta"])
-    from ..io import tiny_local_frame
-    from .extensions7 import _DRIFT_DEN
-    from .extensions13 import _py_dratio
+    from .extensions7 import drift_table_local
 
-    base = {int(c): int(n) for c, n in base_census}
-    tot_b = sum(base.values())
-    tot_d = sum(delta.values())
-    rows = []
-    for cid in range(IVF_K):
-        nb, nd = base.get(cid, 0), delta.get(cid, 0)
-        rows.append(
-            (
-                cid,
-                nb,
-                nd,
-                _py_dratio(nb * 1_000_000, tot_b) if tot_b > 0 else None,
-                _py_dratio(nd * 1_000_000, tot_d) if tot_d > 0 else None,
-                tot_b > 0
-                and tot_d > 0
-                and abs(nd * tot_b - nb * tot_d) * _DRIFT_DEN
-                >= tot_b * tot_d,
-            )
-        )
-    result = tiny_local_frame(
-        spark,
-        rows,
-        "cid int, n_base long, n_delta long, share_base double, "
-        "share_delta double, drifted boolean",
+    result = drift_table_local(
+        spark, {int(c): int(n) for c, n in base_census}, delta, IVF_K
     )
     import shutil
 
@@ -515,15 +490,29 @@ def text_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: one codegen'd scan (token count via row-local
     ``split``/``filter`` size, character counts via ``regexp_replace``
-    length — no explode, no Python), one {_PROFILE_CELLS}-row keyed
-    exchange, and the constant-bounded census window. Pure JVM end to
-    end — the cheapest monitor in the family."""
+    length — no explode, no Python) and one {_PROFILE_CELLS}-row keyed
+    exchange. The census is then COLLECTED (a model scalar —
+    {_PROFILE_CELLS} rows by construction, never data) and the drift
+    tail computes driver-side through ``drift_table_local`` (r14
+    optimization: the cells-join + window + decimal tail was fixed
+    distributed plan cost per refresh for a bounded table)."""
+    from .extensions7 import drift_table_local
+
     d = load_table(spark, sf_dir, "documents")
     split = _doc_split(spark, sf_dir)
     buck = profile_cells(d).select(
         "cid", (F.col("doc_id") >= split).cast("int").alias("pop")
     )
-    return index_drift_tagged(buck, _PROFILE_CELLS)
+    counts = buck.groupBy("cid").agg(
+        F.count(F.when(F.col("pop") == 0, 1)).alias("n_base"),
+        F.count(F.when(F.col("pop") == 1, 1)).alias("n_delta"),
+    ).collect()
+    return drift_table_local(
+        spark,
+        {int(r["cid"]): int(r["n_base"]) for r in counts},
+        {int(r["cid"]): int(r["n_delta"]) for r in counts},
+        _PROFILE_CELLS,
+    )
 
 
 def profile_cells(d: DataFrame) -> DataFrame:

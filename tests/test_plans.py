@@ -741,18 +741,11 @@ _GLOBAL_WINDOW_OK = {
     "(TakeOrderedAndProject feeds the rank/cum windows; round-8 rework)",
     "ts_sla_burn_rate": "O(hours) error-rate census (range frame over "
     "the hourly rollup)",
-    "text_profile_drift": "totals window over the bucket census, pinned "
-    "at exactly 160 rows by the fixed cells frame regardless of corpus "
-    "size (same index_drift_tagged kernel as vec_index_drift)",
-    "vec_index_drift": "totals window over the census, pinned at "
-    "exactly K=16 rows by the cells left-join regardless of corpus size",
-    "vec_ivf_cell_retrain": "inherits vec_index_drift's K=16-row census "
-    "window through the composed drift decision (the internal execution "
-    "of the registered drift op inside the repair call)",
-    "quality_gate_drift": "totals window over the gate-outcome census, "
-    "pinned at exactly 4 rows (2×2 gopher×ppl cells) by the cells "
-    "left-join regardless of corpus size (the index_drift_tagged "
-    "bounded class)",
+    # (r14 optimization: the vec_index_drift / text_profile_drift /
+    # quality_gate_drift totals windows — and vec_ivf_cell_retrain's
+    # inherited copy — are gone: the bounded censuses collect and the
+    # drift tail computes driver-side via drift_table_local, so those
+    # ops no longer plan an unpartitioned window at all)
 }
 
 

@@ -63,6 +63,9 @@ _AUDITED_COLLECT_SITES = {
         "_embed_split": 1,
         "base_trained_cents": 1,
         "stream_minhash_index_merge": 1,
+        # r14: the ≤K-row drift census (model-scalar class) collects so
+        # the drift tail computes driver-side (drift_table_local)
+        "vec_index_drift": 1,
     },
     # §2.AO staged batch (round 15): _vec_split is ONE scalar max over
     # vec_id — the embeddings twin of _doc_split (split-point class)
@@ -84,6 +87,9 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions8.py": {
         "_doc_split": 1,
         "stream_index_drift": 1,
+        # r14: the ≤{_PROFILE_CELLS}-row census collect feeding the
+        # driver-side drift tail (drift_table_local)
+        "text_profile_drift": 1,
     },
     # §2.Z staged batch: vec_ann_recall collects the Q-row query block
     # (Q=10 vectors — the vec_ann_ivf single-query-fetch precedent,
@@ -103,8 +109,12 @@ _AUDITED_COLLECT_SITES = {
     },
     # §2.AC staged batch: stream_gate_scores collects the drained scored
     # table to detach it from the temp sink before rmtree (the
-    # stream_ann_serve / stream_index_drift result-detach precedent)
-    "operators/extensions12.py": {},
+    # stream_ann_serve / stream_index_drift result-detach precedent).
+    # r14: quality_gate_drift's ≤4-row gate-cell census collects so the
+    # drift tail computes driver-side (drift_table_local)
+    "operators/extensions12.py": {
+        "quality_gate_drift": 1,
+    },
     # §2.AD staged batch (round-13 candidates): the applies collect
     # (a) the plan's work-list — O(partitions), the scheduler's own
     # list, bounded by the calendar — and (b) the final ledger to
