@@ -331,7 +331,6 @@ _PREBUILT = {
     "text_ppl_frozen_score": vanilla_score(
         DOCS.filter(F.col("doc_id") >= D_SPLIT)
     ),
-    "quality_gate_drift": _build_quality_gate_drift(),
 }
 
 
@@ -343,7 +342,16 @@ t_plan_incremental_backfill = _collector("plan_incremental_backfill")
 t_plan_compaction = _collector("plan_compaction")
 t_audit_referential_integrity = _collector("audit_referential_integrity")
 t_text_ppl_frozen_score = _collector("text_ppl_frozen_score")
-t_quality_gate_drift = _collector("quality_gate_drift")
+
+
+# r14 measurement-method parity: the engine's quality_gate_drift moved
+# into bench RERUN_FULL (censuses collected during DataFrame
+# construction, K-row drift tail computed driver-side, local-relation
+# return), so its twin now REBUILDS per sample — vanilla full
+# lifecycle: gate-plan construction, the totals collect, the final
+# collect — matching the engine's timed region.
+def t_quality_gate_drift():
+    return _build_quality_gate_drift().collect()
 
 
 _gate_docs = DOCS.filter(F.col("doc_id") >= D_SPLIT)
@@ -392,6 +400,14 @@ TWINS = {
     "quality_gate_drift": t_quality_gate_drift,
     "stream_gate_scores": t_stream_gate_scores,
 }
+
+# `--only=a,b` re-measures a subset (merge the emitted rows into the
+# committed sidecar by hand) — staging still runs, the measure loop
+# shrinks; used for the r14 method-parity re-measurement.
+_only = [a for a in sys.argv[2:] if a.startswith("--only=")]
+if _only:
+    keep = set(_only[0].split("=", 1)[1].split(","))
+    TWINS = {k: v for k, v in TWINS.items() if k in keep}
 
 rows = {}
 for name, fn in TWINS.items():
