@@ -54,6 +54,7 @@ from .extensions11 import (
     _BF_STALE_FROM,
     _BF_STALE_TO,
     _BF_WATERMARK,
+    _CPT_TARGET_ROWS,
     compaction_bin_map,
     plan_incremental_backfill,
 )
@@ -260,11 +261,14 @@ def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives: each bin holds whole, consecutive hours.
 
     Plan shape (r14 optimization): the bin map is bounded by the
-    calendar (O(dates × 24) rows) and its census scans only the
-    layout's PARTITION columns (``ReadSchema: struct<>`` — footer row
-    counts, no data deserialized), so it is collected ONCE and shipped
-    back as a broadcast VALUES relation — the write job no longer
-    re-executes the census+window subtree to build its broadcast side.
+    calendar (O(dates × 24) rows) and is derived DRIVER-side from the
+    layout's parquet footers (one file per (date, hour) by the layout's
+    construction, so each footer ``num_rows`` is the hour census; the
+    census job this replaces scanned zero data columns but still paid a
+    listing + scan stage + (date,hr) shuffle + window + collect), then
+    shipped to the write join as a broadcast VALUES relation — the
+    write job never re-executes a census+window subtree to build its
+    broadcast side.
     The ledger's ``n_rows`` then comes from the written bins' parquet
     FOOTERS (each bin is exactly one file; its footer ``num_rows`` is
     the authoritative written count — still "read back from the
@@ -273,7 +277,8 @@ def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect the ledger previously paid (guide §2.4/§6 — the only
     remaining distributed work is the one genuine O(corpus) rewrite
     with its single keyed exchange)."""
-    src = spark.read.parquet(_hourly_layout_dir(spark, sf_dir)).select(
+    layout = _hourly_layout_dir(spark, sf_dir)
+    src = spark.read.parquet(layout).select(
         F.col("event_date").cast("string").alias("event_date"),
         F.col("hr").cast("int").alias("hr"),
         "event_id",
@@ -283,12 +288,40 @@ def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..io import tiny_local_frame
 
-    bin_rows = [
-        (r["event_date"], int(r["hr"]), int(r["bin_id"]))
-        for r in compaction_bin_map(src.select("event_date", "hr"))
-        .select("event_date", "hr", "bin_id")
-        .collect()
-    ]
+    # bin map derived driver-side from the LAYOUT's parquet footers
+    # (r14, second pass): the census job this replaces scanned zero
+    # data columns (ReadSchema: struct<>) but still paid a full file
+    # listing + scan stage + the (date,hr) shuffle + window + collect.
+    # The layout is one file per (date, hr) by construction
+    # (repartition(event_date, hr) + partitionBy — the same identity
+    # the ledger's footer counts already rely on), so each footer's
+    # num_rows IS the hour's row count, and the bin boundary is the
+    # identical integer arithmetic (running rows before the hour,
+    # div target) run over O(dates × 24) footer reads. Equality with
+    # the registered plan_compaction is pinned by
+    # test_compaction_apply_matches_the_plan.
+    import pyarrow.parquet as pq
+
+    bin_rows = []
+    for date_dir in sorted(os.listdir(layout)):
+        if not date_dir.startswith("event_date="):
+            continue
+        date = date_dir.split("=", 1)[1]
+        hours: list[tuple[int, int]] = []
+        for hr_dir in os.listdir(os.path.join(layout, date_dir)):
+            if not hr_dir.startswith("hr="):
+                continue
+            d = os.path.join(layout, date_dir, hr_dir)
+            n = sum(
+                pq.read_metadata(os.path.join(d, f)).num_rows
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+            hours.append((int(hr_dir.split("=", 1)[1]), n))
+        running = 0
+        for hr, n in sorted(hours):
+            bin_rows.append((date, hr, running // _CPT_TARGET_ROWS))
+            running += n
     bins = tiny_local_frame(
         spark, bin_rows, "event_date string, hr int, bin_id bigint"
     )
@@ -304,8 +337,6 @@ def sink_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file-count identity from the REAL output layout and row counts
     # from the written files' footers (both bounded by the plan size —
     # O(bins) directory entries and footer reads, never data)
-    import pyarrow.parquet as pq
-
     max_files = 0
     n_rows_by_bin: dict[tuple[str, int], int] = {}
     for date_dir in sorted(os.listdir(out)):

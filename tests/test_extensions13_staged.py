@@ -218,13 +218,14 @@ def test_apply_job_counts_are_bounded(spark):
     map — each apply must run a BOUNDED number of Spark jobs (census +
     rewrite only; no distributed read-back of its own output, no
     per-partition jobs, no repeated plan actions). Warm job counts
-    measured 7 (compaction, was 12) and 9 (backfill, was 19); the caps
-    leave AQE headroom while still failing if a read-back returns."""
+    measured 4 (compaction, was 12 then 7 — the footer-derived bin map
+    removed the census job) and 9 (backfill, was 19); the caps leave
+    AQE headroom while still failing if a read-back returns."""
     from storm_netmonitor_spark.operators import extensions13 as e13
 
     sc = spark.sparkContext
     for fn, cap in (
-        (e13.sink_compaction_apply, 9),
+        (e13.sink_compaction_apply, 6),
         (e13.sink_backfill_apply, 13),
     ):
         fn(spark, SF).collect()  # warm the staged layouts/session memos
