@@ -777,7 +777,10 @@ def _symmetrized(edges: DataFrame) -> DataFrame:
             )
         )
         .distinct()
-        .localCheckpoint()
+        # LAZY: round 1's fused propagate+count job materializes the
+        # edge blocks (one job fewer per CC call); rounds ≥ 2 read the
+        # pinned blocks exactly as with the eager form
+        .localCheckpoint(eager=False)
     )
 
 
@@ -820,7 +823,14 @@ def connected_components(
                     < F.col("component")
                 ).alias("changed"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint: the convergence count below is the job
+            # that materializes it, so each round runs ONE Spark job
+            # (propagate+checkpoint+count fused) instead of two — the
+            # eager-checkpoint-then-count split paid a full extra job
+            # per round across every CC consumer (r14 optimization).
+            # Lineage truncation is identical: the checkpointed blocks
+            # are pinned by the count's execution.
+            .localCheckpoint(eager=False)
         )
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("doc_id", "component")

@@ -276,11 +276,16 @@ def dedup_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir=sf_dir,
     )
 
+    # the three state frames below lazy-checkpoint: the CC fold's first
+    # job materializes the whole chain (affected → members → sub_pairs)
+    # in one pass, where the eager form paid one staging job each; the
+    # LAST_RETRACT_STATS counts then read the pinned blocks (r14
+    # optimization, one arithmetic unchanged)
     affected = (
         full_labels.filter(F.col("doc_id") >= split)
         .select("component")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # pass-through: every label in a component that lost nobody
     untouched = full_labels.join(
@@ -293,7 +298,7 @@ def dedup_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         full_labels.join(affected, "component")
         .filter(F.col("doc_id") < split)
         .select("doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sub_pairs = (
         full_pairs.filter(
@@ -301,7 +306,7 @@ def dedup_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(members.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     resolved = connected_components(members, sub_pairs)
     LAST_RETRACT_STATS.clear()

@@ -95,7 +95,28 @@ def _frozen_lm(spark: SparkSession, sf_dir: str, split: int) -> DataFrame:
     )
 
 
-def frozen_ppl_score(docs: DataFrame, lm: DataFrame) -> DataFrame:
+def _frozen_lm_total(spark: SparkSession, sf_dir: str, split: int) -> int:
+    """The frozen LM's token-count scalar — ONE 8-byte model scalar,
+    session-memoized beside the lm artifact (the _doc_split class), so
+    repeated scoring runs (and every micro-batch of the streaming gate)
+    attach it as a literal instead of re-aggregating + re-broadcasting
+    the 1-row frame per invocation (r14 optimization)."""
+
+    def fetch() -> int:
+        lm = _frozen_lm(spark, sf_dir, split)
+        return int(lm.agg(F.max("total").alias("t")).collect()[0]["t"])
+
+    return session_memo(
+        spark,
+        ("ppl_frozen_lm_total", os.path.abspath(sf_dir), split),
+        fetch,
+        sf_dir=sf_dir,
+    )
+
+
+def frozen_ppl_score(
+    docs: DataFrame, lm: DataFrame, total: int | None = None
+) -> DataFrame:
     """KERNEL — score a ``(doc_id, text)`` frame against a frozen
     ``(w, cw, total)`` unigram LM: per-doc exact-rational cross-entropy
     with the 1/total pseudo-count for out-of-vocabulary tokens, OOV
@@ -126,16 +147,24 @@ def frozen_ppl_score(docs: DataFrame, lm: DataFrame) -> DataFrame:
     # OOV pseudo-count: an unseen token takes cw = 1 of the standing
     # total (the add-nothing floor — deterministic, engine-identical).
     # `total` rides the lm frame and is therefore NULL on OOV rows, so
-    # the scalar is re-attached to EVERY row via the 1-row broadcast
-    # below — all-OOV docs score correctly too (property-tested:
-    # their xent is exactly ln total).
+    # the scalar is re-attached to EVERY row — all-OOV docs score
+    # correctly too (property-tested: their xent is exactly ln total).
+    # Callers scoring against a MAINTAINED lm pass the session-memoized
+    # scalar (r14 optimization: the 1-row aggregate + broadcast per
+    # invocation — per micro-batch in the streaming gate — becomes a
+    # literal; the division is the same long→double coercion, so every
+    # emitted number is bit-identical).
     term = F.col("c") * -F.log(
         F.coalesce(F.col("cw"), F.lit(1)).cast("double")
         / F.col("tot")
     )
-    tot_row = lm.select(F.max("total").alias("tot"))
+    if total is not None:
+        joined = joined.withColumn("tot", F.lit(int(total)).cast("long"))
+    else:
+        tot_row = lm.select(F.max("total").alias("tot"))
+        joined = joined.crossJoin(F.broadcast(tot_row))
     scored = (
-        joined.crossJoin(F.broadcast(tot_row))
+        joined
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
@@ -235,7 +264,9 @@ def text_ppl_frozen_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") >= split
     )
-    return frozen_ppl_score(delta, lm)
+    return frozen_ppl_score(
+        delta, lm, _frozen_lm_total(spark, sf_dir, split)
+    )
 
 # ---------------------------------------------------------------------------
 # quality_gate_drift — gate-outcome census drift, standing vs delta
@@ -323,7 +354,9 @@ def quality_gate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = _doc_split(spark, sf_dir)
     lm = _frozen_lm(spark, sf_dir, split)
     d = load_table(spark, sf_dir, "documents")
-    scores = frozen_ppl_score(d, lm).select(
+    scores = frozen_ppl_score(
+        d, lm, _frozen_lm_total(spark, sf_dir, split)
+    ).select(
         "doc_id", F.col("keep").alias("pk")
     )
     gop = gopher_flags_frame(spark, sf_dir).select(
@@ -409,6 +442,7 @@ def stream_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     split = _doc_split(spark, sf_dir)
     lm = _frozen_lm(spark, sf_dir, split)
+    lm_total = _frozen_lm_total(spark, sf_dir, split)
 
     def build_stream(dir_: str) -> str:
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
@@ -440,7 +474,7 @@ def stream_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch would land an empty-but-typed parquet the read-back
         # glob tolerates
         scored = frozen_ppl_score(
-            batch_df.select("doc_id", "text"), lm
+            batch_df.select("doc_id", "text"), lm, lm_total
         )
         scored.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")

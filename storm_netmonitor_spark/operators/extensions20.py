@@ -477,6 +477,16 @@ def stream_fano_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         # full extra Spark job per micro-batch (×{_FANO_BATCHES} here);
         # a hypothetical empty batch would land an empty-but-typed
         # parquet the _read_landed glob tolerates
+        #
+        # negative result, kept on purpose (r14 optimization): a
+        # single-stage mapInArrow PARTIAL census (per-partition pyarrow
+        # group_by on the integer µs minute bucket, summed at the
+        # drain-end fold — additive, value-identical) was TRIED and
+        # measured p50 390 ms/batch vs 259 ms for this two-stage
+        # groupBy → Exchange → write — the per-batch Python-runner
+        # round trip costs more than the tiny census exchange it
+        # removes (guide §1.1's "ideal plan loses to the gotcha", the
+        # drift-census codegen-twin precedent)
         (
             batch_df.groupBy(
                 "event_type", F.date_trunc("minute", "ts").alias("m")

@@ -626,8 +626,13 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _with_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    split = (int(max_id) + 1) * _MERGE_SPLIT_NUM // _MERGE_SPLIT_DEN
+    # the split point is the session-memoized scalar every §2.W/§2.X/§2.Y
+    # consumer shares — the inline MAX(doc_id) collect was one extra Spark
+    # job per rebuilt sample (r14 optimization; extensions8._doc_split is
+    # the same key, so the batch merge and CC folds hit the same memo)
+    from .extensions8 import _doc_split
+
+    split = _doc_split(spark, sf_dir)
 
     # standing index: THE SAME artifact the registered batch merge stages
     base_docs = d.filter(F.col("doc_id") < split)
@@ -678,8 +683,20 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_dir = tempfile.mkdtemp(prefix="nm_merge_out_")
-    idx_dir = tempfile.mkdtemp(prefix="nm_merge_idx_")
     LAST_MERGE_BATCH_WALLS.clear()
+    # the fold state: the already-materialized band frames of the folded
+    # batches, keyed by batch_id. localCheckpoint pins each batch's bands
+    # on the executors, so folding is a union of cached frames — the
+    # previous parquet round-trip (write job + per-batch listing/scan of
+    # the fold directory) was 2 extra jobs' worth of work per micro-batch
+    # for state this op deletes at drain end anyway (r14 optimization,
+    # guide §2.4/§5). Retry-idempotence is unchanged: a batch folds into
+    # the dict ONLY after its pairs are out, and a batch_id re-delivery
+    # overwrites its own slot, so a retry sees the same prior state the
+    # parquet read-back gave it. (At 100 TB the fold state is the standing
+    # index's own bucketed table — this dict is the micro-batch-scale
+    # stand-in, exactly like the temp dir it replaces.)
+    folded_bands: dict[int, DataFrame] = {}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.perf_counter()
@@ -688,17 +705,11 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # full extra Spark job per micro-batch; a hypothetical empty
         # batch would fold zero bands and land empty-but-typed outputs
         batch_bands = minhash_band_rows(batch_df).localCheckpoint()
-        folded = [standing, batch_bands]
-        prior = [
-            os.path.join(idx_dir, n)
-            for n in sorted(os.listdir(idx_dir))
-            if n.startswith("batch_id=")
-        ]
-        if prior:
-            folded.append(spark.read.parquet(*prior))
-        index = folded[0]
-        for fr in folded[1:]:
-            index = index.unionByName(fr)
+        index = standing
+        for bid in sorted(folded_bands):
+            if bid != batch_id:  # a retried batch must not see itself
+                index = index.unionByName(folded_bands[bid])
+        index = index.unionByName(batch_bands)
         # one merge step, two execution modes: the shared kernels keep the
         # candidate dedup, threshold, and rounding identical to the
         # registered batch merge (their test-pinned equivalence depends
@@ -709,15 +720,15 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # fold the batch into the index ONLY after its pairs are out —
         # a retry re-reads the same prior index state (idempotent)
-        batch_bands.write.mode("overwrite").parquet(
-            os.path.join(idx_dir, f"batch_id={batch_id}")
-        )
+        folded_bands[batch_id] = batch_bands
         LAST_MERGE_BATCH_WALLS.append(_time.perf_counter() - t0)
 
     q = (
-        spark.readStream.schema(
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-        )
+        # the staged delta files are pyarrow rewrites of the documents
+        # table, so the already-loaded frame's schema IS the stream's
+        # read schema (the previous spark.read.parquet(...) paid a
+        # second driver-side footer read per rebuilt sample)
+        spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
         .writeStream.foreachBatch(merge_batch)
@@ -734,8 +745,8 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import detach_result
 
     result = detach_result(spark, out)
+    folded_bands.clear()  # checkpoint blocks release via the ContextCleaner
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(idx_dir, ignore_errors=True)
     return result

@@ -239,14 +239,24 @@ def dedup_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = labels.filter(F.col("component") != F.col("doc_id")).select(
         F.col("component").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
-    edges = star.unionByName(
-        delta_pairs.select("doc_a", "doc_b")
-    ).localCheckpoint()
+    # ONE staging job (r14 optimization): the tagged union lazy-
+    # checkpoints and the fold-size aggregate below both materializes
+    # it and computes BOTH identity counters — the eager checkpoint
+    # plus two separate count() actions were three jobs for the same
+    # information
+    tagged = star.withColumn("is_star", F.lit(True)).unionByName(
+        delta_pairs.select("doc_a", "doc_b").withColumn(
+            "is_star", F.lit(False)
+        )
+    ).localCheckpoint(eager=False)
+    n_total, n_star = tagged.agg(
+        F.count(F.lit(1)), F.sum(F.col("is_star").cast("long"))
+    ).collect()[0]
     LAST_CC_FOLD_EDGES.clear()
-    LAST_CC_FOLD_EDGES.extend(
-        (star.count(), edges.count() - star.count())
+    LAST_CC_FOLD_EDGES.extend((int(n_star or 0), int(n_total) - int(n_star or 0)))
+    return connected_components(
+        d.select("doc_id"), tagged.select("doc_a", "doc_b")
     )
-    return connected_components(d.select("doc_id"), edges)
 
 
 # ---------------------------------------------------------------------------

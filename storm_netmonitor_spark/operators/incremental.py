@@ -192,9 +192,31 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(path)
         _IJV_CACHE[key] = path
     state = spark.read.parquet(_IJV_CACHE[key])
-    t_db = _rev_partials(do.join(bl, do["o_orderkey"] == bl["l_orderkey"]))
-    t_bd = _rev_partials(bo.join(dl, bo["o_orderkey"] == dl["l_orderkey"]))
-    t_dd = _rev_partials(do.join(dl, do["o_orderkey"] == dl["l_orderkey"]))
+
+    # ONE aggregate over the unioned joined ROWS of the three delta
+    # terms (r14 optimization, guide §2.4): the per-term _rev_partials
+    # each planned partial-agg → Exchange → final-agg before the merge's
+    # own exchange (4 exchanges/refresh); emitting (priority, 1, rev)
+    # rows instead lets the single groupBy's map-side partials do the
+    # identical reduction with ONE exchange. Decimal addition is exact
+    # and associative, so the merged sums are bit-identical to the
+    # partial-then-merge rendering (the _rev_partials docstring's own
+    # algebra); the base term still persists through _rev_partials.
+    def _rev_rows(j: DataFrame) -> DataFrame:
+        rev = (
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .cast(_DEC)
+        )
+        return j.select(
+            "o_orderpriority",
+            F.lit(1).cast("long").alias("n_lines"),
+            rev.cast("decimal(38,6)").alias("rev_dec"),
+        )
+
+    t_db = _rev_rows(do.join(bl, do["o_orderkey"] == bl["l_orderkey"]))
+    t_bd = _rev_rows(bo.join(dl, bo["o_orderkey"] == dl["l_orderkey"]))
+    t_dd = _rev_rows(do.join(dl, do["o_orderkey"] == dl["l_orderkey"]))
     merged = (
         state.unionByName(t_db).unionByName(t_bd).unionByName(t_dd)
         .groupBy("o_orderpriority")

@@ -62,7 +62,10 @@ _AUDITED_COLLECT_SITES = {
     "operators/extensions7.py": {
         "_embed_split": 1,
         "base_trained_cents": 1,
-        "stream_minhash_index_merge": 1,
+        # (r14 optimization: stream_minhash_index_merge's inline
+        # max-doc-id collect moved to the shared session-memoized
+        # extensions8._doc_split — the split scalar is fetched once per
+        # session instead of once per rebuilt sample)
         # r14: the ≤K-row drift census (model-scalar class) collects so
         # the drift tail computes driver-side (drift_table_local)
         "vec_index_drift": 1,
@@ -90,6 +93,12 @@ _AUDITED_COLLECT_SITES = {
         # r14: the ≤{_PROFILE_CELLS}-row census collect feeding the
         # driver-side drift tail (drift_table_local)
         "text_profile_drift": 1,
+        # r14 optimization: the fold-size identity counters
+        # (star/delta edge counts — two 8-byte integers) collect in ONE
+        # aggregate that doubles as the tagged edge frame's lazy-
+        # checkpoint materialization (was an eager checkpoint plus two
+        # count() actions — three jobs for the same scalars)
+        "dedup_components_merge": 1,
     },
     # §2.Z staged batch: vec_ann_recall collects the Q-row query block
     # (Q=10 vectors — the vec_ann_ivf single-query-fetch precedent,
@@ -114,6 +123,11 @@ _AUDITED_COLLECT_SITES = {
     # drift tail computes driver-side (drift_table_local)
     "operators/extensions12.py": {
         "quality_gate_drift": 1,
+        # r14 optimization: the frozen LM's token-count total — ONE
+        # 8-byte model scalar, session-memoized so scoring attaches it
+        # as a literal instead of re-aggregating + re-broadcasting the
+        # 1-row frame per invocation (per micro-batch in the gate)
+        "_frozen_lm_total": 1,
     },
     # §2.AD staged batch (round-13 candidates): the applies collect
     # (a) the plan's work-list — O(partitions), the scheduler's own
@@ -131,9 +145,12 @@ _AUDITED_COLLECT_SITES = {
     # relation and the driver-side footer ledger; the ledgers
     # themselves now come from written-file footer metadata, so the
     # distributed read-back collects are gone)
+    # (r14 optimization, second pass: sink_compaction_apply's bin-map
+    # collect is gone too — the (date, hour) census now derives from
+    # the hourly layout's parquet FOOTERS driver-side, so the op's only
+    # remaining collect-class action is the shared footer-ledger read)
     "operators/extensions13.py": {
         "sink_backfill_apply": 1,
-        "sink_compaction_apply": 1,
     },
     # §2.AE staged batch: vec_rank_metrics collects the Q-row query
     # block (the vec_ann_recall precedent — driver-side probe-rank math
