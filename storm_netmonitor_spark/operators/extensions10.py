@@ -276,11 +276,16 @@ def dedup_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir=sf_dir,
     )
 
-    # the three state frames below lazy-checkpoint: the CC fold's first
-    # job materializes the whole chain (affected → members → sub_pairs)
-    # in one pass, where the eager form paid one staging job each; the
-    # LAST_RETRACT_STATS counts then read the pinned blocks (r14
-    # optimization, one arithmetic unchanged)
+    # the three state frames lazy-checkpoint and their
+    # LAST_RETRACT_STATS counts are the jobs that MATERIALIZE them, in
+    # dependency order BEFORE the CC fold consumes them (r14
+    # optimization): the eager form paid a staging job each PLUS the
+    # three count jobs; fusing count-with-materialization halves that.
+    # Ordering matters — `sub_pairs` must be pinned before
+    # `_symmetrized`'s edges ∪ edges.swap union reads it twice, or the
+    # full_pairs verification pipeline would execute once per branch
+    # (measured: the count-after-CC rendering recomputed the chain in
+    # round 1's diamond and read ~2× the eager wall).
     affected = (
         full_labels.filter(F.col("doc_id") >= split)
         .select("component")
@@ -308,10 +313,12 @@ def dedup_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
-    resolved = connected_components(members, sub_pairs)
     LAST_RETRACT_STATS.clear()
+    n_affected = affected.count()  # materializes affected
+    n_sub_pairs = sub_pairs.count()  # materializes members + sub_pairs
+    resolved = connected_components(members, sub_pairs)
     LAST_RETRACT_STATS.extend(
-        (affected.count(), untouched.count(), sub_pairs.count())
+        (n_affected, untouched.count(), n_sub_pairs)
     )
     return untouched.unionByName(resolved)
 
