@@ -518,7 +518,7 @@ def stream_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_cells,
         serve_topk_plan,
     )
-    from .vectors import _dot_arrays, ivf_index
+    from .vectors import ivf_index
 
     corpus, cents = ivf_index(spark, sf_dir)
     cells = _ivf_cells(spark, sf_dir)
@@ -567,15 +567,28 @@ def stream_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("qid").orderBy(
             F.desc("cos_sim"), F.asc("vec_id")
         )
+        # exact-side sims feed the RANK CUT only (no sim value is
+        # emitted — the output is integer hits + a dratio rational), so
+        # the dot is a plain double fold: the measured top-k cut margin
+        # is 2.0e-5 at sf0.1 / 2.4e-4 at sf0.01 (margin_audit §2.AE
+        # row), ten orders above double accumulation noise (~1e-13) —
+        # the vec_ann_recall / vec_matryoshka_recall precedent. The
+        # decimal _dot_arrays discipline stays on the SERVED side
+        # (serve_topk_plan, the registered serve path) and on every op
+        # that EMITS the value. (r14 optimization: the decimal
+        # aggregate was the exact pass's per-batch hot loop.)
+        fdot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("qvec"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         exact = (
             corpus.join(F.broadcast(qframe), F.lit(True))
-            .select(
-                "qid",
-                "vec_id",
-                _dot_arrays(F.col("embedding"), F.col("qvec")).alias(
-                    "cos_sim"
-                ),
-            )
+            .select("qid", "vec_id", fdot.alias("cos_sim"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= STREAM_ANN_TOPK)
             .select("qid", "vec_id")

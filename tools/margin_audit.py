@@ -444,6 +444,31 @@ def audit(sf_dir: str) -> list[tuple[str, str, float, bool]]:
                  "decimal-6 quantum)",
                  mat_margin, mat_margin >= 2e-6))
 
+    # --- §2.AE stream_serve_recall: exact-side rank-k cut margin ----------
+    # r14 optimization switched the monitor's EXACT side to a plain
+    # double fold (sims feed the top-k cut only; hits are integers), so
+    # the per-query gap between the k-th and (k+1)-th exact sim must
+    # clear double accumulation noise. The served side stays decimal
+    # (the registered serve path). Corpus framing mirrors ivf_index:
+    # vec_id <> 0; queries = STREAM_ANN_QUERY_IDS (self-match included,
+    # exactly like the op's cross join).
+    from storm_netmonitor_spark.operators.extensions6 import (
+        STREAM_ANN_QUERY_IDS,
+        STREAM_ANN_TOPK,
+    )
+
+    srv_corpus = emb_all[vid != 0]
+    srv_q = emb_all[np.isin(vid, list(STREAM_ANN_QUERY_IDS))]
+    sdots = srv_corpus @ srv_q.T  # (N, Q)
+    stop = -np.sort(-sdots, axis=0)
+    srv_margin = float(
+        (stop[STREAM_ANN_TOPK - 1] - stop[STREAM_ANN_TOPK]).min()
+    )
+    rows.append(("stream_serve_recall",
+                 "min per-query float gap at the exact-side rank-k "
+                 "boundary (double-fold sims feed the cut only)",
+                 srv_margin, srv_margin >= FLOOR))
+
     # --- §2.AN geometry censuses (staged round-15): plain double-fold
     # sims feed RANK picks (top-2 / top-k membership) and centi-wide
     # FLOOR bands only, so the decisions must clear float accumulation
