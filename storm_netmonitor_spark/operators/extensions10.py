@@ -129,10 +129,10 @@ def sink_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from ..io import tiny_local_frame
-    from .scans import partitioned_events_path
+    from .scans import partitioned_events_frame, partitioned_events_path
 
     src = partitioned_events_path(spark, sf_dir)
-    back = spark.read.parquet(src)
+    back = partitioned_events_frame(spark, sf_dir)
 
     def _footer_counts(layout: str) -> dict[str, int]:
         # per-date row counts from the date-partitioned layout's parquet

@@ -148,7 +148,9 @@ def sink_backfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ledger_ddl,
         )
 
-    src = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    from .scans import partitioned_events_frame
+
+    src = partitioned_events_frame(spark, sf_dir)
     out = os.path.join(tempfile.mkdtemp(prefix="nm_bf_apply_"), "applied")
     (
         src.filter(F.col("event_date").cast("string").isin(work))

@@ -179,7 +179,9 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day-of-month ≡ 3 mod 10) — derived from the source, as a real
     dimension table would be, so the set of surviving dates is a runtime
     artifact the planner cannot constant-fold."""
-    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    from .scans import partitioned_events_frame
+
+    fact = partitioned_events_frame(spark, sf_dir)
     dim = (
         load_table(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("event_date"))

@@ -135,6 +135,27 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     return _PART_SINK_CACHE[key]
 
 
+def partitioned_events_frame(spark: SparkSession, sf_dir: str):
+    """Session-memoized FRAME HANDLE over the staged date-partitioned
+    events layout (r14 optimization): the rebuilt-per-sample consumers
+    (backfill apply, targeted delete, the DPP probe) each paid a fresh
+    partition-discovery listing + schema inference per refresh for a
+    layout that is a static staged fixture. No data is cached — only
+    the listing/schema work is skipped (the guide §6 manifest-beats-
+    listing point; production reads the file list from the table
+    format's manifest). Each consumer still plans its own query over
+    the handle, so pruning/DPP behave exactly as before."""
+    from ..io import session_memo
+
+    path = partitioned_events_path(spark, sf_dir)
+    return session_memo(
+        spark,
+        ("partitioned_events_frame", path),
+        lambda: spark.read.parquet(path),
+        sf_dir=sf_dir,
+    )
+
+
 @query(
     "sink_parquet_partitioned",
     oracle=f"""
