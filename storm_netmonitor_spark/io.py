@@ -450,6 +450,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def raw_table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Session-memoized RAW parquet schema of one testdata table — the
+    read schema the streaming ops hand to ``readStream.schema(...)``
+    (their staged micro-batch files are pyarrow µs rewrites of the raw
+    table, so the raw schema IS the stream's schema; only ``events``
+    carries the nanos shim, and no stream reads it raw). Each drained
+    op used to pay a fresh relation-resolution + footer read per
+    rebuilt sample just to fetch this constant (r14 optimization)."""
+    return session_memo(
+        spark,
+        ("raw_table_schema", table_path(sf_dir, name)),
+        lambda: spark.read.parquet(table_path(sf_dir, name)).schema,
+        sf_dir=sf_dir,
+    )
+
+
 def scatter(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition to core count — parallelize heavy row-local
     work over a scan Spark cannot split.

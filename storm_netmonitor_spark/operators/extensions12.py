@@ -44,7 +44,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dec_scaled, dec_scaled_sql, dratio, dratio_sql
-from ..io import disk_artifact_frame, load_table, session_memo
+from ..io import (
+    disk_artifact_frame,
+    load_table,
+    raw_table_schema,
+    session_memo,
+)
 from ..registry import query
 
 #: The corpus split (standing = doc_id < split, delta = doc_id ≥ split)
@@ -483,9 +488,7 @@ def stream_gate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(
-                os.path.join(sf_dir, "documents.parquet")
-            ).schema
+            raw_table_schema(spark, sf_dir, "documents")
         )
         .option("maxFilesPerTrigger", "1")
         .parquet(src)

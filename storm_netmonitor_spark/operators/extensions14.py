@@ -42,7 +42,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.stable import dratio, dratio_sql
-from ..io import load_table, session_memo
+from ..io import load_table, raw_table_schema, session_memo
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -616,9 +616,7 @@ def stream_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(
-                os.path.join(sf_dir, "embeddings.parquet")
-            ).schema
+            raw_table_schema(spark, sf_dir, "embeddings")
         )
         .option("maxFilesPerTrigger", "1")
         .parquet(src)

@@ -42,6 +42,7 @@ from ..io import (
     disk_artifact_json,
     land_bounded_frame,
     load_table,
+    raw_table_schema,
     session_memo,
 )
 from ..registry import query
@@ -90,9 +91,7 @@ def _drain_docs(spark: SparkSession, sf_dir: str, fn) -> None:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(
-                os.path.join(sf_dir, "documents.parquet")
-            ).schema
+            raw_table_schema(spark, sf_dir, "documents")
         )
         .option("maxFilesPerTrigger", "1")
         .parquet(_delta_stream_dir(spark, sf_dir))

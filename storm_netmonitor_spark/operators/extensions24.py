@@ -46,7 +46,13 @@ import time as _time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dec_scaled, dec_scaled_sql, dratio, dratio_sql
-from ..io import detach_result, load_table, session_memo, tiny_local_frame
+from ..io import (
+    detach_result,
+    load_table,
+    raw_table_schema,
+    session_memo,
+    tiny_local_frame,
+)
 from .extensions8 import _doc_split
 from .extensions12 import _STREAM_GATE_BATCHES
 from .extensions15 import _delta_stream_dir, _drain_docs
@@ -400,9 +406,7 @@ def _drain_vecs(spark: SparkSession, sf_dir: str, fn) -> None:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(
-                os.path.join(sf_dir, "embeddings.parquet")
-            ).schema
+            raw_table_schema(spark, sf_dir, "embeddings")
         )
         .option("maxFilesPerTrigger", "1")
         .parquet(_vec_delta_stream_dir(spark, sf_dir))

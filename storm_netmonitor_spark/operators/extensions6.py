@@ -19,7 +19,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..io import disk_artifact_frame, load_table, scatter, session_memo
+from ..io import (
+    disk_artifact_frame,
+    load_table,
+    raw_table_schema,
+    scatter,
+    session_memo,
+)
 from ..registry import query
 from .vectors import (
     _DOT_SUM_SQL,
@@ -421,7 +427,7 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+            raw_table_schema(spark, sf_dir, "embeddings")
         )
         .option("maxFilesPerTrigger", "1")
         .parquet(src)

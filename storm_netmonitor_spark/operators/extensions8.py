@@ -46,6 +46,7 @@ from ..io import (
     disk_artifact_json,
     land_bounded_frame,
     load_table,
+    raw_table_schema,
     scatter,
     session_memo,
 )
@@ -375,9 +376,7 @@ def stream_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(
-                os.path.join(sf_dir, "embeddings.parquet")
-            ).schema
+            raw_table_schema(spark, sf_dir, "embeddings")
         )
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
