@@ -231,7 +231,11 @@ def test_bench_emits_one_json_line(tmp_path):
     # keep the gate "value" last so even a partial tail retains it, and
     # (c) carry no method/cold bulk (that detail lives in stderr + the
     # BENCH_DETAIL.json sidecar)
-    assert len(raw) <= 1900, f"stdout bench line is {len(raw)}B > 1900B budget"
+    import bench as _bench
+
+    assert len(raw) <= _bench.STDOUT_LINE_BUDGET, (
+        f"stdout bench line is {len(raw)}B > {_bench.STDOUT_LINE_BUDGET}B budget"
+    )
     assert '"cold_seconds"' not in raw and '"method"' not in raw
     assert raw.index('"queries"') < raw.index('"value"'), raw[:200]
     # the sidecar detail record stays method-honest (ADVICE r5)
@@ -239,21 +243,17 @@ def test_bench_emits_one_json_line(tmp_path):
         detail = json.load(fh)
     assert set(detail) >= {"method", "cold_seconds", "queries", "value"}
     assert detail["value"] == payload["value"]
-    # the sidecar keeps EVERY row; stdout may trim the newest
-    # EXTRA_REPORTED rows to fit the tail budget (documented steady
-    # state since the §2.AB/§2.AC registrations) — whatever stdout does
-    # keep must match the sidecar exactly, all HEADLINE rows must
-    # survive, and drops only come off the newest end of the extra tail
-    import bench as _bench
-
+    # the sidecar keeps EVERY timed row at 4 decimals; stdout carries the
+    # FROZEN driver-visible subset at 3 decimals (VERDICT r14 #1 — the
+    # set is a code constant, never a function of the byte budget)
     assert set(payload["queries"]) <= set(detail["queries"])
     assert all(
-        detail["queries"][k] == v for k, v in payload["queries"].items()
+        round(detail["queries"][k], 3) == v
+        for k, v in payload["queries"].items()
     )
     assert set(_bench.HEADLINE) <= set(payload["queries"])
-    dropped = set(detail["queries"]) - set(payload["queries"])
-    n = len(dropped)
-    assert dropped == set(_bench.EXTRA_REPORTED[len(_bench.EXTRA_REPORTED) - n:] if n else [])
+    hidden = set(detail["queries"]) - set(payload["queries"])
+    assert hidden == set(_bench._R14_HIDDEN)
 
 
 def test_sorted_layout_clusters_row_groups(spark):
@@ -960,11 +960,14 @@ def test_simhash_band_layout_is_pigeonhole_total():
 
 
 @pytest.mark.fast
-def test_bench_stdout_trimming_preserves_gate_rows():
-    """The bench stdout line must fit the driver's 2,000-char tail
-    capture even if the reported set grows: _fit_stdout_line drops
-    EXTRA_REPORTED rows (newest first) but NEVER a HEADLINE gate row or
-    the 'value' key. Pure-python; no Spark."""
+def test_bench_stdout_visible_set_never_shrinks():
+    """VERDICT r14 #1: the driver-visible stdout set is FROZEN — it must
+    be a superset of every row the driver saw in BENCH_r13/BENCH_r14 plus
+    ``audit_referential_integrity`` (the row the r14 gate counted as
+    dropped), fit the tail-capture budget with realistic worst-case value
+    widths WITHOUT trimming, and trimming (a pathological-width safety
+    valve) may only ever remove STDOUT_BONUS rows. Pure-python; no
+    Spark."""
     import json as _json
     import os
     import sys as _sys
@@ -974,54 +977,67 @@ def test_bench_stdout_trimming_preserves_gate_rows():
         _sys.path.insert(0, sys_path_root)
     import bench
 
-    # current real shape: must fit the budget; the §2.AB registrations
-    # pushed the full row set past 1,900 B, so trimming newest-first IS
-    # the documented steady state now (SURVEY §7.1 round-12 checklist
-    # item 5) — every HEADLINE row must survive it, and anything dropped
-    # must come from the EXTRA_REPORTED tail (newest first)
-    timings = {n: 0.1234 for n in bench.HEADLINE + bench.EXTRA_REPORTED}
+    # worst-case realistic value widths: every timing < 10 s at 3-decimal
+    # stdout rounding serializes to ≤ 5 chars ("9.999")
+    timings = {n: 9.9994 for n in bench.HEADLINE + bench.EXTRA_REPORTED}
+    rows = bench._stdout_rows(timings)
+    # the frozen floor: every row of the r14 driver capture + the row the
+    # r14 gate flagged as dropped + this round's promoted bonus rows
+    for archived in ("BENCH_r13.json", "BENCH_r14.json"):
+        path = os.path.join(sys_path_root, archived)
+        seen = set(_json.load(open(path))["parsed"]["queries"])
+        assert seen <= set(rows), (
+            f"driver-visible set shrank vs {archived}: {seen - set(rows)}"
+        )
+    assert set(bench.STDOUT_CORE) <= set(rows)
+    assert "audit_referential_integrity" in rows
+    assert set(bench.HEADLINE) <= set(rows)
+    # visible set is timing-independent (frozen in code): no name from
+    # the hidden remainder leaks in, nothing visible depends on values
+    assert set(rows) == set(bench._stdout_rows({n: 0.001 for n in timings}))
+    assert not (set(rows) & bench._R14_HIDDEN)
+
     compact = {
         "metric": "suite_wall_seconds",
         "unit": "sec",
         "sf": 0.1,
-        "queries": dict(timings),
-        "value": 1.2345,
+        "load": "loaded",
+        "queries": dict(rows),
+        "value": 99.9999,
     }
     line, trimmed = bench._fit_stdout_line(dict(compact))
+    # worst case must fit WITHOUT the safety valve firing — the frozen
+    # set is sized to the budget at 3-decimal values by construction
+    assert not trimmed, "frozen visible set overflows the stdout budget"
     assert len(line) <= bench.STDOUT_LINE_BUDGET
-    kept = set(_json.loads(line)["queries"])
-    assert set(bench.HEADLINE) <= kept
-    dropped = set(timings) - kept
-    assert trimmed == bool(dropped)
-    # drops only ever come off the newest end of EXTRA_REPORTED
-    assert dropped == set(bench.EXTRA_REPORTED[len(bench.EXTRA_REPORTED) - len(dropped):])
+    assert _json.loads(line)["queries"] == rows
 
-    # synthetic overflow: pad every EXTRA row's key — trimming must kick
-    # in, keep ALL headline rows + value, and fit the budget
-    fat = {n: 0.1234 for n in bench.HEADLINE}
-    fat.update({n + "_padded_" + "x" * 40: 0.1234 for n in bench.EXTRA_REPORTED})
-    # map padded names back through EXTRA_REPORTED for the drop loop
-    orig_extra = bench.EXTRA_REPORTED
-    bench.EXTRA_REPORTED = [n + "_padded_" + "x" * 40 for n in orig_extra]
+    # pathological squeeze (a stray width overflow): the safety valve may
+    # only ever remove STDOUT_BONUS rows — shrink the budget just under
+    # the measured worst case so exactly the bonus trim has to fire
+    orig_budget = bench.STDOUT_LINE_BUDGET
+    bench.STDOUT_LINE_BUDGET = len(line) - 1
     try:
-        over = dict(compact, queries=dict(fat))
-        line, trimmed = bench._fit_stdout_line(over)
+        fat = dict(compact, queries=dict(rows))
+        line2, trimmed = bench._fit_stdout_line(fat)
     finally:
-        bench.EXTRA_REPORTED = orig_extra
-    assert trimmed and len(line) <= bench.STDOUT_LINE_BUDGET
-    payload = _json.loads(line)
-    assert payload["value"] == 1.2345
-    assert set(bench.HEADLINE) <= set(payload["queries"])
+        bench.STDOUT_LINE_BUDGET = orig_budget
+    assert trimmed and len(line2) <= len(line) - 1
+    kept = set(_json.loads(line2)["queries"])
+    dropped = set(rows) - kept
+    assert dropped and dropped <= set(bench.STDOUT_BONUS), (
+        f"trim touched a frozen row: {dropped - set(bench.STDOUT_BONUS)}"
+    )
     # the caller's dict must come back untouched (ADVICE r9): trimming
     # works on a copy, so the sidecar/stderr detail keeps every row
-    assert set(over["queries"]) == set(fat)
+    assert set(fat["queries"]) == set(rows)
 
-    # un-fittable even after a full trim: must raise loudly, never emit a
-    # line the driver would truncate mid-object (ADVICE r9)
+    # un-fittable even after the full bonus trim: must raise loudly,
+    # never emit a line the driver would truncate mid-object (ADVICE r9)
     orig_budget = bench.STDOUT_LINE_BUDGET
     bench.STDOUT_LINE_BUDGET = 40
     try:
-        with pytest.raises(RuntimeError, match="outgrown"):
+        with pytest.raises(RuntimeError, match="never shrink"):
             bench._fit_stdout_line(dict(compact))
     finally:
         bench.STDOUT_LINE_BUDGET = orig_budget
