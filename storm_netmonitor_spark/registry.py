@@ -321,15 +321,62 @@ ORACLE_UPGRADED: tuple[str, ...] = (
 )
 
 
+#: Ops whose IMPLEMENTATION was optimized in round ``value`` — a driver
+#: verdict from an EARLIER round ran against code that no longer exists,
+#: so their green is stale in the same sense as ORACLE_UPGRADED's
+#: (VERDICT r14 #3: 20+ of the r14-touched operators were last
+#: driver-verified at r13, before the optimization). They spend window
+#: slots ahead of the plain oldest-first re-verification sweep until a
+#: verdict from >= their touch round lands, then drop back automatically.
+TOUCHED_SINCE_VERDICT: dict[str, int] = {
+    # r14 optimization session (OPTIMIZATION_r14.md change sections)
+    "incremental_join_view": 14,
+    "vec_index_drift": 14,
+    "text_profile_drift": 14,
+    "quality_gate_drift": 14,
+    "vec_ivf_cell_retrain": 14,
+    "sink_compaction_apply": 14,
+    "sink_backfill_apply": 14,
+    "sink_targeted_delete": 14,
+    "sink_orphan_quarantine": 14,
+    "stream_index_drift": 14,
+    "stream_serve_recall": 14,
+    "stream_vocab_gate": 14,
+    "stream_fertility_gate": 14,
+    "stream_decontaminate_gate": 14,
+    "stream_profile_gate": 14,
+    "stream_ann_serve": 14,
+    "vec_rank_metrics": 14,
+    "stream_minhash_index_merge": 14,
+    "dedup_components_merge": 14,
+    "dedup_components_retract": 14,
+    "text_dedup_components": 14,  # shares the CC kernel's lazy checkpoint
+    "graph_community_lpa": 14,
+    "stream_gate_scores": 14,
+    "text_ppl_frozen_score": 14,
+    "stream_pii_gate": 14,
+    "stream_fano_fold": 14,
+}
+
+
+def _touched_stale(name: str) -> bool:
+    """True when ``name``'s latest driver verdict predates the round that
+    changed its implementation — the verdict proves the OLD code."""
+    touched = TOUCHED_SINCE_VERDICT.get(name)
+    return touched is not None and DRIVER_VERDICT_ROUND.get(name, 0) < touched
+
+
 def driver_ordered(mapping: dict) -> dict:
     """Reorder ``mapping`` for the driver's capped per-round check window:
     fixed-red rows first, prioritized never-checked rows next, remaining
     never-checked rows next (registration order), oracle-upgraded
     rows-only ops next (their no-oracle pass is superseded by a hash
-    oracle that has never run under the driver), already-verified last —
-    OLDEST latest-verdict first (ties: registration order), so a fully
-    green registry turns the window into a round-robin re-verification
-    sweep instead of re-checking the same head-50 forever."""
+    oracle that has never run under the driver), optimization-touched
+    ops next (their verdict predates the code they now run — VERDICT r14
+    #3), already-verified last — OLDEST latest-verdict first (ties:
+    registration order), so a fully green registry turns the window into
+    a round-robin re-verification sweep instead of re-checking the same
+    head-50 forever."""
     front = [n for n in RECHECK_FIRST if n in mapping]
     prio = [
         n for n in PRIORITY_FIRST
@@ -347,6 +394,14 @@ def driver_ordered(mapping: dict) -> dict:
     ]
     placed |= set(upgraded)
     reg_idx = {n: i for i, n in enumerate(mapping)}
+    touched = sorted(
+        (
+            n for n in TOUCHED_SINCE_VERDICT
+            if n in mapping and n not in placed and _touched_stale(n)
+        ),
+        key=lambda n: (DRIVER_VERDICT_ROUND.get(n, 0), reg_idx[n]),
+    )
+    placed |= set(touched)
     back = sorted(
         (
             n for n in mapping
@@ -354,4 +409,6 @@ def driver_ordered(mapping: dict) -> dict:
         ),
         key=lambda n: (DRIVER_VERDICT_ROUND.get(n, 0), reg_idx[n]),
     )
-    return {n: mapping[n] for n in front + prio + mid + upgraded + back}
+    return {
+        n: mapping[n] for n in front + prio + mid + upgraded + touched + back
+    }

@@ -80,7 +80,14 @@ def test_back_segment_recycles_oldest_verdicts_first():
         for n in registry.ORACLE_UPGRADED
         if n in registry.QUERIES and n not in registry.DRIVER_HASH_GREEN
     }
-    spent = set(registry.RECHECK_FIRST) | upgraded_slack
+    # ops re-prioritized because their code changed AFTER their verdict
+    # (VERDICT r14 #3) — independent re-derivation of _touched_stale
+    touched_slack = {
+        n
+        for n, rnd in registry.TOUCHED_SINCE_VERDICT.items()
+        if n in registry.QUERIES and latest.get(n, 0) < rnd
+    }
+    spent = set(registry.RECHECK_FIRST) | upgraded_slack | touched_slack
     back = [n for n in entrymod.queries() if n in passed and n not in spent]
     ages = [latest.get(n, 0) for n in back]
     assert ages == sorted(ages), (
@@ -89,6 +96,58 @@ def test_back_segment_recycles_oldest_verdicts_first():
     )
     # derived map agrees with the independent parse
     assert registry.DRIVER_VERDICT_ROUND == latest
+
+
+def test_touched_ops_front_load_the_reverification_window():
+    """VERDICT r14 #4: operators optimized in r14/r15 whose latest driver
+    verdict predates the change must land at the FRONT of the
+    re-verification segment, inside the driver's 50-slot window, until a
+    fresh verdict arrives (then they drop back automatically)."""
+    passed = _driver_passed_ids()
+    latest = _latest_verdict_round()
+    stale_touched = {
+        n
+        for n, rnd in registry.TOUCHED_SINCE_VERDICT.items()
+        if n in registry.QUERIES and latest.get(n, 0) < rnd
+    }
+    # every touched id must exist; rounds must be plausible
+    unknown = set(registry.TOUCHED_SINCE_VERDICT) - set(registry.QUERIES)
+    assert not unknown, f"TOUCHED_SINCE_VERDICT names unregistered ids: {unknown}"
+    window = list(entrymod.queries())[:WINDOW]
+    # stale touched ops fit the window only after red/unverified/upgraded
+    # tiers; with those empty (steady state) they must ALL be inside
+    ahead = [
+        n
+        for n in window
+        if n not in passed
+        or n in registry.RECHECK_FIRST
+        or (n in registry.ORACLE_UPGRADED and n not in registry.DRIVER_HASH_GREEN)
+    ]
+    capacity = WINDOW - len(ahead)
+    expect_inside = set(sorted(
+        stale_touched,
+        key=lambda n: latest.get(n, 0),
+    )[:capacity])
+    missing = expect_inside - set(window)
+    assert not missing, (
+        f"touched-since-verdict ops outside the driver window: {sorted(missing)}"
+    )
+    # a touched op with a fresh verdict must NOT hold a priority slot
+    refreshed = {
+        n
+        for n, rnd in registry.TOUCHED_SINCE_VERDICT.items()
+        if n in registry.QUERIES and latest.get(n, 0) >= rnd
+    }
+    head = set(window[: len(stale_touched)])
+    # (only check when the steady-state assumption holds: no red/unverified)
+    if not ahead:
+        assert head == stale_touched or stale_touched <= set(window), (
+            "stale touched set not front-loaded"
+        )
+        for n in refreshed & head:
+            assert n in stale_touched, (
+                f"{n} has a fresh verdict but still spends a window slot"
+            )
 
 
 def test_correctness_files_exist():
