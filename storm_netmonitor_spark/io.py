@@ -394,6 +394,129 @@ def prune_artifacts(max_age_days: float = 14.0) -> int:
     return removed
 
 
+def bucketed_artifact_frame(
+    spark: SparkSession,
+    name: str,
+    version: str,
+    sf_dir: str,
+    builder,
+    bucket_col: str,
+    n_buckets: int,
+    extra: tuple = (),
+) -> DataFrame:
+    """Cross-process memo of a STANDING join-side frame as a BUCKETED
+    table (guide §3.3/§6.4; VERDICT r14 #5): the data is persisted
+    hash-clustered by ``bucket_col`` into ``n_buckets`` bucket files
+    (sorted by it within each bucket), so every downstream join or
+    aggregation keyed on ``bucket_col`` reads a scan whose output
+    partitioning ALREADY satisfies the join requirement — the standing
+    side is never re-exchanged, per query OR per loop round. That is the
+    scale-correct layout for the CC/LPA loops: at 100 TB the symmetrized
+    edge frame neither fits a broadcast nor should be re-shuffled every
+    propagation round.
+
+    Storage is the same fingerprint-keyed artifact store as
+    ``disk_artifact_frame`` (atomic staging publish, mtime pruning), but
+    the files carry Spark's bucket-id naming, and the frame is served
+    through a session-local EXTERNAL catalog table over the published
+    path (bucket metadata lives in the catalog, not the files; the
+    in-memory catalog of a vanilla driver session needs one CREATE TABLE
+    per process — a metadata-only operation). The build stages through
+    ``repartition(n_buckets, bucket_col)`` so each bucket is exactly one
+    file and the scan can report the per-bucket sort order to the
+    planner (a sort-merge join over it skips both exchange AND sort on
+    this side).
+
+    ``n_buckets`` must match the consumer's expectation across processes
+    — it is part of the artifact key, so changing it retrains rather
+    than mis-reading."""
+    path = _artifact_path(
+        name, version, sf_dir, extra + (bucket_col, int(n_buckets))
+    )
+    digest = os.path.basename(path).rsplit("-", 1)[-1]
+    tbl = f"nm_bkt_{name}_{digest}"
+    if not os.path.isdir(path):
+        staging = _staging_path(path)
+        stage_tbl = f"{tbl}_stg_{os.getpid()}"
+        with _staging_heartbeat(staging):
+            (
+                builder()
+                .repartition(n_buckets, bucket_col)
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, bucket_col)
+                .sortBy(bucket_col)
+                .option("path", staging)
+                .format("parquet")
+                .saveAsTable(stage_tbl)
+            )
+            # drop only the catalog entry — the table is EXTERNAL, the
+            # staged files stay for the atomic publish below
+            spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        _publish_staging(staging, path)
+    else:
+        _touch_artifact(path)
+    if not spark.catalog.tableExists(tbl):
+        # register the published files as an external bucketed table for
+        # THIS session (bucket ids are parsed from Spark's bucket file
+        # naming; the schema comes from the parquet footers)
+        schema = spark.read.parquet(path).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+            f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+            f"INTO {int(n_buckets)} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(tbl)
+
+
+def scratch_bucketed_frame(
+    df: DataFrame, bucket_col: str, n_buckets: int
+) -> tuple[DataFrame, object]:
+    """Stage a LOOP-STATIC frame as a throwaway bucketed table (guide
+    §3.3; VERDICT r14 #5 applied to per-call fold frames): one shuffle
+    writes the frame hash-clustered by ``bucket_col`` (tmpfs when the
+    platform has it — same rationale as the streaming checkpoints), and
+    every loop round that joins or aggregates on ``bucket_col`` then
+    reads a scan that already satisfies the distribution instead of
+    re-exchanging the unchanged frame per round. The staging shuffle is
+    work round 1 would have paid anyway; rounds ≥ 2 get their exchange
+    removed. This replaces the ``localCheckpoint`` pin for such frames —
+    Spark 4.1's ExistingRDD scan drops outputPartitioning, so a
+    checkpointed frame re-exchanges every round no matter how it was
+    partitioned (measured in r14, OPTIMIZATION_r14.md §Not-yet #6).
+
+    Returns ``(frame, cleanup)``; call ``cleanup()`` once the loop's
+    outputs are materialized (the table entry and files are per-call
+    scratch, not artifacts)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    path = tempfile.mkdtemp(prefix="nm_bktscratch_", dir=base)
+    tbl = "nm_bkt_scratch_" + uuid.uuid4().hex[:12]
+    (
+        df.repartition(n_buckets, bucket_col)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+
+    def cleanup() -> None:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    return spark.table(tbl), cleanup
+
+
 def disk_artifact_dir(
     name: str,
     version: str,

@@ -316,7 +316,12 @@ def dedup_components_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAST_RETRACT_STATS.clear()
     n_affected = affected.count()  # materializes affected
     n_sub_pairs = sub_pairs.count()  # materializes members + sub_pairs
-    resolved = connected_components(members, sub_pairs)
+    resolved = connected_components(
+        members,
+        sub_pairs,
+        stage_edges_bucketed=os.environ.get("NM_CC_STAGE_BUCKETED", "0")
+        == "1",
+    )
     LAST_RETRACT_STATS.extend(
         (n_affected, untouched.count(), n_sub_pairs)
     )

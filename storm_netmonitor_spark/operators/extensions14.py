@@ -369,26 +369,13 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) + one node-keyed window over per-node candidate labels —
     both proportional to |edges|, never |nodes|²; the edge artifact
     reads from the store (no rediscovery)."""
-    from .corpus import text_dedup_components  # noqa: F401  (edge artifact)
-    from ..io import disk_artifact_frame
-    from .corpus import _symmetrized
-    from .text import text_ngram_jaccard
+    from .corpus import standing_dedup_edges
 
     d = load_table(spark, sf_dir, "documents")
-    bi = session_memo(
-        spark,
-        ("dedup_edges", os.path.abspath(sf_dir)),
-        lambda: disk_artifact_frame(
-            spark,
-            "dedup_edges",
-            "v1",
-            sf_dir,
-            lambda: _symmetrized(
-                text_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-            ),
-        ),
-        sf_dir=sf_dir,
-    )
+    # the SAME standing bucketed edge artifact text_dedup_components
+    # maintains (shared memo key) — per LPA round the edge side of the
+    # label join is read bucket-clustered, never re-exchanged
+    bi = standing_dedup_edges(spark, sf_dir)
     return lpa_rounds(d.select("doc_id"), bi, _LPA_ROUNDS)
 
 

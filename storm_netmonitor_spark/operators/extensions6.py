@@ -40,7 +40,7 @@ from .corpus import (
     SEMDEDUP_ITERS,
     SEMDEDUP_K_MIN,
     SEMDEDUP_TAU,
-    _symmetrized,
+    _symmetric_edges,
     connected_components,
     semantic_dup_pairs,
 )
@@ -150,13 +150,25 @@ def multimodal_joined_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
         )
-        return _symmetrized(text_edges.unionByName(vec_edges).distinct())
+        return _symmetric_edges(text_edges.unionByName(vec_edges).distinct())
+
+    # bucketed standing edge table (guide §3.3/§6.4, the dedup_edges
+    # discipline): every CC round's label⋈edge join reads the static
+    # side pre-clustered by doc_a instead of re-exchanging it
+    from ..io import bucketed_artifact_frame
+    from .corpus import CC_EDGE_BUCKETS
 
     bi = session_memo(
         spark,
         ("joined_dedup_edges", os.path.abspath(sf_dir)),
-        lambda: disk_artifact_frame(
-            spark, "joined_dedup_edges", "v1", sf_dir, build_edges
+        lambda: bucketed_artifact_frame(
+            spark,
+            "joined_dedup_edges",
+            "v2",
+            sf_dir,
+            build_edges,
+            "doc_a",
+            CC_EDGE_BUCKETS,
         ),
         sf_dir=sf_dir,
     )

@@ -256,7 +256,10 @@ def dedup_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAST_CC_FOLD_EDGES.clear()
     LAST_CC_FOLD_EDGES.extend((int(n_star or 0), int(n_total) - int(n_star or 0)))
     return connected_components(
-        d.select("doc_id"), tagged.select("doc_a", "doc_b")
+        d.select("doc_id"),
+        tagged.select("doc_a", "doc_b"),
+        stage_edges_bucketed=os.environ.get("NM_CC_STAGE_BUCKETED", "0")
+        == "1",
     )
 
 

@@ -4,7 +4,7 @@
 Usage:
     python tools/capture_plan.py OUT_SUFFIX QUERY [QUERY ...]
 
-Writes ``plans/r14/<query>_<OUT_SUFFIX>.txt`` for each query, built with
+Writes ``plans/$NM_PLAN_ROUND/<query>_<OUT_SUFFIX>.txt`` (default r15) for each query, built with
 the engine session against ``$SPARK_GRAFT_SF_DIR`` (default sf0.1).
 Drained/rewritten ops (RERUN_FULL class) return local relations — their
 plan file records that shape; the measured evidence for them is the
@@ -28,7 +28,7 @@ registry.load_all()
 spark = get_spark(app_name="nm-plan-capture")
 quiet_expected_warnings(spark)
 
-out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("NM_PLAN_ROUND", "r15"))
 os.makedirs(out_dir, exist_ok=True)
 
 for name in names:
