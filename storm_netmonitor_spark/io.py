@@ -713,6 +713,12 @@ def land_bounded_frame(df: DataFrame, dir_path: str) -> bool:
     the executor-side write path."""
     import pyarrow.parquet as pq
 
+    # Negative result, kept on purpose (r15): scoping
+    # spark.sql.adaptive.enabled=false around this collect — AQE's
+    # stage-at-a-time driver round-trips looked like pure latency for a
+    # ≤K-row plan — measured a WASH across vocab/drift/serve drains
+    # (4 alternating pairs each, min-of-medians within noise both
+    # directions). The default AQE path stays.
     tbl = df.toArrow()
     if tbl.num_rows == 0:
         return False

@@ -617,12 +617,7 @@ def stream_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from ..streaming.core import ckpt_dir
-    from .extensions6 import (
-        _MERGE_SPLIT_DEN,
-        _MERGE_SPLIT_NUM,
-        minhash_band_rows,
-        verify_band_candidates,
-    )
+    from .extensions6 import minhash_band_rows, verify_band_candidates
     from .text import _with_shingles
 
     d = load_table(spark, sf_dir, "documents")

@@ -102,7 +102,7 @@ def test_vocab_gate_equals_the_batch_kernel_on_the_delta(spark):
     delta = load_table(spark, SF, "documents").filter(
         F.col("doc_id") >= split
     )
-    vocab = e20._standing_vocab(spark, SF)
+    vocab = e20._standing_vocab_tokens(spark, SF)
     batch = e20.vocab_coverage_counters(delta, vocab)
     drained = e20.stream_vocab_gate(spark, SF).select(
         "source", "n_tokens", "n_covered_tokens"
@@ -125,7 +125,7 @@ def test_coverage_kernel_detects_planted_oov(spark):
         [("known", "alpha beta alpha"), ("oov", "qqq zzz qqq www")],
         "source string, text string",
     )
-    vocab = tiny_local_frame(spark, [("alpha",), ("beta",)], "tok string")
+    vocab = ("alpha", "beta")
     rows = {
         r["source"]: r for r in vocab_coverage_counters(docs, vocab).collect()
     }

@@ -200,6 +200,7 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange" not in p
 
 
+@pytest.mark.slow
 def test_bench_emits_one_json_line(tmp_path):
     """The driver contract: bench.py prints exactly one JSON object with
     the required keys (run at the smallest sf for speed). The sidecar is

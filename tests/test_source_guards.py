@@ -186,9 +186,13 @@ _AUDITED_COLLECT_SITES = {
     },
     # §2.AK staged batch: the standing-merge trainer collects the
     # CAPPED word table once per corpus version (the text_bpe_fertility
-    # model-fetch class, artifact-persisted)
+    # model-fetch class, artifact-persisted); the standing vocabulary
+    # collects its K=25 tokens once per session (r15: the per-batch
+    # broadcast join became an InSet literal — the frozen-LM-scalar
+    # class, session-memoized)
     "operators/extensions20.py": {
         "_standing_merges": 1,
+        "_standing_vocab_tokens": 1,
     },
     "operators/scans.py": {"observe_metrics": 1},
     "operators/vectors.py": {

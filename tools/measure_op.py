@@ -17,6 +17,12 @@ Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``{"query": ..., "median_s": ..., "samples": [...], "warm_jobs": N}``.
 A/B comparisons should run this in ALTERNATING fresh processes
 (B,A,B,A) and compare min-of-medians (host-noise discipline).
+
+CAVEAT (ADVICE r14 #5): ``warm_jobs`` counts jobs via a driver-thread
+job group, which streaming drains submit from stream-execution threads
+— the count UNDERCOUNTS for foreachBatch/streaming ops. For those,
+quote per-batch ``durationMs`` from ``tools/profile_drain.py`` (a
+StreamingQueryListener — thread-independent) instead.
 """
 from __future__ import annotations
 
